@@ -1,0 +1,106 @@
+"""Shared fixtures: one SparkSession, one DuckDB connection with the
+driver's view registration, and an oracle-parity comparator that
+mirrors the driver's check (row-count + columns + order-insensitive
+exact value comparison).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpc_di_etl_using_pyspark_spark.plans._util import TABLES  # noqa: E402
+from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
+
+# Default to the driver's correctness scale factor (sf0.01); override
+# with SPARK_GRAFT_TEST_SF_DIR for quick local iteration at sf0.001.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("tpcdi-engine-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize one cell to a hashable, engine-independent token."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅nan"
+        return float(v).hex()
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v).hex()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def assert_parity(spark_df, duck_con, sql: str, op: str):
+    """Mirror of the driver's compare: sort columns by name, canonical
+    cells, order-insensitive row multiset equality."""
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(row) for row in spark_df.collect()]
+
+    res = duck_con.execute(sql)
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{op}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{op}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+
+    s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+    d_ix = [d_cols.index(c) for c in sorted(d_cols)]
+    s_canon = sorted(tuple(_canon(r[i]) for i in s_ix) for r in s_rows)
+    d_canon = sorted(tuple(_canon(r[i]) for i in d_ix) for r in d_rows)
+    if s_canon != d_canon:
+        diffs = [
+            (a, b) for a, b in zip(s_canon, d_canon) if a != b
+        ][:5]
+        raise AssertionError(
+            f"{op}: value mismatch (cols={sorted(s_cols)}); first diffs "
+            f"(spark vs duck): {diffs}"
+        )

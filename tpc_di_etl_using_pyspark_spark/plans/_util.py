@@ -1,0 +1,92 @@
+"""Shared helpers for the query registry.
+
+The driver compares Spark results against DuckDB by row-count + schema +
+order-insensitive value-hash (exact — __spark_entry__.py docstring), so
+every float-bearing aggregate must be bit-identical across engines.
+Rules implemented here (SURVEY §7.4 risk register):
+
+- **Exact double sums**: summing doubles is order-dependent (shuffle
+  order differs run-to-run and engine-to-engine). ``dsum`` casts to
+  DECIMAL(25,6) first → exact decimal addition in any order → cast the
+  total back to double. The oracle SQL mirrors with
+  ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``.
+- **Averages** = exact-sum / count (two identical IEEE doubles divided
+  → identical result), never engine-native AVG over doubles.
+- **Timestamps**: events.ts is ns in parquet; Spark truncates to µs.
+  Normalize to epoch seconds (bigint) whenever a ts value is output or
+  ordered on, via ``epoch_s`` / ``SQL_EPOCH_S``.
+- **Total ordering**: every row_number/rank/limit is ordered by a key
+  set that is provably total (unique id appended).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEC = "decimal(25,6)"
+SQL_DEC = "DECIMAL(25,6)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x refuses
+    by default (PARQUET_TYPE_ILLEGAL). Read it as nanos-since-epoch via
+    the legacy conf and convert to a µs TimestampType — the same
+    truncation DuckDB applies reading the file as TIMESTAMP.
+    """
+    # The driver calls queries with ITS session — pin the confs our
+    # semantics depend on (timestamp→date casts are session-TZ
+    # dependent; DuckDB treats the same parquet instants as naive/UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, alias: str) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+
+
+def davg(col, alias: str) -> Column:
+    """Exact-sum / count average (deterministic double)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def epoch_s(col) -> Column:
+    """Timestamp → epoch seconds (bigint), identical across ns/µs storage."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.unix_timestamp(c)
+
+
+# DuckDB: epoch() on a timestamp returns seconds; floor+cast makes the
+# ns-precision fixture match Spark's µs-truncated unix_timestamp.
+def sql_epoch_s(expr: str) -> str:
+    return f"CAST(FLOOR(EPOCH({expr})) AS BIGINT)"

@@ -1,0 +1,238 @@
+"""SURVEY §2.D aggregations. Flagship pricing-summary (TPC-H-Q1-shaped)
+lives here as ``agg_groupby_basic`` — it is also ``entry()``'s query.
+
+Float discipline (_util): double sums go through DECIMAL(25,6) so the
+result is independent of partition/merge order; averages are
+exact-sum / count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import davg, dsum, sql_davg, sql_dsum, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+FLAGSHIP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_op("agg_groupby_basic", FLAGSHIP_SQL)
+def agg_groupby_basic(spark: SparkSession, d: str) -> DataFrame:
+    """Pricing summary: scan→filter→derive→agg (SURVEY §7.2)."""
+    li = t(spark, d, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_op(
+    "agg_global",
+    f"""SELECT COUNT(*) AS n_rows,
+               {sql_dsum('l_extendedprice', 'total_price')},
+               {sql_davg('l_quantity', 'avg_qty')},
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem""",
+)
+def agg_global(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "total_price"),
+        davg("l_quantity", "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@_op(
+    "agg_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_count_distinct(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_op("agg_approx_count_distinct")  # rows-only: HLL estimate ≠ exact oracle
+def agg_approx_count_distinct(spark: SparkSession, d: str) -> DataFrame:
+    e = t(spark, d, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@_op(
+    "agg_conditional",
+    """SELECT o_orderstatus,
+              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+              SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS n_other
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_conditional(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return o.groupBy("o_orderstatus").agg(
+        flag(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        flag(F.col("o_orderpriority") == "2-HIGH").alias("n_high"),
+        flag(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("n_other"),
+    )
+
+
+@_op(
+    "agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) > 8""",
+)
+def agg_having(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 8)
+    )
+
+
+@_op(
+    "agg_first_last",
+    """SELECT user_id,
+              arg_min(value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000 + event_id)
+                AS first_value,
+              arg_max(value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000 + event_id)
+                AS last_value
+       FROM events GROUP BY user_id""",
+)
+def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
+    # Deterministic first/last per key: ordered by a single total-order
+    # scalar (epoch-sec ⊕ unique event_id), not by arrival order.
+    e = t(spark, d, "events")
+    ordkey = F.unix_timestamp("ts") * 10000000 + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.min_by("value", ordkey).alias("first_value"),
+        F.max_by("value", ordkey).alias("last_value"),
+    )
+
+
+@_op(
+    "agg_rollup",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+              CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER)) * 2
+                   + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
+)
+def agg_rollup(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
+    return (
+        o.rollup("o_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+        .select("o_year", "o_orderstatus", "gid", "n_orders", "total")
+    )
+
+
+@_op(
+    "agg_cube",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+              CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER)) * 2
+                   + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+              COUNT(*) AS n_orders
+       FROM orders
+       GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
+)
+def agg_cube(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
+    return (
+        o.cube("o_year", "o_orderstatus")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+        .select("o_year", "o_orderstatus", "gid", "n_orders")
+    )
+
+
+@_op(
+    "agg_grouping_sets",
+    """SELECT o_orderpriority, o_orderstatus,
+              CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+              COUNT(*) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+)
+def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+                  COUNT(*) AS n_orders
+           FROM gs_orders
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+    )
+
+
+@_op(
+    "agg_stats",
+    """SELECT l_returnflag,
+              ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+              ROUND(var_samp(l_quantity), 2) AS var_qty,
+              ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_stats(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )

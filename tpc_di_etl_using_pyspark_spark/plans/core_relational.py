@@ -1,0 +1,559 @@
+"""SURVEY §2.B projections/filters, §2.C joins, §2.F sort/limit, §2.G set ops.
+
+Every op returns a DataFrame whose column names + values exactly match
+the DuckDB oracle (driver hash-compare). Determinism notes inline.
+Reference semantics: TPC-DI fact/dimension load shapes [SPEC] — no
+file:line possible, /root/reference is empty (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# §2.B projections / filters
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "project_select",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+)
+def project_select(spark: SparkSession, d: str) -> DataFrame:
+    return t(spark, d, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@_op(
+    "project_derive",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+              l_extendedprice * (1 - l_discount) AS disc_price
+       FROM lineitem""",
+)
+def project_derive(spark: SparkSession, d: str) -> DataFrame:
+    # Same expression tree both engines → identical IEEE doubles.
+    li = t(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "net_price"
+        ),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@_op(
+    "project_rename_drop",
+    """SELECT c_custkey AS customer_id, c_name AS customer_name,
+              c_mktsegment AS segment
+       FROM customer""",
+)
+def project_rename_drop(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "customer")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .drop("c_nationkey", "c_acctbal")
+    )
+
+
+@_op(
+    "filter_simple",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F'""",
+)
+def filter_simple(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_op(
+    "filter_compound",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+       WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+         AND l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O'""",
+)
+def filter_compound(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~(F.col("l_linestatus") == "O")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@_op(
+    "filter_null",
+    """SELECT c_custkey,
+              CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+              (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+               IS NOT DISTINCT FROM NULL) AS bal_is_null_safe
+       FROM customer
+       WHERE CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IS NOT NULL
+          OR c_custkey % 2 = 0""",
+)
+def filter_null(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        c.withColumn("bal", bal)
+        .withColumn("bal_is_null_safe", F.col("bal").eqNullSafe(F.lit(None)))
+        .filter(F.col("bal").isNotNull() | (F.col("c_custkey") % 2 == 0))
+        .select("c_custkey", "bal", "bal_is_null_safe")
+    )
+
+
+@_op(
+    "filter_like_regexp",
+    """SELECT p_partkey, p_name, p_type FROM part
+       WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-g]')""",
+)
+def filter_like_regexp(spark: SparkSession, d: str) -> DataFrame:
+    p = t(spark, d, "part")
+    return p.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-g]")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.C joins
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "join_inner_equi",
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def join_inner_equi(spark: SparkSession, d: str) -> DataFrame:
+    o, c = t(spark, d, "orders"), t(spark, d, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@_op(
+    "join_multi_key",
+    """WITH g AS (
+         SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS grp_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus)
+       SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus, g.grp_qty
+       FROM lineitem l
+       JOIN g ON l.l_returnflag = g.l_returnflag AND l.l_linestatus = g.l_linestatus""",
+)
+def join_multi_key(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("grp_qty")
+    )
+    return li.join(g, ["l_returnflag", "l_linestatus"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "grp_qty"
+    )
+
+
+@_op(
+    "join_left_outer",
+    """SELECT c.c_custkey, c.c_name, o.n_orders
+       FROM customer c LEFT JOIN (
+         SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+       ) o ON c.c_custkey = o.o_custkey""",
+)
+def join_left_outer(spark: SparkSession, d: str) -> DataFrame:
+    c, o = t(spark, d, "customer"), t(spark, d, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return c.join(per, c.c_custkey == per.o_custkey, "left").select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+@_op(
+    "join_right_full",
+    """SELECT n.n_name, s.s_name, s.s_acctbal
+       FROM nation n FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey""",
+)
+def join_right_full(spark: SparkSession, d: str) -> DataFrame:
+    n, s = t(spark, d, "nation"), t(spark, d, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_name", "s_name", "s_acctbal"
+    )
+
+
+@_op(
+    "join_broadcast",
+    """SELECT r.r_name,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
+                   AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def join_broadcast(spark: SparkSession, d: str) -> DataFrame:
+    # Dimension chain broadcast end-to-end: at 100 TB the fact table
+    # never shuffles for these lookups (BroadcastHashJoin).
+    li, o = t(spark, d, "lineitem"), t(spark, d, "orders")
+    c, n, r = t(spark, d, "customer"), t(spark, d, "nation"), t(spark, d, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_op(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi(spark: SparkSession, d: str) -> DataFrame:
+    c, o = t(spark, d, "customer"), t(spark, d, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_op(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+)
+def join_anti(spark: SparkSession, d: str) -> DataFrame:
+    # Anti-join vs a subset so the result is non-empty at every sf
+    # (every customer has *some* order in the fixtures).
+    c, o = t(spark, d, "customer"), t(spark, d, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_RANGE_SQL = """
+WITH ver AS (
+  SELECT o_custkey AS v_custkey,
+         CAST(o_orderdate AS DATE) AS eff,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS ver,
+         LEAD(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS end_d
+  FROM orders),
+fact AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+         CAST(l.l_shipdate AS DATE) AS ship_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, v.ver
+FROM fact f
+JOIN ver v ON f.o_custkey = v.v_custkey
+          AND f.ship_d >= v.eff
+          AND (v.end_d IS NULL OR f.ship_d < v.end_d)
+"""
+
+
+@_op("join_range_between", _RANGE_SQL)
+def join_range_between(spark: SparkSession, d: str) -> DataFrame:
+    """SCD2-style temporal join: fact date in [eff, next-eff) per key.
+
+    [SPEC: historical surrogate-key resolution]. Scale note (SURVEY
+    §4.3): the equi conjunct on the natural key keeps this a
+    sort-merge/broadcast join with the range as a residual filter —
+    never a nested-loop over the fact table.
+    """
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ver = o.select(
+        F.col("o_custkey").alias("v_custkey"),
+        F.col("o_orderdate").cast("date").alias("eff"),
+        F.row_number().over(w).alias("ver"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("end_d"),
+    )
+    li = t(spark, d, "lineitem")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    return fact.join(
+        ver,
+        (fact.o_custkey == ver.v_custkey)
+        & (fact.ship_d >= ver.eff)
+        & (ver.end_d.isNull() | (fact.ship_d < ver.end_d)),
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "ver")
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.view_id AS asof_view_id
+FROM p LEFT JOIN LATERAL (
+  SELECT e.event_id AS view_id
+  FROM events e
+  WHERE e.event_type = 'view' AND e.user_id = p.user_id
+    AND (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) < p.sec
+         OR (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) = p.sec AND e.event_id <= p.event_id))
+  ORDER BY CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) DESC, e.event_id DESC
+  LIMIT 1) v ON TRUE
+"""
+
+
+@_op("join_asof_latest", _ASOF_SQL)
+def join_asof_latest(spark: SparkSession, d: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it.
+
+    [SPEC: FactMarketHistory PE calc — latest quarterly EPS ≤ trade
+    date]. Spark has no native as-of join; the scalable shape is the
+    union+window merge (single shuffle on the key, no theta join):
+    tag both sides, sort by (key, time), carry the last view id
+    forward with last_value(ignorenulls).
+    """
+    e = t(spark, d, "events")
+    sec = F.unix_timestamp("ts").alias("sec")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", sec, "event_id", F.col("event_id").alias("view_id")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", sec, "event_id", F.lit(None).cast("long").alias("view_id")
+    )
+    unioned = views.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("view_id").isNull())
+        .select("event_id", "user_id", "asof_view_id")
+    )
+
+
+@_op(
+    "join_theta_inequality",
+    """SELECT a.s_suppkey AS low_supp, b.s_suppkey AS high_supp,
+              b.s_acctbal - a.s_acctbal AS bal_gap
+       FROM supplier a JOIN supplier b
+         ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal""",
+)
+def join_theta_inequality(spark: SparkSession, d: str) -> DataFrame:
+    s = t(spark, d, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_acctbal") < F.col("b.s_acctbal")),
+    ).select(
+        F.col("a.s_suppkey").alias("low_supp"),
+        F.col("b.s_suppkey").alias("high_supp"),
+        (F.col("b.s_acctbal") - F.col("a.s_acctbal")).alias("bal_gap"),
+    )
+
+
+@_op(
+    "join_self_versioning",
+    """WITH v AS (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders)
+       SELECT cur.o_custkey, cur.o_orderkey,
+              cur.o_totalprice - prv.o_totalprice AS price_delta
+       FROM v cur JOIN v prv
+         ON cur.o_custkey = prv.o_custkey AND cur.rn = prv.rn + 1""",
+)
+def join_self_versioning(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+    cur, prv = v.alias("cur"), v.alias("prv")
+    return cur.join(
+        prv,
+        (F.col("cur.o_custkey") == F.col("prv.o_custkey"))
+        & (F.col("cur.rn") == F.col("prv.rn") + 1),
+    ).select(
+        F.col("cur.o_custkey").alias("o_custkey"),
+        F.col("cur.o_orderkey").alias("o_orderkey"),
+        (F.col("cur.o_totalprice") - F.col("prv.o_totalprice")).alias("price_delta"),
+    )
+
+
+@_op(
+    "join_cross",
+    """SELECT r.r_name, n.n_name
+       FROM region r CROSS JOIN (
+         SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 5) n""",
+)
+def join_cross(spark: SparkSession, d: str) -> DataFrame:
+    r = t(spark, d, "region")
+    n5 = t(spark, d, "nation").orderBy("n_nationkey").limit(5).select("n_name")
+    return r.crossJoin(n5).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# §2.F sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "sort_multi",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey""",
+)
+def sort_multi(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey"),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@_op(
+    "limit_n",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def limit_n(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        t(spark, d, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_op(
+    "topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) WHERE rk <= 3""",
+)
+def topk_per_group(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.G set operations / dedup
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "set_union_all",
+    """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+       UNION ALL
+       SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000""",
+)
+def set_union_all(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b)
+
+
+@_op(
+    "set_union_distinct",
+    """SELECT n_regionkey AS key FROM nation
+       UNION
+       SELECT r_regionkey AS key FROM region""",
+)
+def set_union_distinct(spark: SparkSession, d: str) -> DataFrame:
+    n = t(spark, d, "nation").select(F.col("n_regionkey").alias("key"))
+    r = t(spark, d, "region").select(F.col("r_regionkey").alias("key"))
+    return n.unionByName(r).distinct()
+
+
+@_op(
+    "set_intersect",
+    """SELECT c_custkey AS key FROM customer
+       INTERSECT
+       SELECT o_custkey AS key FROM orders""",
+)
+def set_intersect(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer").select(F.col("c_custkey").alias("key"))
+    o = t(spark, d, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+@_op(
+    "set_except",
+    """SELECT o_custkey AS key FROM orders
+       EXCEPT ALL
+       SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'""",
+)
+def set_except(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    allk = o.select(F.col("o_custkey").alias("key"))
+    fk = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    return allk.exceptAll(fk)
+
+
+@_op(
+    "dedup_exact",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
+    # Only key columns are returned → winner-row nondeterminism of
+    # dropDuplicates cannot leak (SURVEY §7.4).
+    return t(spark, d, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@_op(
+    "dedup_latest_by_key",
+    """SELECT user_id, event_type, event_id, value FROM (
+         SELECT user_id, event_type, event_id, value,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def dedup_latest_by_key(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic latest-record-wins [SPEC: apply highest CDC_DSN]."""
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_timestamp("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )

@@ -1,0 +1,253 @@
+"""SURVEY §2.E window functions — SCD2 and running-balance shapes are
+TPC-DI's signature computations [SPEC: DimCustomer history tracking;
+FactCashBalances cumulative sum].
+
+Determinism: every ORDER BY in a window includes a unique tiebreak key;
+running sums use the DECIMAL(25,6) trick so segment-tree vs sequential
+accumulation cannot diverge across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_op(
+    "win_row_number",
+    """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS rn
+       FROM orders""",
+)
+def win_row_number(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@_op(
+    "win_rank_dense",
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+              RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rk,
+              DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drk
+       FROM supplier""",
+)
+def win_rank_dense(spark: SparkSession, d: str) -> DataFrame:
+    s = t(spark, d, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@_op(
+    "win_lead_scd2",
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS eff_date,
+              COALESCE(LEAD(CAST(o_orderdate AS DATE)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                DATE '9999-12-31') AS end_date,
+              (LEAD(CAST(o_orderdate AS DATE)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               IS NULL) AS is_current
+       FROM orders""",
+)
+def win_lead_scd2(spark: SparkSession, d: str) -> DataFrame:
+    """SCD2 EndDate/IsCurrent via lead() [SPEC: DimCustomer/DimAccount
+    history tracking] — orders-as-versions per customer."""
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    eff = F.col("o_orderdate").cast("date")
+    nxt = F.lead(eff).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        eff.alias("eff_date"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("end_date"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@_op(
+    "win_lag_change",
+    """SELECT user_id, event_id, value,
+              value - LAG(value) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS delta
+       FROM events""",
+)
+def win_lag_change(spark: SparkSession, d: str) -> DataFrame:
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@_op(
+    "win_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS running_total
+       FROM orders""",
+)
+def win_running_sum(spark: SparkSession, d: str) -> DataFrame:
+    """Running balance [SPEC: FactCashBalances = cumulative CT_AMT]."""
+    o = t(spark, d, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@_op(
+    "win_moving_avg",
+    """SELECT l_partkey, l_orderkey, l_linenumber,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS mov_avg_price
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_partkey
+                    ORDER BY CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT),
+                             l_orderkey, l_linenumber
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def win_moving_avg(spark: SparkSession, d: str) -> DataFrame:
+    li = t(spark, d, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(F.unix_timestamp("l_shipdate"), "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    mov = F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return li.select("l_partkey", "l_orderkey", "l_linenumber", mov.alias("mov_avg_price"))
+
+
+@_op(
+    "win_range_52wk",
+    """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+              MAX(l_extendedprice) OVER w AS high_52wk,
+              MIN(l_extendedprice) OVER w AS low_52wk
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_partkey
+                    ORDER BY CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT)
+                    RANGE BETWEEN 31449600 PRECEDING AND CURRENT ROW)""",
+)
+def win_range_52wk(spark: SparkSession, d: str) -> DataFrame:
+    """Trailing 364-day high/low [SPEC: FactMarketHistory FiftyTwoWeek*].
+
+    RANGE frame over epoch seconds (364 days = 31449600 s) — value-based
+    framing, identical in both engines regardless of row ties.
+    """
+    li = t(spark, d, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-364 * 86400, 0)
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.max("l_extendedprice").over(w).alias("high_52wk"),
+        F.min("l_extendedprice").over(w).alias("low_52wk"),
+    )
+
+
+@_op(
+    "win_first_last_value",
+    """SELECT l_partkey, best_price, date_of_best FROM (
+         SELECT l_partkey,
+                FIRST_VALUE(l_extendedprice) OVER w AS best_price,
+                FIRST_VALUE(CAST(l_shipdate AS DATE)) OVER w AS date_of_best,
+                ROW_NUMBER() OVER w AS rn
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey
+                      ORDER BY l_extendedprice DESC,
+                               CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT),
+                               l_orderkey, l_linenumber))
+       WHERE rn = 1""",
+)
+def win_first_last_value(spark: SparkSession, d: str) -> DataFrame:
+    """Date-of-peak-price per part [SPEC: FiftyTwoWeekHighDate shape]."""
+    li = t(spark, d, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.unix_timestamp("l_shipdate"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return (
+        li.select(
+            "l_partkey",
+            F.first("l_extendedprice").over(w).alias("best_price"),
+            F.first(F.col("l_shipdate").cast("date")).over(w).alias("date_of_best"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "best_price", "date_of_best")
+    )
+
+
+@_op(
+    "win_ntile_pct",
+    """SELECT c_custkey, c_acctbal,
+              CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
+              PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank
+       FROM customer""",
+)
+def win_ntile_pct(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@_op(
+    "win_cume_dist",
+    """SELECT c_custkey, c_acctbal,
+              CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS cd
+       FROM customer""",
+)
+def win_cume_dist(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", "c_acctbal", F.cume_dist().over(w).alias("cd"))
