@@ -80,6 +80,22 @@ def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
+def dround(col, n: int) -> Column:
+    """Cross-engine-deterministic round of a double.
+
+    Spark's round(double, n) rounds the double's shortest decimal repr
+    (BigDecimal.valueOf), DuckDB rounds the binary value — they disagree
+    on .xx5-ending products. Routing through DECIMAL(25,6) first makes
+    both engines round the same 6-decimal value HALF_UP.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(c.cast(DEC), n).cast("double")
+
+
+def sql_dround(expr: str, n: int) -> str:
+    return f"CAST(ROUND(CAST({expr} AS {SQL_DEC}), {n}) AS DOUBLE)"
+
+
 def epoch_s(col) -> Column:
     """Timestamp → epoch seconds (bigint), identical across ns/µs storage."""
     c = col if isinstance(col, Column) else F.col(col)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import davg, dsum, sql_davg, sql_dsum, t
+from ._util import davg, dround, dsum, sql_davg, sql_dround, sql_dsum, t
 
 QUERIES = {}
 ORACLES = {}
@@ -223,16 +223,16 @@ def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "agg_stats",
-    """SELECT l_returnflag,
-              ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
-              ROUND(var_samp(l_quantity), 2) AS var_qty,
-              ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    f"""SELECT l_returnflag,
+              {sql_dround('stddev_samp(l_quantity)', 2)} AS sd_qty,
+              {sql_dround('var_samp(l_quantity)', 2)} AS var_qty,
+              {sql_dround('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_stats(spark: SparkSession, d: str) -> DataFrame:
     li = t(spark, d, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dround(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        dround(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )

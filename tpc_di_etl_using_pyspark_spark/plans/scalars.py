@@ -1,0 +1,425 @@
+"""SURVEY §2.H scalar functions: string / date / math / conditional /
+json / array / hash. All expression-only (no UDFs — SURVEY §2.J policy).
+
+The TPC-DI-signature string exercise is ``str_concat_phone`` [SPEC:
+DimCustomer phone formatting rule]: assemble +CC (AC) LOCAL xEXT with
+conditional punctuation. Phone parts are synthesized deterministically
+from c_custkey (pure integer arithmetic → identical across engines).
+
+Cross-dialect mirrors verified empirically: DuckDB dayofweek is
+0=Sunday (Spark 1=Sunday), DuckDB regexp_replace needs the 'g' flag,
+DuckDB CAST(double AS INT) rounds (Spark truncates → mirror with
+trunc()), DuckDB year() returns BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import dround, sql_dround, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- phone parts, shared between query and oracle ------------------------
+_SQL_CC = "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE CAST(c_custkey % 100 AS VARCHAR) END"
+_SQL_AC = (
+    "CASE WHEN c_custkey % 4 = 0 THEN NULL "
+    "ELSE lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') END"
+)
+_SQL_LOCAL = "lpad(CAST((c_custkey * 2654435761) % 10000000 AS VARCHAR), 7, '0')"
+_SQL_EXT = "CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey % 100 AS VARCHAR) ELSE NULL END"
+
+
+@_op(
+    "str_concat_phone",
+    f"""WITH parts AS (
+          SELECT c_custkey, {_SQL_CC} AS cc, {_SQL_AC} AS ac,
+                 {_SQL_LOCAL} AS loc, {_SQL_EXT} AS ext
+          FROM customer)
+        SELECT c_custkey,
+               CASE WHEN cc IS NOT NULL AND ac IS NOT NULL
+                      THEN '+' || cc || ' (' || ac || ') ' || loc
+                    WHEN ac IS NOT NULL THEN '(' || ac || ') ' || loc
+                    ELSE loc END
+               || CASE WHEN ext IS NOT NULL THEN ' x' || ext ELSE '' END AS phone
+        FROM parts""",
+)
+def str_concat_phone(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    k = F.col("c_custkey")
+    cc = F.when(k % 3 == 0, F.lit(None)).otherwise((k % 100).cast("string"))
+    ac = F.when(k % 4 == 0, F.lit(None)).otherwise(F.lpad(((k * 7) % 1000).cast("string"), 3, "0"))
+    loc = F.lpad(((k * 2654435761) % 10000000).cast("string"), 7, "0")
+    ext = F.when(k % 5 == 0, (k % 100).cast("string")).otherwise(F.lit(None))
+    base = (
+        F.when(
+            cc.isNotNull() & ac.isNotNull(),
+            F.concat(F.lit("+"), cc, F.lit(" ("), ac, F.lit(") "), loc),
+        )
+        .when(ac.isNotNull(), F.concat(F.lit("("), ac, F.lit(") "), loc))
+        .otherwise(loc)
+    )
+    phone = F.concat(base, F.when(ext.isNotNull(), F.concat(F.lit(" x"), ext)).otherwise(F.lit("")))
+    return c.select("c_custkey", phone.alias("phone"))
+
+
+@_op(
+    "str_substr_trim",
+    """SELECT p_partkey, substring(p_name, 1, 10) AS name10,
+              ltrim(rtrim('  ' || p_name || '  ')) AS trimmed,
+              rtrim('  ' || p_name || '  ') AS rtrimmed
+       FROM part""",
+)
+def str_substr_trim(spark: SparkSession, d: str) -> DataFrame:
+    p = t(spark, d, "part")
+    padded = F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.ltrim(F.rtrim(padded)).alias("trimmed"),
+        F.rtrim(padded).alias("rtrimmed"),
+    )
+
+
+@_op(
+    "str_case_match",
+    """SELECT c_custkey, upper(c_name) AS name_u, lower(c_mktsegment) AS seg_l
+       FROM customer WHERE upper(c_mktsegment) = 'BUILDING'""",
+)
+def str_case_match(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    return c.filter(F.upper("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.lower("c_mktsegment").alias("seg_l"),
+    )
+
+
+@_op(
+    "str_pad_format",
+    """SELECT n_nationkey,
+              lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS code5,
+              rpad(n_name, 20, '.') AS name_pad,
+              printf('%03d-%s', n_nationkey, n_name) AS fmt
+       FROM nation""",
+)
+def str_pad_format(spark: SparkSession, d: str) -> DataFrame:
+    n = t(spark, d, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 5, "0").alias("code5"),
+        F.rpad("n_name", 20, ".").alias("name_pad"),
+        F.format_string("%03d-%s", "n_nationkey", "n_name").alias("fmt"),
+    )
+
+
+@_op(
+    "str_regexp",
+    """SELECT p_partkey,
+              regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+              regexp_replace(p_name, ' ', '_', 'g') AS snake
+       FROM part""",
+)
+def str_regexp(spark: SparkSession, d: str) -> DataFrame:
+    p = t(spark, d, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+    )
+
+
+@_op(
+    "str_split_explode",
+    """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part""",
+)
+def str_split_explode(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-value field → rows [SPEC: Prospect MarketingNameplate]."""
+    p = t(spark, d, "part")
+    return p.select("p_partkey", F.explode(F.split("p_type", " ")).alias("word"))
+
+
+@_op(
+    "date_parse",
+    """SELECT o_orderkey,
+              CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS d1,
+              CAST(FLOOR(EPOCH(strptime(strftime(o_orderdate, '%Y%m%d') || '-120000',
+                                        '%Y%m%d-%H%M%S'))) AS BIGINT) AS ts_sec
+       FROM orders""",
+)
+def date_parse(spark: SparkSession, d: str) -> DataFrame:
+    """Round-trip the TPC-DI source encodings yyyymmdd and
+    yyyymmdd-hhmmss (FINWIRE PTS) [SPEC: source date encodings]."""
+    o = t(spark, d, "orders")
+    s = F.date_format("o_orderdate", "yyyyMMdd")
+    return o.select(
+        "o_orderkey",
+        F.to_date(s, "yyyyMMdd").alias("d1"),
+        F.unix_timestamp(
+            F.to_timestamp(F.concat(s, F.lit("-120000")), "yyyyMMdd-HHmmss")
+        ).alias("ts_sec"),
+    )
+
+
+@_op(
+    "date_arith",
+    """SELECT o_orderkey,
+              date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+              datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+       FROM orders""",
+)
+def date_arith(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    dt = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(dt, 30).alias("plus30"),
+        F.add_months(dt, 3).alias("plus3mo"),
+        F.datediff(F.lit("1998-12-31").cast("date"), dt).alias("days_to_eoy"),
+    )
+
+
+@_op(
+    "date_extract",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(quarter(o_orderdate) AS INTEGER) AS q,
+              CAST(month(o_orderdate) AS INTEGER) AS mo,
+              CAST(day(o_orderdate) AS INTEGER) AS dom,
+              CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+              CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+       FROM orders""",
+)
+def date_extract(spark: SparkSession, d: str) -> DataFrame:
+    """DimDate attribute derivations [SPEC: DimDate columns]. DuckDB
+    dayofweek is 0-based Sunday; Spark is 1-based → +1 on the oracle."""
+    o = t(spark, d, "orders")
+    c = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(c).cast("int").alias("y"),
+        F.quarter(c).cast("int").alias("q"),
+        F.month(c).cast("int").alias("mo"),
+        F.dayofmonth(c).cast("int").alias("dom"),
+        F.dayofweek(c).cast("int").alias("dow"),
+        F.weekofyear(c).cast("int").alias("woy"),
+    )
+
+
+@_op(
+    "date_trunc_bucket",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value
+       FROM events GROUP BY 1""",
+)
+def date_trunc_bucket(spark: SparkSession, d: str) -> DataFrame:
+    e = t(spark, d, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("day_value"),
+        )
+    )
+
+
+@_op(
+    "math_round_money",
+    f"""SELECT l_orderkey, l_linenumber,
+              {sql_dround('l_extendedprice * l_discount', 2)} AS disc_amt,
+              abs(l_discount - 0.05) AS disc_dev,
+              {sql_dround('l_extendedprice', 0)} AS price_whole
+       FROM lineitem""",
+)
+def math_round_money(spark: SparkSession, d: str) -> DataFrame:
+    # ROUND half-up to cents [SPEC: money rounding] — via dround: Spark
+    # and DuckDB disagree on native double rounding (see _util).
+    li = t(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("disc_amt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        dround("l_extendedprice", 0).alias("price_whole"),
+    )
+
+
+@_op(
+    "math_ratio_guard",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_off25
+       FROM lineitem""",
+)
+def math_ratio_guard(spark: SparkSession, d: str) -> DataFrame:
+    """Guarded division [SPEC: PE/Yield NULL-when-zero rules]."""
+    li = t(spark, d, "lineitem")
+    den = F.col("l_quantity") - 25
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(den != 0, F.col("l_extendedprice") / den).alias("price_per_off25"),
+    )
+
+
+@_op(
+    "cond_case_when",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+                   WHEN o_orderpriority IN ('2-HIGH', '3-MEDIUM') THEN 'warm'
+                   ELSE 'cold' END AS heat,
+              CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+                   ELSE 'partial' END AS status_name
+       FROM orders""",
+)
+def cond_case_when(spark: SparkSession, d: str) -> DataFrame:
+    o = t(spark, d, "orders")
+    heat = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "warm")
+        .otherwise("cold")
+    )
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+    )
+    return o.select("o_orderkey", heat.alias("heat"), status.alias("status_name"))
+
+
+@_op(
+    "null_coalesce",
+    """SELECT c_custkey,
+              COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+              COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_pos
+       FROM customer""",
+)
+def null_coalesce(spark: SparkSession, d: str) -> DataFrame:
+    c = t(spark, d, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")),
+            F.lit(0.0),
+        ).alias("bal_pos"),
+    )
+
+
+@_op(
+    "cast_types",
+    """SELECT o_orderkey,
+              CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+              TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+              CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+              CAST(o_orderkey AS DOUBLE) AS key_dbl
+       FROM orders""",
+)
+def cast_types(spark: SparkSession, d: str) -> DataFrame:
+    """Schema-on-read typing with bad-value nulling [SPEC]. Note:
+    DuckDB CAST(double→int) rounds, Spark truncates → oracle uses
+    trunc() to mirror Spark."""
+    o = t(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+    )
+
+
+@_op(
+    "json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+       FROM events""",
+)
+def json_extract(spark: SparkSession, d: str) -> DataFrame:
+    e = t(spark, d, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@_op(
+    "array_ops",
+    """SELECT vec_id, len(embedding) AS dim,
+              CAST(embedding[1] AS DOUBLE) AS first_comp,
+              CAST(embedding[64] AS DOUBLE) AS last_comp
+       FROM embeddings""",
+)
+def array_ops(spark: SparkSession, d: str) -> DataFrame:
+    e = t(spark, d, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_comp"),
+        F.element_at("embedding", 64).cast("double").alias("last_comp"),
+    )
+
+
+@_op(
+    "array_fold_dot",
+    f"""SELECT vec_id,
+              {sql_dround('SUM(x * x)', 6)} AS norm_sq,
+              {sql_dround('sqrt(SUM(x * x))', 6)} AS l2_norm
+       FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+       GROUP BY vec_id""",
+)
+def array_fold_dot(spark: SparkSession, d: str) -> DataFrame:
+    """Dot/norm via higher-order functions — no UDF, stays in codegen.
+    Sum order differs across engines → round(6) (error ~1e-15)."""
+    e = t(spark, d, "embeddings")
+    ad = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return e.select(
+        "vec_id",
+        dround(dot, 6).alias("norm_sq"),
+        dround(F.sqrt(dot), 6).alias("l2_norm"),
+    )
+
+
+@_op("map_ops")  # rows-only: map columns don't round-trip the oracle hash
+def map_ops(spark: SparkSession, d: str) -> DataFrame:
+    doc = t(spark, d, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return doc.select(
+        "doc_id",
+        m.alias("meta"),
+        F.map_keys(m).alias("meta_keys"),
+        F.element_at(m, "lang").alias("lang_via_map"),
+    )
+
+
+@_op(
+    "hash_checksum",
+    """SELECT n_nationkey,
+              sha256(concat_ws('|', n_nationkey, n_name, n_regionkey)) AS row_sha
+       FROM nation""",
+)
+def hash_checksum(spark: SparkSession, d: str) -> DataFrame:
+    """Row checksums [SPEC: audit checksums]."""
+    n = t(spark, d, "nation")
+    return n.select(
+        "n_nationkey",
+        F.sha2(F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey"), 256).alias("row_sha"),
+    )
