@@ -1,0 +1,91 @@
+"""Self-checks for rows-only LLM ops (SURVEY §5.2.3-4): properties the
+DuckDB oracle can't express — LSH candidate soundness, ANN recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.llm.minhash import (
+    jaccard_verify,
+    minhash_near_dups,
+    shingles,
+)
+from tpc_di_etl_using_pyspark_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    query_vector,
+)
+from tpc_di_etl_using_pyspark_spark.llm.simhash import simhash, simhash_near_dups
+from tpc_di_etl_using_pyspark_spark.plans._util import t
+
+
+def test_minhash_pairs_are_true_near_dups(spark, sf_dir):
+    """Every LSH-surfaced pair must have exact Jaccard ≥ threshold (the
+    verify stage guarantees precision; this is the soundness check)."""
+    doc = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(doc, "doc_id", "text", k=1, threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) > 0, "fixture has word-level near-dups; LSH found none"
+    assert all(r.jaccard >= 0.5 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH recall on strong pairs (J ≥ 0.8): banding theory says
+    1-(1-j^4)^8 ≥ 0.97 at j=0.8 — demand ≥ 0.8 empirically."""
+    doc = t(spark, sf_dir, "documents").limit(500)
+    sh = shingles(doc, "doc_id", "text", k=1)
+    ids = doc.select(F.col("doc_id").alias("doc_a"))
+    all_pairs = ids.crossJoin(doc.select(F.col("doc_id").alias("doc_b"))).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_verify(all_pairs, sh, "doc_id", 0.8).collect()
+    }
+    if not exact:
+        return  # no strong pairs at this sf — nothing to measure
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dups(doc, "doc_id", "text", k=1, threshold=0.8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} on {len(exact)} strong pairs"
+
+
+def test_simhash_fingerprint_properties(spark, sf_dir):
+    doc = t(spark, sf_dir, "documents")
+    fp = simhash(doc, "doc_id", "text")
+    assert fp.count() == doc.count()
+    # identical text ⇒ identical fingerprint
+    dup = doc.select("doc_id", "text").unionByName(
+        doc.select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    )
+    fps = simhash(dup, "doc_id", "text").withColumn(
+        "orig", F.col("doc_id") % 10**6
+    )
+    distinct_per_orig = (
+        fps.groupBy("orig").agg(F.countDistinct("simhash").alias("n")).agg(F.max("n")).first()[0]
+    )
+    assert distinct_per_orig == 1
+
+
+def test_simhash_near_dups_symmetric_bounded(spark, sf_dir):
+    doc = t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(doc, "doc_id", "text", max_hamming=12).collect()
+    assert all(r.hamming <= 12 and r.doc_a < r.doc_b for r in pairs)
+
+
+def test_ivf_results_subset_of_brute_force_cell(spark, sf_dir):
+    """IVF top-k scores can't beat brute force; overlap with the true
+    top-k must be non-trivial for a near-centroid query."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = query_vector(64)
+    bf = brute_force_topk(emb, q, k=50).collect()
+    ivf = ivf_topk(emb, q, k=10, n_cells=8).collect()
+    assert len(ivf) > 0
+    bf_best = bf[0].cos_sim
+    assert all(r.cos_sim <= bf_best for r in ivf)
+    bf_ids = {r.vec_id for r in bf}
+    overlap = sum(1 for r in ivf if r.vec_id in bf_ids)
+    assert overlap >= 1, "IVF probe found nothing from the true top-50"

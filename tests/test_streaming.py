@@ -1,0 +1,96 @@
+"""Real Structured Streaming execution checks (SURVEY §5.2.4):
+file-source replay of events + availableNow ⇒ results must equal the
+batch plans the driver verifies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.plans._util import t
+from tpc_di_etl_using_pyspark_spark.streaming.ops import (
+    foreach_batch_upsert,
+    prepare_replay_dir,
+    read_event_stream,
+    run_available_now,
+    sessionize,
+    sliding_sums,
+    stream_dedup_within_watermark,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def replay(spark, sf_dir):
+    events = t(spark, sf_dir, "events")
+    return prepare_replay_dir(spark, events), events
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, replay):
+    rdir, events = replay
+    sdf = read_event_stream(spark, rdir)
+    out = run_available_now(tumbling_counts(sdf), mode="complete")
+    cols = ["ws_sec", "event_type", "n_events"]
+    assert _rows(out, cols) == _rows(tumbling_counts(events), cols)
+
+
+def test_stream_sliding_equals_batch(spark, replay):
+    rdir, events = replay
+    sdf = read_event_stream(spark, rdir)
+    out = run_available_now(sliding_sums(sdf), mode="complete")
+    cols = ["ws_sec", "win_value"]
+    assert _rows(out, cols) == _rows(sliding_sums(events), cols)
+
+
+def test_stream_session_equals_batch(spark, replay):
+    rdir, events = replay
+    sdf = read_event_stream(spark, rdir, with_watermark="10 minutes")
+    out = run_available_now(sessionize(sdf), mode="complete")
+    cols = ["user_id", "sess_start_sec", "n_events", "sess_value"]
+    assert _rows(out, cols) == _rows(sessionize(events), cols)
+
+
+def test_stream_dedup_within_watermark(spark, replay):
+    rdir, events = replay
+    sdf = read_event_stream(spark, rdir, with_watermark="10 minutes")
+    out = run_available_now(stream_dedup_within_watermark(sdf), mode="append")
+    # one surviving row per key; every key represented
+    per_key = out.groupBy("user_id", "event_type").count()
+    assert per_key.filter(F.col("count") > 1).count() == 0
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert per_key.count() == n_keys
+
+
+def test_foreach_batch_upsert_final_state(spark, sf_dir, tmp_path):
+    """The imperative micro-batch merge loop must land on the same final
+    state as the declarative batch upsert (the driver-checked op)."""
+    from tpc_di_etl_using_pyspark_spark.plans.streaming_ops import (
+        stream_foreachbatch_upsert,
+    )
+
+    events = t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "event_id", "value"]
+    b1 = events.filter(F.col("event_id") % 2 == 0).select(
+        *cols, F.unix_timestamp("ts").alias("sec")
+    )
+    b2 = events.filter(F.col("event_id") % 2 == 1).select(
+        *cols, F.unix_timestamp("ts").alias("sec")
+    )
+    target = str(tmp_path / "upsert_target")
+    final = foreach_batch_upsert(
+        spark,
+        [b1, b2],
+        key_cols=["user_id", "event_type"],
+        order_cols=[F.col("sec"), F.col("event_id")],
+        target_path=target,
+    )
+    got = sorted(tuple(r[c] for c in cols) for r in final.select(*cols).collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in stream_foreachbatch_upsert(spark, sf_dir).collect()
+    )
+    assert got == want

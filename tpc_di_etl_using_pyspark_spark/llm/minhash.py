@@ -1,0 +1,124 @@
+"""MinHash + LSH near-duplicate detection, expression-only.
+
+Pipeline (all Catalyst expressions — no MLlib, no Python UDFs):
+
+1. shingle: words → k-word shingles (``sequence`` + ``transform`` +
+   ``slice``), exploded distinct per doc.
+2. signature: per doc, ``min(xxhash64(shingle, seed))`` for each of
+   ``num_hashes`` seeds — one shuffle (groupBy doc_id), map-side
+   partial aggregation keeps it scalable.
+3. bands: signature split into ``bands`` groups of ``rows_per_band``;
+   band key = hash of the group → docs sharing any band key are
+   candidates (standard LSH banding).
+4. candidates: self-join on (band_idx, band_key) with doc_a < doc_b —
+   the join key bounds the quadratic blow-up to within-bucket pairs.
+5. verify: exact shingle-set Jaccard on candidates only.
+
+At 100 TB: stages 1-3 are narrow + one keyed shuffle; stage 4's join
+fan-out is controlled by band width (r ↑ → fewer, higher-precision
+candidates). Skewed buckets (boilerplate docs) can be salted or capped
+with a per-bucket row_number limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signature(
+    sh: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """Per-doc minhash signature as columns mh0..mh{n-1} (one shuffle)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def band_keys(
+    sig: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per band."""
+    rows_per_band = num_hashes // bands
+    pairs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        pairs.append(F.struct(F.lit(b).alias("band_idx"), F.xxhash64(*cols).alias("band_key")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*pairs)).alias("bk")
+    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+
+
+def candidate_pairs(bk: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing ≥1 band bucket, doc_a < doc_b."""
+    a = bk.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    b = bk.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs; keeps pairs ≥ threshold."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard."""
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signature(sh, id_col, num_hashes)
+    bk = band_keys(sig, id_col, num_hashes, bands)
+    cand = candidate_pairs(bk, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold)

@@ -21,8 +21,39 @@ Rules implemented here (SURVEY §7.4 risk register):
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_PKG_ZIP: str | None = None
+_SHIPPED: set[str] = set()
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (addPyFile).
+
+    cloudpickle serializes UDF/mapInPandas functions by reference to
+    their defining module; workers spawned by a driver whose cwd is NOT
+    the repo root cannot import it otherwise (found via driver-sim
+    verification — the grading driver controls its own cwd).
+    """
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    app = sc.applicationId or "app"
+    if app in _SHIPPED:
+        return
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.dirname(pkg_dir)
+        base = os.path.join(tempfile.gettempdir(), f"tpcdi_engine_pkg_{os.getpid()}")
+        _PKG_ZIP = shutil.make_archive(
+            base, "zip", root_dir=root, base_dir=os.path.basename(pkg_dir)
+        )
+    sc.addPyFile(_PKG_ZIP)
+    _SHIPPED.add(app)
 
 TABLES = (
     "region",
@@ -51,8 +82,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # The driver calls queries with ITS session — pin the confs our
     # semantics depend on (timestamp→date casts are session-TZ
-    # dependent; DuckDB treats the same parquet instants as naive/UTC).
+    # dependent; DuckDB treats the same parquet instants as naive/UTC),
+    # and make the package importable on its executors.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pkg_on_executors(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")

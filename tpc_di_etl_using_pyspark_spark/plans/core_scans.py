@@ -1,0 +1,205 @@
+"""SURVEY §2.A scans/sources/sinks.
+
+Non-parquet source ops generate their raw-file fixtures from the parquet
+test tables into a scratch dir (FIXTURES.md "auxiliary raw-file
+fixtures"), then prove round-trip parity against the original table via
+the DuckDB oracle — a stronger check than rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.sax.saxutils as _sax
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..sources.fixedwidth import read_fixed_width
+from ..sources.xmlflatten import flatten_customer_mgmt
+from ._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _scratch(d: str, op: str) -> str:
+    tag = os.path.basename(os.path.normpath(d)) or "sf"
+    path = f"/tmp/spark_graft_scratch/{tag}/{op}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@_op(
+    "scan_parquet",
+    "SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date "
+    "FROM lineitem WHERE l_quantity > 30",
+)
+def scan_parquet(spark: SparkSession, d: str) -> DataFrame:
+    # Projection + predicate reach the parquet scan (PushedFilters /
+    # ReadSchema — verified in tests/test_plans.py).
+    return (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+@_op("scan_csv_delim", "SELECT * FROM nation")
+def scan_csv_delim(spark: SparkSession, d: str) -> DataFrame:
+    """Pipe-delimited text, explicit schema [SPEC: flat-file extracts] —
+    round-trip must equal the parquet table exactly."""
+    path = _scratch(d, "nation_pipe")
+    t(spark, d, "nation").write.mode("overwrite").csv(path, sep="|", header=False)
+    return spark.read.csv(path, sep="|", header=False, schema=schemas.NATION)
+
+
+@_op("scan_csv_header", "SELECT * FROM customer")
+def scan_csv_header(spark: SparkSession, d: str) -> DataFrame:
+    """Header CSV with typed read [SPEC: Prospect.csv/HR.csv]."""
+    path = _scratch(d, "customer_csv")
+    t(spark, d, "customer").write.mode("overwrite").csv(path, header=True)
+    return spark.read.csv(path, header=True, schema=schemas.CUSTOMER)
+
+
+@_op(
+    "scan_text_fixedwidth",
+    """SELECT 'CMP' AS rec_type, rtrim(substring(p_name, 1, 60)) AS company_name,
+              p_partkey AS cik, '20100101-120000' AS pts
+       FROM part""",
+)
+def scan_text_fixedwidth(spark: SparkSession, d: str) -> DataFrame:
+    """FINWIRE fixed-width parse [SPEC: CMP record layout]: generate
+    CMP lines from `part`, slice back by offset, reproduce the rows."""
+    path = _scratch(d, "finwire_cmp")
+    part = t(spark, d, "part")
+    line = F.concat(
+        F.lit("20100101-120000"),  # PTS char(15)
+        F.lit("CMP"),  # RecType char(3)
+        F.rpad(F.substring("p_name", 1, 60), 60, " "),  # CompanyName char(60)
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),  # CIK char(10)
+    )
+    part.select(line.alias("value")).write.mode("overwrite").text(path)
+    cmp_layout = [
+        ("pts", 0, 15),
+        ("rec_type", 15, 3),
+        ("company_name", 18, 60),
+        ("cik", 78, 10),
+    ]
+    parsed = read_fixed_width(spark, path, {"CMP": cmp_layout})["CMP"]
+    return parsed.select(
+        "rec_type",
+        "company_name",
+        F.col("cik").cast("bigint").alias("cik"),
+        "pts",
+    )
+
+
+@_op(
+    "scan_xml_flatten",
+    """SELECT CASE c_custkey % 3 WHEN 0 THEN 'NEW' WHEN 1 THEN 'UPDCUST'
+              ELSE 'ADDACCT' END AS action_type,
+              c_custkey AS c_id,
+              c_name AS c_last,
+              c_custkey * 10 AS acct_id,
+              CAST(c_custkey % 3 AS INTEGER) AS acct_tax_status
+       FROM customer""",
+)
+def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
+    """CustomerMgmt XML flatten [SPEC: Action/Customer/Account nesting].
+
+    Fixture: one XML doc generated from `customer` (dimension-sized,
+    bounded); the mapInPandas ElementTree flatten must reproduce one
+    typed row per Action.
+    """
+    path = _scratch(d, "customer_mgmt") + ".xml"
+    rows = (
+        t(spark, d, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    actions = []
+    for r in rows:
+        a_type = ["NEW", "UPDCUST", "ADDACCT"][r.c_custkey % 3]
+        name = _sax.escape(r.c_name, {'"': "&quot;"})
+        actions.append(
+            f'<Action type="{a_type}" ts="2015-01-01T00:00:00">'
+            f'<Customer id="{r.c_custkey}" taxId="T{r.c_custkey:09d}">'
+            f'<Name last="{name}"/>'
+            f'<Account id="{r.c_custkey * 10}" taxStatus="{r.c_custkey % 3}"/>'
+            f"</Customer></Action>"
+        )
+    with open(path, "w") as f:
+        f.write("<Actions>" + "".join(actions) + "</Actions>")
+    flat = flatten_customer_mgmt(spark, path)
+    return flat.select("action_type", "c_id", "c_last", "acct_id", "acct_tax_status")
+
+
+@_op(
+    "sink_parquet",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "WHERE l_returnflag = 'R'",
+)
+def sink_parquet(spark: SparkSession, d: str) -> DataFrame:
+    path = _scratch(d, "sink_parquet")
+    (
+        t(spark, d, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+@_op(
+    "sink_partitioned",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n_orders
+       FROM orders GROUP BY 1""",
+)
+def sink_partitioned(spark: SparkSession, d: str) -> DataFrame:
+    """Partitioned warehouse write [REF*: batch-partitioned loads]:
+    write partitioned by year, read back via partition discovery."""
+    path = _scratch(d, "sink_partitioned")
+    (
+        t(spark, d, "orders")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@_op(
+    "sink_table_overwrite_append",
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+       WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderstatus""",
+)
+def sink_table_overwrite_append(spark: SparkSession, d: str) -> DataFrame:
+    """Historical load = overwrite, incremental = append [SPEC: batch
+    load semantics]: final table content is the union."""
+    path = _scratch(d, "sink_hist_incr")
+    o = t(spark, d, "orders").select("o_orderkey", "o_orderstatus")
+    o.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(path)
+    o.filter(F.col("o_orderstatus") == "O").write.mode("append").parquet(path)
+    return spark.read.parquet(path).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,549 @@
+"""SURVEY §2.K LLM-data-pipeline ops (north star, BASELINE.json): text
+analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search (brute-force / blocked kNN / IVF), and
+multimodal-column plumbing, over the documents/embeddings fixtures.
+
+All hot paths are Catalyst expressions; Python appears only in the
+Arrow-batched multimodal feature extractor (decode is stubbed — image
+libs absent offline — but the Spark plumbing is real).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..llm.minhash import minhash_near_dups, shingles
+from ..llm.simhash import simhash_near_dups
+from ..llm.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    knn_join_blocked,
+    query_vector,
+)
+from ._util import dround, sql_dround, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "text_tokenize_counts",
+    """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+       SELECT word, COUNT(*) AS n_occurrences,
+              COUNT(DISTINCT doc_id) AS n_docs
+       FROM w GROUP BY word""",
+)
+def text_tokenize_counts(spark: SparkSession, d: str) -> DataFrame:
+    doc = t(spark, d, "documents")
+    w = doc.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return w.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@_op(
+    "text_stats",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+              CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM documents GROUP BY lang, source""",
+)
+def text_stats(spark: SparkSession, d: str) -> DataFrame:
+    doc = t(spark, d, "documents")
+    return doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_op(
+    "text_tfidf",
+    f"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM w GROUP BY doc_id),
+        dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfn FROM w GROUP BY word),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.word,
+               {sql_dround('(tf.cnt / dl.doclen) * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfn)', 6)}
+                 AS tfidf
+        FROM tf, n
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.word = dfreq.word""",
+)
+def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
+    """TF-IDF without MLlib: two keyed aggregations + broadcast joins —
+    at scale the doc-frequency side is tiny (vocab) and broadcast."""
+    doc = t(spark, d, "documents")
+    w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfn"))
+    n_docs = doc.count()
+    tfidf = (F.col("cnt") / F.col("doclen")) * F.log(
+        F.lit(float(n_docs)) / F.col("dfn")
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .select("doc_id", "word", dround(tfidf, 6).alias("tfidf"))
+    )
+
+
+@_op(
+    "text_lang_id",
+    """WITH s AS (
+         SELECT doc_id, words,
+                len(list_filter(words, w -> w = 'the' OR w = 'a')) AS sc_en,
+                len(list_filter(words, w -> w = 'der' OR w = 'die')) AS sc_de,
+                len(list_filter(words, w -> w = 'le' OR w = 'la')) AS sc_fr,
+                len(list_filter(words, w -> w = 'el' OR w = 'los')) AS sc_es
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents))
+       SELECT doc_id,
+              CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es AND sc_en > 0
+                     THEN 'en'
+                   WHEN sc_de >= sc_fr AND sc_de >= sc_es AND sc_de > 0 THEN 'de'
+                   WHEN sc_fr >= sc_es AND sc_fr > 0 THEN 'fr'
+                   WHEN sc_es > 0 THEN 'es'
+                   ELSE 'unknown' END AS lang_pred,
+              sc_en, sc_de, sc_fr, sc_es
+       FROM s""",
+)
+def text_lang_id(spark: SparkSession, d: str) -> DataFrame:
+    """Stopword-count language-ID heuristic: score per language =
+    indicator-token hits; argmax with a fixed precedence order."""
+    doc = t(spark, d, "documents")
+    words = F.split(F.lower("text"), " ")
+
+    def score(toks):
+        return F.size(F.filter(words, lambda w: (w == toks[0]) | (w == toks[1])))
+
+    s = doc.select(
+        "doc_id",
+        score(["the", "a"]).alias("sc_en"),
+        score(["der", "die"]).alias("sc_de"),
+        score(["le", "la"]).alias("sc_fr"),
+        score(["el", "los"]).alias("sc_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("sc_en") >= F.col("sc_de"))
+            & (F.col("sc_en") >= F.col("sc_fr"))
+            & (F.col("sc_en") >= F.col("sc_es"))
+            & (F.col("sc_en") > 0),
+            "en",
+        )
+        .when((F.col("sc_de") >= F.col("sc_fr")) & (F.col("sc_de") >= F.col("sc_es")) & (F.col("sc_de") > 0), "de")
+        .when((F.col("sc_fr") >= F.col("sc_es")) & (F.col("sc_fr") > 0), "fr")
+        .when(F.col("sc_es") > 0, "es")
+        .otherwise("unknown")
+    )
+    return s.select("doc_id", pred.alias("lang_pred"), "sc_en", "sc_de", "sc_fr", "sc_es")
+
+
+@_op(
+    "text_quality_score",
+    """WITH q AS (
+         SELECT doc_id, n_chars,
+                len(string_split(lower(text), ' ')) AS n_words,
+                len(list_filter(string_split(lower(text), ' '),
+                    w -> w = 'the' OR w = 'a' OR w = 'value' OR w = 'data')) AS n_stop
+         FROM documents)
+       SELECT doc_id, n_words,
+              CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
+              CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+              (CASE WHEN n_words BETWEEN 20 AND 70 THEN 1 ELSE 0 END
+               + CASE WHEN CAST(n_stop AS DOUBLE) / n_words > 0.05 THEN 1 ELSE 0 END
+               + CASE WHEN CAST(n_chars AS DOUBLE) / n_words BETWEEN 3 AND 8
+                      THEN 1 ELSE 0 END) AS quality
+       FROM q""",
+)
+def text_quality_score(spark: SparkSession, d: str) -> DataFrame:
+    """Quality scoring via length / stopword-ratio heuristics."""
+    doc = t(spark, d, "documents")
+    words = F.split(F.lower("text"), " ")
+    stops = ["the", "a", "value", "data"]
+    n_stop = F.size(
+        F.filter(words, lambda w: (w == stops[0]) | (w == stops[1]) | (w == stops[2]) | (w == stops[3]))
+    )
+    q = doc.select(
+        "doc_id",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        n_stop.alias("n_stop"),
+    )
+    awl = F.col("n_chars").cast("double") / F.col("n_words")
+    sr = F.col("n_stop").cast("double") / F.col("n_words")
+    quality = (
+        F.when(F.col("n_words").between(20, 70), 1).otherwise(0)
+        + F.when(sr > 0.05, 1).otherwise(0)
+        + F.when(awl.between(3, 8), 1).otherwise(0)
+    )
+    return q.select(
+        "doc_id",
+        "n_words",
+        awl.alias("avg_word_len"),
+        sr.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@_op(
+    "text_token_count",
+    """SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+              len(string_split(lower(text), ' ')) AS n_ws_tokens
+       FROM documents""",
+)
+def text_token_count(spark: SparkSession, d: str) -> DataFrame:
+    """Token counting: whitespace + a BPE-ish regex segmentation."""
+    doc = t(spark, d, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_tokens"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+@_op(
+    "text_fingerprint",
+    """SELECT doc_id,
+              sha256(array_to_string(list_sort(list_distinct(
+                  string_split(lower(text), ' '))), ' ')) AS fingerprint
+       FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, d: str) -> DataFrame:
+    """Content fingerprint: sha256 of the sorted distinct token set —
+    order-insensitive doc identity (bag-of-words canonical form)."""
+    doc = t(spark, d, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))))
+    return doc.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
+
+
+@_op(
+    "text_label_quality",
+    f"""WITH c AS (SELECT source, lang, COUNT(*) AS cnt FROM documents
+                   GROUP BY source, lang),
+        tot AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY source)
+        SELECT c.source,
+               {sql_dround('-SUM((cnt / CAST(total AS DOUBLE)) * log2(cnt / CAST(total AS DOUBLE)))', 6)}
+                 AS lang_entropy,
+               COUNT(*) AS n_langs
+        FROM c JOIN tot ON c.source = tot.source
+        GROUP BY c.source""",
+)
+def text_label_quality(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source language-distribution entropy (label purity)."""
+    doc = t(spark, d, "documents")
+    c = doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total").cast("double")
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            dround(-F.sum(p * F.log2(p)), 6).alias("lang_entropy"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "dedup_exact_hash",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+       SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keeper_doc_id
+       FROM corpus GROUP BY sha256(text) HAVING COUNT(*) > 1""",
+)
+def dedup_exact_hash(spark: SparkSession, d: str) -> DataFrame:
+    """Exact dedup via content hash. The fixture has no exact dups, so
+    the corpus is documents ∪ a re-crawled 10% slice — dup groups are
+    then (orig, copy) with the keeper = lowest doc_id."""
+    doc = t(spark, d, "documents").select("doc_id", "text")
+    recrawl = doc.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = doc.unionByName(recrawl)
+    return (
+        corpus.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@_op("dedup_minhash_lsh")  # rows-only: band-bucket candidates depend on hash seeds
+def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (word shingles, 32 hashes, 8 bands,
+    Jaccard ≥ 0.5 verified exactly). Invariants tested in
+    tests/test_llm.py (LSH pairs ⊆ exact-Jaccard pairs)."""
+    doc = t(spark, d, "documents")
+    return minhash_near_dups(
+        doc, "doc_id", "text", k=1, num_hashes=32, bands=8, threshold=0.5
+    ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
+
+
+@_op("dedup_simhash")  # rows-only: fingerprint depends on xxhash64
+def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 12 — loose bound so
+    the shared-vocab fixture yields candidates)."""
+    doc = t(spark, d, "documents")
+    return simhash_near_dups(doc, "doc_id", "text", max_hamming=12)
+
+
+_NGRAM_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, source,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, source, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
+                           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.02
+"""
+
+
+@_op("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within a `source` block (blocking key
+    bounds the quadratic join — the scale lever)."""
+    doc = t(spark, d, "documents")
+    g = shingles(doc, "doc_id", "text", k=3).join(
+        doc.select("doc_id", "source"), "doc_id"
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
+    b = g.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    inter = (
+        a.join(b, ["source", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.02)
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_QVEC_SQL = "list_transform(generate_series(0, 63), d -> (((d * 37) % 19) - 9) / 9.0)"
+
+
+def _sql_cos(vec_expr: str, q_expr: str) -> str:
+    return (
+        f"list_dot_product({vec_expr}, {q_expr}) / "
+        f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) * "
+        f"sqrt(list_dot_product({q_expr}, {q_expr})))"
+    )
+
+
+@_op(
+    "sim_cosine_topk",
+    f"""WITH scored AS (
+          SELECT vec_id,
+                 CAST(ROUND(CAST({_sql_cos('embedding::DOUBLE[]', _QVEC_SQL)}
+                       AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
+          FROM embeddings)
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def sim_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Brute-force cosine top-k vs a fixed query vector (ANN baseline)."""
+    e = t(spark, d, "embeddings")
+    return brute_force_topk(e, query_vector(64), k=10)
+
+
+@_op(
+    "sim_knn_join",
+    f"""WITH pairs AS (
+          SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(ROUND(CAST(
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id != b.vec_id)
+        SELECT blk, id_a, id_b, cos_sim, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                             ORDER BY cos_sim DESC, id_b) AS BIGINT) AS rk
+          FROM pairs) WHERE rk <= 3""",
+)
+def sim_knn_join(spark: SparkSession, d: str) -> DataFrame:
+    """Pairwise kNN join blocked on label (bounds the O(n²) join)."""
+    e = t(spark, d, "embeddings")
+    return knn_join_blocked(e, "label", k=3)
+
+
+@_op(
+    "sim_embedding_neardup",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(ROUND(CAST(
+                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE CAST(ROUND(CAST(
+                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                AS DECIMAL(25,6)), 6) AS DOUBLE) >= 0.35""",
+)
+def sim_embedding_neardup(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (threshold
+    tuned to the fixture's cosine distribution: max ≈ 0.47)."""
+    from ..llm.similarity import as_double, cosine
+
+    e = t(spark, d, "embeddings")
+    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"),
+                 as_double("embedding").alias("va"))
+    b = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_b"),
+                 as_double("embedding").alias("vb"))
+    cos = dround(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+@_op("sim_ivf_topk")  # rows-only: ANN recall < 1 by construction
+def sim_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (probe nearest pseudo-centroid cell);
+    recall vs brute force asserted in tests/test_llm.py."""
+    e = t(spark, d, "embeddings")
+    return ivf_topk(e, query_vector(64), k=10, n_cells=8)
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@_op(
+    "multimodal_join",
+    """SELECT d.doc_id, d.lang, d.source, e.label, len(e.embedding) AS dim,
+              d.n_chars
+       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+)
+def multimodal_join(spark: SparkSession, d: str) -> DataFrame:
+    """Text + vector in one row (documents ⋈ embeddings by id)."""
+    doc = t(spark, d, "documents")
+    emb = t(spark, d, "embeddings")
+    return doc.join(emb, doc.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "source", "label", F.size("embedding").alias("dim"), "n_chars"
+    )
+
+
+_MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+
+@_op(
+    "multimodal_binary_features",
+    """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha,
+              CAST(strlen(text) % 256 AS INTEGER) AS fake_width,
+              CAST((strlen(text) // 256) % 256 AS INTEGER) AS fake_height
+       FROM documents""",
+)
+def multimodal_binary_features(spark: SparkSession, d: str) -> DataFrame:
+    """Multimodal-column plumbing: treat content as an opaque binary
+    column and feature-extract via mapInPandas (Arrow batches).
+
+    The real decoder (image/audio libs) is absent offline — the
+    "decode" is a deterministic fake (dimensions derived from byte
+    length), but the engine surface is real: binary column in, typed
+    feature StructType out, partition-parallel batches.
+    """
+    doc = t(spark, d, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["content"]
+            n = blobs.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "content_sha": blobs.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "fake_width": (n % 256).astype("int32"),
+                    "fake_height": ((n // 256) % 256).astype("int32"),
+                }
+            )
+
+    return doc.mapInPandas(extract, schema=_MM_SCHEMA)

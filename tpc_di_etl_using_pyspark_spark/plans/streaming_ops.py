@@ -1,0 +1,171 @@
+"""SURVEY §2.I streaming ops — batch-equivalent registry entries.
+
+Streaming and batch share semantics for these windowed/session/dedup
+transformations, so the driver's check runs the batch plan (DuckDB
+oracle where expressible) while tests/test_streaming.py replays the
+same events through a real file-source stream (availableNow) and
+asserts stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..streaming.ops import sessionize, sliding_sums, tumbling_counts
+from ._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_op(
+    "stream_tumbling_count",
+    """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS ws_sec,
+              event_type, COUNT(*) AS n_events
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling_count(spark: SparkSession, d: str) -> DataFrame:
+    return tumbling_counts(t(spark, d, "events"))
+
+
+@_op(
+    "stream_sliding_sum",
+    """WITH slid AS (
+         SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS h, ts, value
+         FROM events),
+       base AS (
+         SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) * 900 AS floor15, value
+         FROM events),
+       expanded AS (
+         SELECT floor15 - k * 900 AS ws_sec, value
+         FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+       SELECT ws_sec,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS win_value
+       FROM expanded GROUP BY ws_sec""",
+)
+def stream_sliding_sum(spark: SparkSession, d: str) -> DataFrame:
+    # Spark emits one row per (window, any-contained-event); the oracle
+    # expands each event into its 4 overlapping 1h/15min windows.
+    return sliding_sums(t(spark, d, "events"))
+
+
+@_op(
+    "stream_session_window",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM o),
+       ids AS (
+         SELECT user_id, ts, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM marked)
+       SELECT user_id,
+              CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS sess_start_sec,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sess_value
+       FROM ids GROUP BY user_id, sess_id""",
+)
+def stream_session_window(spark: SparkSession, d: str) -> DataFrame:
+    """session_window gap semantics: a new session starts when the gap
+    to the previous event is ≥ the 30-min gap (session end is
+    exclusive); the oracle is the classic gap-and-island rewrite."""
+    return sessionize(t(spark, d, "events"), "30 minutes")
+
+
+@_op(
+    "stream_watermark_late",
+    """WITH m AS (
+         SELECT event_id, user_id, ts, value,
+                MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING) AS max_us
+         FROM events)
+       SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, value
+       FROM m WHERE epoch_us(ts) >= max_us - 600 * 1000000""",
+)
+def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
+    """Watermark semantics, batch-simulated: arrival order = event_id,
+    watermark = max(event time seen) − 10 min; late events are dropped.
+    (Real watermark execution is exercised in tests/test_streaming.py.)
+    """
+    e = t(spark, d, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    return (
+        e.withColumn("max_us", F.max(us).over(w))
+        .filter(us >= F.col("max_us") - 600 * 1000000)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_sec"),
+            "value",
+        )
+    )
+
+
+@_op(
+    "stream_dedup_state",
+    """SELECT user_id, event_type, event_id AS first_event_id FROM (
+         SELECT user_id, event_type, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def stream_dedup_state(spark: SparkSession, d: str) -> DataFrame:
+    """First-arrival-wins keyed dedup — the batch-deterministic analog
+    of dropDuplicatesWithinWatermark (stateful variant tested in
+    tests/test_streaming.py)."""
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@_op(
+    "stream_foreachbatch_upsert",
+    """SELECT user_id, event_type, event_id, value FROM (
+         SELECT user_id, event_type, event_id, value,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY event_id % 2 DESC,
+                           CAST(FLOOR(EPOCH(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, d: str) -> DataFrame:
+    """Micro-batch CDC upsert final state [SPEC: incremental updates]:
+    batch 1 = even event_ids, batch 2 = odd; later batches take
+    precedence, latest (ts, event_id) wins within a batch. The real
+    foreachBatch merge loop is exercised in tests/test_streaming.py;
+    this is the declarative equivalent of its final state.
+    """
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        (F.col("event_id") % 2).desc(),
+        F.unix_timestamp("ts").desc(),
+        F.col("event_id").desc(),
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )

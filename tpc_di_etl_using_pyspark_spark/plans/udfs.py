@@ -1,0 +1,202 @@
+"""SURVEY §2.J UDF/UDAF/UDTF surface.
+
+Engine policy is expression-first (§2.H is UDF-free); these five ops
+exist to prove the full Python-interop surface with the right
+patterns: plain scalar UDF (reference parity), Arrow-vectorized pandas
+UDFs (scalar + grouped-agg), and grouped-map / partition-map pandas
+transforms. Oracles reimplement each rule in SQL.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..llm.similarity import query_vector
+from ._util import dround, sql_dround, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_op(
+    "udf_python_scalar",
+    """SELECT c_custkey,
+              concat_ws('+',
+                CASE WHEN c_acctbal > 7000 THEN 'HighValue' END,
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Spender' END,
+                CASE WHEN c_custkey % 7 = 0 THEN 'Boomer' END) AS nameplate
+       FROM customer""",
+)
+def udf_python_scalar(spark: SparkSession, d: str) -> DataFrame:
+    """Marketing-nameplate rule as a row-at-a-time Python UDF [SPEC:
+    Prospect MarketingNameplate — '+'-joined condition tags]. Kept as
+    the slow-path demonstration; everything else avoids this pattern.
+    """
+
+    def nameplate(custkey: int, acctbal: float, segment: str) -> str:
+        tags = []
+        if acctbal is not None and acctbal > 7000:
+            tags.append("HighValue")
+        if segment == "AUTOMOBILE":
+            tags.append("Spender")
+        if custkey % 7 == 0:
+            tags.append("Boomer")
+        return "+".join(tags)
+
+    fn = F.udf(nameplate, StringType())
+    c = t(spark, d, "customer")
+    return c.select(
+        "c_custkey", fn("c_custkey", "c_acctbal", "c_mktsegment").alias("nameplate")
+    )
+
+
+_QCOS_SQL = (
+    "list_dot_product(embedding::DOUBLE[], q) / "
+    "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q, q)))"
+)
+
+
+@_op(
+    "udf_pandas_scalar",
+    f"""WITH qv AS (SELECT list_transform(generate_series(0, 63),
+                         d -> (((d * 37) % 19) - 9) / 9.0) AS q)
+        SELECT vec_id,
+               CAST(ROUND(CAST({_QCOS_SQL} AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
+        FROM embeddings, qv""",
+)
+def udf_pandas_scalar(spark: SparkSession, d: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF: cosine vs a fixed query
+    vector, computed in numpy per Arrow batch (the fast Python path)."""
+    q = np.array(query_vector(64), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(DoubleType())
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    e = t(spark, d, "embeddings")
+    return e.select("vec_id", dround(cos("embedding"), 6).alias("cos_sim"))
+
+
+@_op(
+    "udaf_pandas_grouped",
+    f"""WITH x AS (
+          SELECT label, i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS comp
+          FROM (SELECT label, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings))
+        SELECT label, CAST(dim_idx - 1 AS INTEGER) AS dim_idx,
+               {sql_dround('AVG(comp)', 6)} AS centroid
+        FROM x GROUP BY label, dim_idx""",
+)
+def udaf_pandas_grouped(spark: SparkSession, d: str) -> DataFrame:
+    """Grouped-agg pandas UDF: per-label embedding centroid (mean
+    vector), exploded to (label, dim_idx, centroid) for the oracle."""
+
+    @F.pandas_udf(ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)
+    def centroid(col: pd.Series) -> list:
+        m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        return m.mean(axis=0).tolist()
+
+    e = t(spark, d, "embeddings")
+    cent = e.groupBy("label").agg(centroid("embedding").alias("c"))
+    return cent.select(
+        "label", F.posexplode("c").alias("dim_idx", "comp")
+    ).select("label", F.col("dim_idx").cast("int"), dround("comp", 6).alias("centroid"))
+
+
+@_op(
+    "udtf_apply_in_pandas",
+    f"""SELECT event_id, user_id,
+              {sql_dround('''(value - AVG(value) OVER (PARTITION BY user_id))
+               / stddev_samp(value) OVER (PARTITION BY user_id)''', 6)} AS norm_value
+       FROM events""",
+)
+def udtf_apply_in_pandas(spark: SparkSession, d: str) -> DataFrame:
+    """Grouped-map transform: per-user z-score normalization via
+    applyInPandas (SNIPPETS.md grouped-map pattern)."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("norm_value", DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].astype("float64")
+        mean, std = v.mean(), v.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "norm_value": (v - mean) / std,
+            }
+        )
+
+    e = t(spark, d, "events")
+    out = e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        normalize, schema
+    )
+    return out.select("event_id", "user_id", dround("norm_value", 6).alias("norm_value"))
+
+
+@_op(
+    "udtf_map_in_pandas",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              value * 2 AS value_x2
+       FROM events""",
+)
+def udtf_map_in_pandas(spark: SparkSession, d: str) -> DataFrame:
+    """Partition-wise table function via mapInPandas: JSON props parse +
+    derived measure, Arrow batch in/out (the XML-parse fallback shape).
+    """
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("k", LongType()),
+            StructField("value_x2", DoubleType()),
+        ]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "k": pdf["props"].map(lambda s: json.loads(s)["k"]).astype("int64"),
+                    "value_x2": pdf["value"] * 2,
+                }
+            )
+
+    e = t(spark, d, "events")
+    return e.select("event_id", "props", "value").mapInPandas(parse, schema)

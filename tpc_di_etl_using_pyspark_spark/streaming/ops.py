@@ -1,0 +1,151 @@
+"""Streaming operators + batch/stream-shared transformations.
+
+Design: every windowed/sessionized/dedup transformation is written once
+as a function over a DataFrame — Structured Streaming and batch share
+the same semantics for these, so the driver's queries run the batch
+plan while tests replay the events table through a real file-source
+stream (``availableNow`` trigger → memory sink) and assert the results
+are identical (SURVEY §5.2.4).
+
+The TPC-DI incremental-update analog is ``foreach_batch_upsert``:
+micro-batch CDC upsert via ``writeStream.foreachBatch`` [SPEC:
+incremental update phases → latest CDC record wins].
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---- shared transformations (valid on batch & streaming inputs) ----------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per-type event counts in 1-hour tumbling windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("win.start").alias("ws_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_sums(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min, exact value sums."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("win_value"))
+        .select(F.unix_timestamp("win.start").alias("ws_sec"), "win_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with the given inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sess_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("sess.start").alias("sess_start_sec"),
+            "n_events",
+            "sess_value",
+        )
+    )
+
+
+# ---- streaming execution harness ----------------------------------------
+
+
+def prepare_replay_dir(spark: SparkSession, events: DataFrame, base: str | None = None) -> str:
+    """Materialize an events DataFrame as a parquet dir a file-source
+    stream can replay (µs timestamps — streaming can't read the raw
+    ns fixture)."""
+    base = base or f"/tmp/spark_graft_stream/{uuid.uuid4().hex[:8]}"
+    os.makedirs(base, exist_ok=True)
+    events.write.mode("overwrite").parquet(base)
+    return base
+
+
+def read_event_stream(spark: SparkSession, replay_dir: str, with_watermark: str | None = None) -> DataFrame:
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(replay_dir)
+    )
+    if with_watermark:
+        sdf = sdf.withWatermark("ts", with_watermark)
+    return sdf
+
+
+def run_available_now(sdf: DataFrame, name: str | None = None, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the final result table."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_session = sdf.sparkSession
+    return spark_session.table(name)
+
+
+def stream_dedup_within_watermark(sdf: DataFrame) -> DataFrame:
+    """Stateful dedup on (user_id, event_type) bounded by the watermark
+    — the streaming analog of first-arrival-wins."""
+    return sdf.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    key_cols: list[str],
+    order_cols: list,
+    target_path: str,
+) -> DataFrame:
+    """TPC-DI incremental-update analog: apply each micro-batch as an
+    upsert into the target (latest record per key wins, later batches
+    take precedence) [SPEC: CDC apply semantics].
+
+    Implemented the way a ``foreachBatch(merge_fn)`` sink would: read
+    current target, unionByName the batch with a batch sequence number,
+    keep row_number()=1 per key ordered by (batch_seq desc, order desc),
+    rewrite. At warehouse scale this is Delta/Iceberg MERGE; on plain
+    parquet it's read-union-dedup-write per micro-batch.
+    """
+    first = True
+    for seq, b in enumerate(batches):
+        incoming = b.withColumn("_batch_seq", F.lit(seq))
+        if first:
+            merged = incoming
+            first = False
+        else:
+            current = spark.read.parquet(target_path)
+            merged = current.unionByName(incoming)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("_batch_seq").desc(), *[c.desc() for c in order_cols]
+        )
+        result = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # write to a tmp dir then move: plain-parquet upsert can't
+        # overwrite its own input mid-read
+        tmp = target_path + "_tmp"
+        result.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path).drop("_batch_seq")
