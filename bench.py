@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Protocol (BASELINE.md): per-query wall-clock, median of 3 runs (first
+run doubles as warm-up), full materialization via the noop sink (no
+driver collect cost), AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tpc_di_etl_using_pyspark_spark.plans.registry import all_queries  # noqa: E402
+from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per major cost shape (scan+agg,
+# broadcast star join, temporal range join, window range frame, keyed
+# dedup, top-k, tf-idf fan-out, LSH dedup, sessionization, running
+# balance, vector top-k).
+HEADLINE = [
+    "agg_groupby_basic",
+    "join_broadcast",
+    "join_range_between",
+    "win_range_52wk",
+    "dedup_latest_by_key",
+    "topk_per_group",
+    "text_tfidf",
+    "dedup_minhash_lsh",
+    "stream_session_window",
+    "tpcdi_fact_cash_balances",
+    "sim_cosine_topk",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("tpcdi-engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spark": spark.version,
+                "runs_per_query": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

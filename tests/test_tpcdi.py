@@ -1,0 +1,170 @@
+"""TPC-DI parity pipeline self-checks (SURVEY §5.2.3): the audit-style
+invariants the spec builds into the benchmark, over synthetic
+TPC-DI-shaped inputs generated from the test tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.plans._util import t
+from tpc_di_etl_using_pyspark_spark.sources.fixedwidth import read_fixed_width
+from tpc_di_etl_using_pyspark_spark.tpcdi.pipeline import (
+    asof_enrich,
+    batch_validation,
+    cdc_apply,
+    fact_cash_balances,
+    fact_market_history,
+    scd2_build,
+    scd2_change_filter,
+    scd2_validate,
+    surrogate_lookup,
+)
+
+
+def _versions(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("eff"),
+    )
+
+
+def test_scd2_intervals_valid(spark, sf_dir):
+    dim = scd2_build(
+        _versions(spark, sf_dir), "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
+    )
+    bad = scd2_validate(dim, "o_custkey")
+    assert bad.count() == 0
+    # exactly one current row per key
+    cur = dim.filter("is_current").groupBy("o_custkey").count()
+    assert cur.filter("count != 1").count() == 0
+
+
+def test_scd2_change_filter_shrinks_and_preserves_first(spark, sf_dir):
+    v = _versions(spark, sf_dir)
+    changed = scd2_change_filter(v, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
+    assert 0 < changed.count() <= v.count()
+    # every key keeps its first version
+    assert changed.select("o_custkey").distinct().count() == v.select(
+        "o_custkey"
+    ).distinct().count()
+
+
+def test_surrogate_lookup_resolves_every_fact_in_range(spark, sf_dir):
+    dim = scd2_build(
+        _versions(spark, sf_dir), "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
+    )
+    facts = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("fact_date"), "o_orderkey"
+    )
+    resolved = surrogate_lookup(facts, dim, "o_custkey", "fact_date")
+    # every fact date ≥ its key's first effective date must resolve
+    assert resolved.filter(F.col("sk").isNull()).count() == 0
+    # and each fact resolves to exactly one version (half-open intervals)
+    assert resolved.count() == facts.count()
+
+
+def test_fact_cash_balances_final_equals_total(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    fcb = fact_cash_balances(o, "o_custkey", "o_orderdate", "o_totalprice")
+    final = fcb.groupBy("account_id").agg(F.max_by("balance", "day").alias("final_bal"))
+    total = o.groupBy(F.col("o_custkey").alias("account_id")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total")
+    )
+    joined = final.join(total, "account_id")
+    assert joined.filter(F.col("final_bal") != F.col("total")).count() == 0
+
+
+def test_fact_market_history_window_bounds(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    fmh = fact_market_history(li, "l_partkey", "l_shipdate", "l_extendedprice")
+    bad = fmh.filter(
+        (F.col("close_price") > F.col("high_52wk"))
+        | (F.col("close_price") < F.col("low_52wk"))
+    )
+    assert bad.count() == 0
+
+
+def test_asof_enrich_latest_version_at_or_before(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("fact_sec")
+    )
+    versions = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ver_sec"),
+        F.col("event_id").cast("string").alias("payload"),
+    )
+    enriched = asof_enrich(facts, versions, "user_id", "fact_sec", "ver_sec", "payload")
+    assert enriched.count() == facts.count()
+    # spot-verify: the attached payload's version seq is ≤ the fact seq
+    v = versions.select(
+        "user_id", F.col("payload").alias("asof_payload"), "ver_sec"
+    )
+    check = enriched.join(v, ["user_id", "asof_payload"], "left")
+    assert check.filter(F.col("ver_sec") > F.col("fact_sec")).count() == 0
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    current = o.filter("o_orderstatus = 'F'").select("o_orderkey", "o_totalprice")
+    cdc = o.filter("o_orderstatus = 'O'").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 10 == 0, "D").otherwise("U").alias("cdc_flag"),
+        F.col("o_orderkey").alias("cdc_dsn"),
+    )
+    after = cdc_apply(current, cdc, ["o_orderkey"])
+    # keys are unique after apply
+    assert after.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # no deleted key survives
+    deleted = cdc.filter("cdc_flag = 'D'").select("o_orderkey")
+    assert after.join(deleted, "o_orderkey", "left_semi").count() == 0
+
+
+def test_finwire_multi_record_roundtrip(spark, sf_dir, tmp_path):
+    """Generate a mixed CMP/FIN FINWIRE file and parse both record types
+    back out [SPEC: FINWIRE multi-record files]."""
+    part = t(spark, sf_dir, "part").limit(200)
+    cmp_line = F.concat(
+        F.lit("20100101-120000"),
+        F.lit("CMP"),
+        F.rpad(F.substring("p_name", 1, 60), 60, " "),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+    )
+    fin_line = F.concat(
+        F.lit("20100401-090000"),
+        F.lit("FIN"),
+        F.lit("2010"),
+        F.lit("1"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+    )
+    path = str(tmp_path / "finwire")
+    part.select(F.explode(F.array(cmp_line, fin_line)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    layouts = {
+        "CMP": [("pts", 0, 15), ("rec_type", 15, 3), ("company_name", 18, 60), ("cik", 78, 10)],
+        "FIN": [("pts", 0, 15), ("rec_type", 15, 3), ("year", 18, 4), ("quarter", 22, 1), ("cik", 23, 10)],
+    }
+    recs = read_fixed_width(spark, path, layouts)
+    n = part.count()
+    assert recs["CMP"].count() == n
+    assert recs["FIN"].count() == n
+    assert recs["FIN"].filter("year != '2010' OR quarter != '1'").count() == 0
+    both = recs["CMP"].select(F.col("cik").cast("bigint").alias("k")).intersect(
+        recs["FIN"].select(F.col("cik").cast("bigint").alias("k"))
+    )
+    assert both.count() == n
+
+
+def test_batch_validation_counts(spark, sf_dir):
+    msgs = batch_validation(
+        {"orders": t(spark, sf_dir, "orders"), "nation": t(spark, sf_dir, "nation")},
+        batch_id=7,
+    ).collect()
+    by_src = {m.message_source: m for m in msgs}
+    assert int(by_src["nation"].message_text) == 25
+    assert by_src["orders"].batch_id == 7

@@ -21,6 +21,7 @@ _MODULES = [
     "streaming_ops",
     "udfs",
     "llm",
+    "tpcdi_ops",
 ]
 
 

@@ -1,0 +1,139 @@
+"""TPC-DI pipeline shapes as driver-checked ops: SCD2 dimension build,
+running cash balances, CDC apply, and the DImessages audit — the
+reference's signature computations [SPEC], run over the test tables
+(orders-as-cash-transactions / orders-as-customer-versions analogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tpcdi.pipeline import batch_validation, cdc_apply, fact_cash_balances, scd2_build
+from ._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _op(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_op(
+    "tpcdi_scd2_dimcustomer",
+    """SELECT CAST(o_custkey AS VARCHAR) || '-' || CAST(
+                ROW_NUMBER() OVER w AS VARCHAR) AS sk,
+              CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+              o_custkey, o_orderstatus, o_orderpriority,
+              CAST(o_orderdate AS DATE) AS effective_date,
+              COALESCE(LEAD(CAST(o_orderdate AS DATE)) OVER w,
+                       DATE '9999-12-31') AS end_date,
+              (LEAD(CAST(o_orderdate AS DATE)) OVER w IS NULL) AS is_current
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""",
+)
+def tpcdi_scd2_dimcustomer(spark: SparkSession, d: str) -> DataFrame:
+    """Full SCD2 dimension build (sk, intervals, is_current) [SPEC:
+    DimCustomer history tracking], orders-as-versions."""
+    o = t(spark, d, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("eff"),
+    )
+    return scd2_build(
+        o,
+        natural_key="o_custkey",
+        eff_col="eff",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak="o_orderkey",
+    )
+
+
+@_op(
+    "tpcdi_fact_cash_balances",
+    """WITH daily AS (
+         SELECT o_custkey AS account_id,
+                CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS net_dec
+         FROM orders GROUP BY 1, 2)
+       SELECT account_id, day,
+              CAST(net_dec AS DOUBLE) AS net_flow,
+              CAST(SUM(net_dec) OVER (PARTITION BY account_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS balance
+       FROM daily""",
+)
+def tpcdi_fact_cash_balances(spark: SparkSession, d: str) -> DataFrame:
+    """FactCashBalances [SPEC: cumulative daily cash per account] with
+    orders as the cash-transaction stream."""
+    o = t(spark, d, "orders")
+    return fact_cash_balances(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@_op(
+    "tpcdi_cdc_apply",
+    """WITH current AS (
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F'),
+       cdc AS (
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS cdc_flag,
+                o_orderkey AS cdc_dsn
+         FROM orders WHERE o_orderstatus = 'O'),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                        ORDER BY cdc_dsn DESC) AS rn
+           FROM cdc) WHERE rn = 1)
+       SELECT c.o_orderkey, c.o_custkey, c.o_totalprice FROM current c
+       WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = c.o_orderkey)
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_totalprice FROM latest
+       WHERE cdc_flag != 'D'""",
+)
+def tpcdi_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental CDC apply [SPEC: CDC_FLAG I/U/D, highest CDC_DSN
+    wins]: 'F' orders are the current state, 'O' orders the extract."""
+    o = t(spark, d, "orders")
+    current = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cdc = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 10 == 0, "D").otherwise("U").alias("cdc_flag"),
+        F.col("o_orderkey").alias("cdc_dsn"),
+    )
+    return cdc_apply(current, cdc, ["o_orderkey"])
+
+
+@_op(
+    "tpcdi_dimessages",
+    """SELECT 1 AS batch_id, 'orders' AS message_source,
+              'Row count' AS message_type, CAST(COUNT(*) AS VARCHAR) AS message_text
+       FROM orders
+       UNION ALL
+       SELECT 1, 'lineitem', 'Row count', CAST(COUNT(*) AS VARCHAR) FROM lineitem
+       UNION ALL
+       SELECT 1, 'customer', 'Row count', CAST(COUNT(*) AS VARCHAR) FROM customer""",
+)
+def tpcdi_dimessages(spark: SparkSession, d: str) -> DataFrame:
+    """DImessages batch-validation rows [SPEC: batch validation]."""
+    return batch_validation(
+        {
+            "orders": t(spark, d, "orders"),
+            "lineitem": t(spark, d, "lineitem"),
+            "customer": t(spark, d, "customer"),
+        },
+        batch_id=1,
+    )
