@@ -47,7 +47,9 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         return  # no strong pairs at this sf — nothing to measure
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in minhash_near_dups(doc, "doc_id", "text", k=1, threshold=0.8).collect()
+        for r in minhash_near_dups(
+            doc, "doc_id", "text", k=1, threshold=0.8, max_bucket=None
+        ).collect()
     }
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} on {len(exact)} strong pairs"

@@ -22,7 +22,7 @@ with a per-bucket row_number limit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,12 +64,27 @@ def band_keys(
     ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
 
 
-def candidate_pairs(bk: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing ≥1 band bucket, doc_a < doc_b."""
-    a = bk.select(
+def candidate_pairs(
+    bk: DataFrame, id_col: str, max_bucket: int | None = 200
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing ≥1 band bucket, doc_a < doc_b.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join:
+    a bucket of n docs yields n²/2 pairs, so one boilerplate bucket
+    (empty docs, shared headers) can dominate the whole job — the cap
+    bounds the join fan-out at any corpus size. ``None`` disables the
+    cap (full banding-theory recall, unbounded worst case).
+    """
+    bounded = bk
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        bounded = bk.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a = bounded.select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_key"
     )
-    b = bk.select(
+    b = bounded.select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
     return (
@@ -115,10 +130,11 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard."""
     sh = shingles(df, id_col, text_col, k)
     sig = minhash_signature(sh, id_col, num_hashes)
     bk = band_keys(sig, id_col, num_hashes, bands)
-    cand = candidate_pairs(bk, id_col)
+    cand = candidate_pairs(bk, id_col, max_bucket)
     return jaccard_verify(cand, sh, id_col, threshold)

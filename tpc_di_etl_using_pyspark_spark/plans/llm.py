@@ -318,12 +318,14 @@ def dedup_exact_hash(spark: SparkSession, d: str) -> DataFrame:
 
 @_op("dedup_minhash_lsh")  # rows-only: band-bucket candidates depend on hash seeds
 def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (word shingles, 32 hashes, 8 bands,
+    """MinHash+LSH near-dup pairs (3-word shingles, 32 hashes, 8 bands,
     Jaccard ≥ 0.5 verified exactly). Invariants tested in
-    tests/test_llm.py (LSH pairs ⊆ exact-Jaccard pairs)."""
+    tests/test_llm.py (LSH pairs ⊆ exact-Jaccard pairs). 3-word
+    shingles keep the shingle sets discriminative on a shared-vocab
+    corpus — unigrams make nearly every doc pair a candidate."""
     doc = t(spark, d, "documents")
     return minhash_near_dups(
-        doc, "doc_id", "text", k=1, num_hashes=32, bands=8, threshold=0.5
+        doc, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
     ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
