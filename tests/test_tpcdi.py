@@ -160,6 +160,45 @@ def test_finwire_multi_record_roundtrip(spark, sf_dir, tmp_path):
     assert both.count() == n
 
 
+def test_fact_market_history_extreme_dates_in_frame(spark, sf_dir):
+    """high/low dates must carry the price the extreme columns report
+    and lie within the trailing window."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("key"), F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.max("l_extendedprice").alias("close"))
+    fmh = fact_market_history(daily, "key", "day", "close")
+    probe = fmh.alias("f").join(
+        daily.alias("d"),
+        (F.col("f.key") == F.col("d.key"))
+        & (F.col("f.high_52wk_date") == F.col("d.day")),
+    )
+    assert probe.filter(F.col("d.close") != F.col("f.high_52wk")).count() == 0
+    bad_range = fmh.filter(
+        (F.col("high_52wk_date") > F.col("quote_date"))
+        | (F.col("high_52wk_date") < F.date_sub("quote_date", 364))
+        | (F.col("low_52wk_date") > F.col("quote_date"))
+        | (F.col("low_52wk_date") < F.date_sub("quote_date", 364))
+    )
+    assert bad_range.count() == 0
+
+
+def test_marketing_nameplate_tag_order(spark, sf_dir):
+    """Tags appear in spec rule order; empty tag list is NULL."""
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import tpcdi_marketing_nameplate
+
+    rows = tpcdi_marketing_nameplate(spark, sf_dir).collect()
+    order = ["HighValue", "Expenses", "Boomer", "MoneyAlert", "Spender", "Inherited"]
+    rank = {tag: i for i, tag in enumerate(order)}
+    for r in rows:
+        if r.marketing_nameplate is None:
+            continue
+        tags = r.marketing_nameplate.split("+")
+        assert all(tag in rank for tag in tags)
+        assert tags == sorted(tags, key=rank.__getitem__)
+        assert "" not in tags
+
+
 def test_batch_validation_counts(spark, sf_dir):
     msgs = batch_validation(
         {"orders": t(spark, sf_dir, "orders"), "nation": t(spark, sf_dir, "nation")},

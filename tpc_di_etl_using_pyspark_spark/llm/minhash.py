@@ -98,25 +98,25 @@ def candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs; keeps pairs ≥ threshold."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    """Exact Jaccard on candidate pairs; keeps pairs ≥ threshold.
+
+    Strategy: one groupBy builds a per-doc shingle-set array, then the
+    (small) candidate set joins to it twice and intersects the arrays
+    in-expression. Compared with joining the exploded (doc, shingle)
+    relation per side, this replaces two wide shuffle joins with two
+    doc-keyed joins against a relation of one row per document —
+    at corpus scale the candidate side is tiny after LSH banding, so
+    both joins broadcast.
+    """
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("_set_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("_set_b"))
+    n_inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    n_union = F.size("_set_a") + F.size("_set_b") - n_inter
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", n_inter / n_union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tpcdi.pipeline import batch_validation, cdc_apply, fact_cash_balances, scd2_build
+from ..tpcdi.pipeline import (
+    batch_validation,
+    cdc_apply,
+    fact_cash_balances,
+    fact_market_history,
+    scd2_build,
+)
 from ._util import t
 
 QUERIES = {}
@@ -115,6 +121,74 @@ def tpcdi_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
         F.col("o_orderkey").alias("cdc_dsn"),
     )
     return cdc_apply(current, cdc, ["o_orderkey"])
+
+
+@_op(
+    "tpcdi_marketing_nameplate",
+    """SELECT c_custkey,
+              NULLIF(concat_ws('+',
+                CASE WHEN c_acctbal > 5000 THEN 'HighValue' END,
+                CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'Expenses' END,
+                CASE WHEN c_custkey % 3 = 0 THEN 'Boomer' END,
+                CASE WHEN c_acctbal < 0 THEN 'MoneyAlert' END,
+                CASE WHEN c_nationkey > 15 THEN 'Spender' END,
+                CASE WHEN c_acctbal > 9000 AND c_custkey % 2 = 0 THEN 'Inherited' END),
+              '') AS marketing_nameplate
+       FROM customer""",
+)
+def tpcdi_marketing_nameplate(spark: SparkSession, d: str) -> DataFrame:
+    """Prospect MarketingNameplate derivation [SPEC: ordered '+'-joined
+    tag list from per-row predicate rules] — the spec's canonical
+    conditional-concat exercise, mapped onto customer columns. Pure
+    expression (when-chain + concat_ws, which skips NULLs in both
+    engines); no UDF."""
+    c = t(spark, d, "customer")
+    tags = [
+        F.when(F.col("c_acctbal") > 5000, "HighValue"),
+        F.when(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "Expenses"),
+        F.when(F.col("c_custkey") % 3 == 0, "Boomer"),
+        F.when(F.col("c_acctbal") < 0, "MoneyAlert"),
+        F.when(F.col("c_nationkey") > 15, "Spender"),
+        F.when((F.col("c_acctbal") > 9000) & (F.col("c_custkey") % 2 == 0), "Inherited"),
+    ]
+    nameplate = F.nullif(F.concat_ws("+", *tags), F.lit(""))
+    return c.select("c_custkey", nameplate.alias("marketing_nameplate"))
+
+
+@_op(
+    "tpcdi_fact_market_history",
+    """WITH daily AS (
+         SELECT l_partkey AS key, CAST(l_shipdate AS DATE) AS quote_date,
+                MAX(l_extendedprice) AS close_price
+         FROM lineitem GROUP BY 1, 2)
+       SELECT key, quote_date, close_price,
+              MAX(close_price) OVER w AS high_52wk,
+              (MAX({'p': close_price, 'd': quote_date}) OVER w).d AS high_52wk_date,
+              MIN(close_price) OVER w AS low_52wk,
+              (MIN({'p': close_price, 'd': quote_date}) OVER w).d AS low_52wk_date
+       FROM daily
+       WINDOW w AS (PARTITION BY key ORDER BY quote_date
+                    RANGE BETWEEN INTERVAL 364 DAYS PRECEDING AND CURRENT ROW)""",
+)
+def tpcdi_fact_market_history(spark: SparkSession, d: str) -> DataFrame:
+    """FactMarketHistory [SPEC: FiftyTwoWeekHigh/Low + the dates they
+    occurred]: daily closes per part from lineitem, trailing-364-day
+    RANGE frame, dates via lexicographic struct extremes (tie → latest
+    date for highs, earliest for lows, both engines)."""
+    li = t(spark, d, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("key"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.max("l_extendedprice").alias("close"))
+    return fact_market_history(daily, "key", "day", "close").select(
+        "key",
+        "quote_date",
+        F.col("close_price"),
+        "high_52wk",
+        "high_52wk_date",
+        "low_52wk",
+        "low_52wk_date",
+    )
 
 
 @_op(

@@ -126,17 +126,25 @@ def fact_market_history(
     quotes: DataFrame, key_col: str, date_col: str, price_col: str
 ) -> DataFrame:
     """Per-key daily market rows with trailing-364-day high/low and the
-    dates they occurred (RANGE frame over epoch seconds)."""
+    dates they occurred (RANGE frame over epoch seconds).
+
+    High/low *dates* via lexicographic struct max/min over the same
+    frame [SPEC: FiftyTwoWeekHighDate/LowDate] — ties resolve to the
+    latest date for highs and the earliest for lows, identically in
+    Spark and DuckDB (both compare structs field-by-field). One
+    shuffle on the key serves all four window measures.
+    """
     sec = F.unix_timestamp(F.col(date_col).cast("timestamp"))
     wr = Window.partitionBy(key_col).orderBy(sec).rangeBetween(-364 * 86400, 0)
-    high = F.max(price_col).over(wr)
-    low = F.min(price_col).over(wr)
+    pd_struct = F.struct(F.col(price_col).alias("p"), F.col(date_col).alias("d"))
     return quotes.select(
         F.col(key_col).alias("key"),
         F.col(date_col).alias("quote_date"),
         F.col(price_col).alias("close_price"),
-        high.alias("high_52wk"),
-        low.alias("low_52wk"),
+        F.max(price_col).over(wr).alias("high_52wk"),
+        F.max(pd_struct).over(wr).getField("d").alias("high_52wk_date"),
+        F.min(price_col).over(wr).alias("low_52wk"),
+        F.min(pd_struct).over(wr).getField("d").alias("low_52wk_date"),
     )
 
 
