@@ -72,6 +72,7 @@ def agg_groupby_basic(spark: SparkSession, d: str) -> DataFrame:
         FROM lineitem""",
 )
 def agg_global(spark: SparkSession, d: str) -> DataFrame:
+    """Ungrouped audit totals [SPEC: batch validation counts]."""
     li = t(spark, d, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -89,6 +90,7 @@ def agg_global(spark: SparkSession, d: str) -> DataFrame:
        FROM orders GROUP BY o_orderstatus""",
 )
 def agg_count_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Distinct counts per group [SPEC: audit distincts]."""
     o = t(spark, d, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -98,6 +100,7 @@ def agg_count_distinct(spark: SparkSession, d: str) -> DataFrame:
 
 @_op("agg_approx_count_distinct")  # rows-only: HLL estimate ≠ exact oracle
 def agg_approx_count_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """HyperLogLog approximate distinct (rows-only: estimate) [EXT: 100 TB posture]."""
     e = t(spark, d, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
@@ -114,6 +117,7 @@ def agg_approx_count_distinct(spark: SparkSession, d: str) -> DataFrame:
        FROM orders GROUP BY o_orderstatus""",
 )
 def agg_conditional(spark: SparkSession, d: str) -> DataFrame:
+    """SUM(CASE WHEN ...) pivot-style measures [SPEC: DImessages rollups]."""
     o = t(spark, d, "orders")
 
     def flag(cond):
@@ -132,6 +136,7 @@ def agg_conditional(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY o_custkey HAVING COUNT(*) > 8""",
 )
 def agg_having(spark: SparkSession, d: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) [SPEC: validation thresholds]."""
     o = t(spark, d, "orders")
     return (
         o.groupBy("o_custkey")
@@ -150,6 +155,7 @@ def agg_having(spark: SparkSession, d: str) -> DataFrame:
        FROM events GROUP BY user_id""",
 )
 def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic first/last value per group [SPEC: CDC latest-record wins]."""
     # Deterministic first/last per key: ordered by a single total-order
     # scalar (epoch-sec ⊕ unique event_id), not by arrival order.
     e = t(spark, d, "events")
@@ -171,6 +177,7 @@ def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
 )
 def agg_rollup(spark: SparkSession, d: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy [SPEC: batch -> table -> total audit report]."""
     o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
     return (
         o.rollup("o_year", "o_orderstatus")
@@ -193,6 +200,7 @@ def agg_rollup(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
 )
 def agg_cube(spark: SparkSession, d: str) -> DataFrame:
+    """CUBE all-combination subtotals [EXT]."""
     o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
     return (
         o.cube("o_year", "o_orderstatus")
@@ -210,6 +218,7 @@ def agg_cube(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
 )
 def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() discriminator [EXT]."""
     o = t(spark, d, "orders")
     o.createOrReplaceTempView("gs_orders")
     return spark.sql(
@@ -230,6 +239,7 @@ def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_stats(spark: SparkSession, d: str) -> DataFrame:
+    """stddev / variance / correlation statistics [SPEC: Prospect credit-score aggregates]."""
     li = t(spark, d, "lineitem")
     return li.groupBy("l_returnflag").agg(
         dround(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),

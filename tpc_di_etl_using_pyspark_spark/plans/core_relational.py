@@ -37,6 +37,7 @@ def _op(name, oracle=None):
     "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
 )
 def project_select(spark: SparkSession, d: str) -> DataFrame:
+    """Column subset + reorder [SPEC: per-table column mappings]."""
     return t(spark, d, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
@@ -50,6 +51,7 @@ def project_select(spark: SparkSession, d: str) -> DataFrame:
        FROM lineitem""",
 )
 def project_derive(spark: SparkSession, d: str) -> DataFrame:
+    """Computed measures (net price = extprice*(1-disc)*(1+tax)) [SPEC: fact measures]."""
     # Same expression tree both engines → identical IEEE doubles.
     li = t(spark, d, "lineitem")
     return li.select(
@@ -69,6 +71,7 @@ def project_derive(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def project_rename_drop(spark: SparkSession, d: str) -> DataFrame:
+    """Conform source -> DW column names [SPEC: column mappings]."""
     return (
         t(spark, d, "customer")
         .withColumnRenamed("c_custkey", "customer_id")
@@ -84,6 +87,7 @@ def project_rename_drop(spark: SparkSession, d: str) -> DataFrame:
        WHERE o_orderstatus = 'F'""",
 )
 def filter_simple(spark: SparkSession, d: str) -> DataFrame:
+    """Single-predicate row filter [SPEC: active-record filters]."""
     return (
         t(spark, d, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -98,6 +102,7 @@ def filter_simple(spark: SparkSession, d: str) -> DataFrame:
          AND l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O'""",
 )
 def filter_compound(spark: SparkSession, d: str) -> DataFrame:
+    """AND/OR/NOT + IN-list + BETWEEN date windows [SPEC: batch date windows]."""
     li = t(spark, d, "lineitem")
     return li.filter(
         F.col("l_discount").between(0.03, 0.07)
@@ -118,6 +123,7 @@ def filter_compound(spark: SparkSession, d: str) -> DataFrame:
           OR c_custkey % 2 = 0""",
 )
 def filter_null(spark: SparkSession, d: str) -> DataFrame:
+    """Null semantics: isNull / isNotNull / null-safe equality [SPEC: DQ checks -> DImessages]."""
     c = t(spark, d, "customer")
     bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
     return (
@@ -134,6 +140,7 @@ def filter_null(spark: SparkSession, d: str) -> DataFrame:
        WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-g]')""",
 )
 def filter_like_regexp(spark: SparkSession, d: str) -> DataFrame:
+    """LIKE / RLIKE pattern predicates [SPEC: Prospect-Customer matching]."""
     p = t(spark, d, "part")
     return p.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-g]")).select(
         "p_partkey", "p_name", "p_type"
@@ -151,6 +158,7 @@ def filter_like_regexp(spark: SparkSession, d: str) -> DataFrame:
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
 )
 def join_inner_equi(spark: SparkSession, d: str) -> DataFrame:
+    """Fact -> dimension equi join [SPEC: every fact load]."""
     o, c = t(spark, d, "orders"), t(spark, d, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "c_name", "o_totalprice"
@@ -168,6 +176,7 @@ def join_inner_equi(spark: SparkSession, d: str) -> DataFrame:
        JOIN g ON l.l_returnflag = g.l_returnflag AND l.l_linestatus = g.l_linestatus""",
 )
 def join_multi_key(spark: SparkSession, d: str) -> DataFrame:
+    """Composite-key join [SPEC: DailyMarket -> DimSecurity symbol+date]."""
     li = t(spark, d, "lineitem")
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("grp_qty")
@@ -185,6 +194,7 @@ def join_multi_key(spark: SparkSession, d: str) -> DataFrame:
        ) o ON c.c_custkey = o.o_custkey""",
 )
 def join_left_outer(spark: SparkSession, d: str) -> DataFrame:
+    """Optional-match enrichment [SPEC: Prospect matching is optional]."""
     c, o = t(spark, d, "customer"), t(spark, d, "orders")
     per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     return c.join(per, c.c_custkey == per.o_custkey, "left").select(
@@ -198,6 +208,7 @@ def join_left_outer(spark: SparkSession, d: str) -> DataFrame:
        FROM nation n FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey""",
 )
 def join_right_full(spark: SparkSession, d: str) -> DataFrame:
+    """Right/full outer completeness joins [SPEC: audit reconciliation]."""
     n, s = t(spark, d, "nation"), t(spark, d, "supplier")
     return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
         "n_name", "s_name", "s_acctbal"
@@ -217,6 +228,7 @@ def join_right_full(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY r.r_name""",
 )
 def join_broadcast(spark: SparkSession, d: str) -> DataFrame:
+    """Star join through broadcast reference dims [SPEC: code lookups]; F.broadcast keeps each dim side a BroadcastHashJoin."""
     # Dimension chain broadcast end-to-end: at 100 TB the fact table
     # never shuffles for these lookups (BroadcastHashJoin).
     li, o = t(spark, d, "lineitem"), t(spark, d, "orders")
@@ -238,6 +250,7 @@ def join_broadcast(spark: SparkSession, d: str) -> DataFrame:
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 )
 def join_semi(spark: SparkSession, d: str) -> DataFrame:
+    """EXISTS via left_semi [SPEC: audit existence checks]."""
     c, o = t(spark, d, "customer"), t(spark, d, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
@@ -250,6 +263,7 @@ def join_semi(spark: SparkSession, d: str) -> DataFrame:
                            AND o.o_orderpriority = '1-URGENT')""",
 )
 def join_anti(spark: SparkSession, d: str) -> DataFrame:
+    """NOT EXISTS via left_anti [SPEC: invalid-reference DQ rule]."""
     # Anti-join vs a subset so the result is non-empty at every sf
     # (every customer has *some* order in the fixtures).
     c, o = t(spark, d, "customer"), t(spark, d, "orders")
@@ -364,6 +378,7 @@ def join_asof_latest(spark: SparkSession, d: str) -> DataFrame:
          ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal""",
 )
 def join_theta_inequality(spark: SparkSession, d: str) -> DataFrame:
+    """General inequality (theta) join [SPEC: SCD2 overlap audits]."""
     s = t(spark, d, "supplier")
     a = s.alias("a")
     b = s.alias("b")
@@ -391,6 +406,7 @@ def join_theta_inequality(spark: SparkSession, d: str) -> DataFrame:
          ON cur.o_custkey = prv.o_custkey AND cur.rn = prv.rn + 1""",
 )
 def join_self_versioning(spark: SparkSession, d: str) -> DataFrame:
+    """Consecutive-version change detection [SPEC: incremental SCD2 update]."""
     o = t(spark, d, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     v = o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
@@ -413,6 +429,7 @@ def join_self_versioning(spark: SparkSession, d: str) -> DataFrame:
          SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 5) n""",
 )
 def join_cross(spark: SparkSession, d: str) -> DataFrame:
+    """Cartesian grid build [REF*: DimDate x DimTime calendar builds]."""
     r = t(spark, d, "region")
     n5 = t(spark, d, "nation").orderBy("n_nationkey").limit(5).select("n_name")
     return r.crossJoin(n5).select("r_name", "n_name")
@@ -429,6 +446,7 @@ def join_cross(spark: SparkSession, d: str) -> DataFrame:
        ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey""",
 )
 def sort_multi(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-key asc/desc sort with null placement [REF*: ordered loads]."""
     return (
         t(spark, d, "orders")
         .orderBy(
@@ -446,6 +464,7 @@ def sort_multi(spark: SparkSession, d: str) -> DataFrame:
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 )
 def limit_n(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic LIMIT (ordered first) [REF*: sampling]."""
     return (
         t(spark, d, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -463,6 +482,7 @@ def limit_n(spark: SparkSession, d: str) -> DataFrame:
          FROM orders) WHERE rk <= 3""",
 )
 def topk_per_group(spark: SparkSession, d: str) -> DataFrame:
+    """Top-k rows per group via ranked window [REF*: per-security top days]."""
     o = t(spark, d, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -484,6 +504,7 @@ def topk_per_group(spark: SparkSession, d: str) -> DataFrame:
        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000""",
 )
 def set_union_all(spark: SparkSession, d: str) -> DataFrame:
+    """Append incremental batch to historical via unionByName [SPEC: Batch2/3 loads]."""
     o = t(spark, d, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
@@ -497,6 +518,7 @@ def set_union_all(spark: SparkSession, d: str) -> DataFrame:
        SELECT r_regionkey AS key FROM region""",
 )
 def set_union_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Distinct union of code tables [REF*: code-table merges]."""
     n = t(spark, d, "nation").select(F.col("n_regionkey").alias("key"))
     r = t(spark, d, "region").select(F.col("r_regionkey").alias("key"))
     return n.unionByName(r).distinct()
@@ -509,6 +531,7 @@ def set_union_distinct(spark: SparkSession, d: str) -> DataFrame:
        SELECT o_custkey AS key FROM orders""",
 )
 def set_intersect(spark: SparkSession, d: str) -> DataFrame:
+    """Audit reconciliation intersection [SPEC: audit cross-checks]."""
     c = t(spark, d, "customer").select(F.col("c_custkey").alias("key"))
     o = t(spark, d, "orders").select(F.col("o_custkey").alias("key"))
     return c.intersect(o)
@@ -521,6 +544,7 @@ def set_intersect(spark: SparkSession, d: str) -> DataFrame:
        SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'""",
 )
 def set_except(spark: SparkSession, d: str) -> DataFrame:
+    """CDC-style diff via exceptAll [SPEC: CDC semantics]."""
     o = t(spark, d, "orders")
     allk = o.select(F.col("o_custkey").alias("key"))
     fk = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
@@ -532,6 +556,7 @@ def set_except(spark: SparkSession, d: str) -> DataFrame:
     "SELECT DISTINCT user_id, event_type FROM events",
 )
 def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
+    """Exact duplicate drop by key subset [SPEC: source-file dedup rule]."""
     # Only key columns are returned → winner-row nondeterminism of
     # dropDuplicates cannot leak (SURVEY §7.4).
     return t(spark, d, "events").select("user_id", "event_type").dropDuplicates()

@@ -46,6 +46,7 @@ def _scratch(d: str, op: str) -> str:
     "FROM lineitem WHERE l_quantity > 30",
 )
 def scan_parquet(spark: SparkSession, d: str) -> DataFrame:
+    """Columnar parquet scan with pruning + pushdown (driver test tables, TESTDATA.md)."""
     # Projection + predicate reach the parquet scan (PushedFilters /
     # ReadSchema — verified in tests/test_plans.py).
     return (
@@ -157,6 +158,7 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
     "WHERE l_returnflag = 'R'",
 )
 def sink_parquet(spark: SparkSession, d: str) -> DataFrame:
+    """Parquet sink with read-back [REF*: warehouse persistence]."""
     path = _scratch(d, "sink_parquet")
     (
         t(spark, d, "lineitem")

@@ -36,6 +36,7 @@ def _op(name, oracle=None):
        FROM orders""",
 )
 def win_row_number(spark: SparkSession, d: str) -> DataFrame:
+    """Per-key ordinal [SPEC: surrogate-key generation; CDC dedup]."""
     o = t(spark, d, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
@@ -49,6 +50,7 @@ def win_row_number(spark: SparkSession, d: str) -> DataFrame:
        FROM supplier""",
 )
 def win_rank_dense(spark: SparkSession, d: str) -> DataFrame:
+    """rank / dense_rank with ties [REF*: reporting]."""
     s = t(spark, d, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
     return s.select(
@@ -96,6 +98,7 @@ def win_lead_scd2(spark: SparkSession, d: str) -> DataFrame:
        FROM events""",
 )
 def win_lag_change(spark: SparkSession, d: str) -> DataFrame:
+    """Change detection vs previous version via lag [SPEC: incremental UPDCUST handling]."""
     e = t(spark, d, "events")
     w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
     return e.select(
@@ -144,6 +147,7 @@ def win_running_sum(spark: SparkSession, d: str) -> DataFrame:
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 )
 def win_moving_avg(spark: SparkSession, d: str) -> DataFrame:
+    """Sliding 7-row moving-average frame [REF*: market smoothing]."""
     li = t(spark, d, "lineitem")
     w = (
         Window.partitionBy("l_partkey")
@@ -231,6 +235,7 @@ def win_first_last_value(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def win_ntile_pct(spark: SparkSession, d: str) -> DataFrame:
+    """ntile / percent_rank tiering [SPEC: Prospect marketing tiers]."""
     c = t(spark, d, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -248,6 +253,7 @@ def win_ntile_pct(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def win_cume_dist(spark: SparkSession, d: str) -> DataFrame:
+    """Cumulative distribution [EXT]."""
     c = t(spark, d, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select("c_custkey", "c_acctbal", F.cume_dist().over(w).alias("cd"))

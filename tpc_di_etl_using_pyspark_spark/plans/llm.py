@@ -62,6 +62,7 @@ def _op(name, oracle=None):
        FROM w GROUP BY word""",
 )
 def text_tokenize_counts(spark: SparkSession, d: str) -> DataFrame:
+    """Corpus token counts: split -> explode -> groupBy [EXT: text analysis]."""
     doc = t(spark, d, "documents")
     w = doc.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
@@ -80,6 +81,7 @@ def text_tokenize_counts(spark: SparkSession, d: str) -> DataFrame:
        FROM documents GROUP BY lang, source""",
 )
 def text_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Per-lang/source document statistics [EXT: text analysis]."""
     doc = t(spark, d, "documents")
     return doc.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

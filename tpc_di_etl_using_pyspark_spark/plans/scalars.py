@@ -58,6 +58,7 @@ _SQL_EXT = "CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey % 100 AS VARCHAR) EL
         FROM parts""",
 )
 def str_concat_phone(spark: SparkSession, d: str) -> DataFrame:
+    """Conditional phone assembly from CC/AC/local/ext parts [SPEC: DimCustomer phone formatting rule]."""
     c = t(spark, d, "customer")
     k = F.col("c_custkey")
     cc = F.when(k % 3 == 0, F.lit(None)).otherwise((k % 100).cast("string"))
@@ -84,6 +85,7 @@ def str_concat_phone(spark: SparkSession, d: str) -> DataFrame:
        FROM part""",
 )
 def str_substr_trim(spark: SparkSession, d: str) -> DataFrame:
+    """Fixed-offset substring + trim [SPEC: FINWIRE field extraction]."""
     p = t(spark, d, "part")
     padded = F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))
     return p.select(
@@ -100,6 +102,7 @@ def str_substr_trim(spark: SparkSession, d: str) -> DataFrame:
        FROM customer WHERE upper(c_mktsegment) = 'BUILDING'""",
 )
 def str_case_match(spark: SparkSession, d: str) -> DataFrame:
+    """Case-insensitive (UPPER) equality matching [SPEC: Prospect-Customer match rule]."""
     c = t(spark, d, "customer")
     return c.filter(F.upper("c_mktsegment") == "BUILDING").select(
         "c_custkey",
@@ -117,6 +120,7 @@ def str_case_match(spark: SparkSession, d: str) -> DataFrame:
        FROM nation""",
 )
 def str_pad_format(spark: SparkSession, d: str) -> DataFrame:
+    """lpad / rpad + format_string key formatting [REF*: key formatting]."""
     n = t(spark, d, "nation")
     return n.select(
         "n_nationkey",
@@ -134,6 +138,7 @@ def str_pad_format(spark: SparkSession, d: str) -> DataFrame:
        FROM part""",
 )
 def str_regexp(spark: SparkSession, d: str) -> DataFrame:
+    """regexp_extract / regexp_replace cleansing [REF*: cleansing]."""
     p = t(spark, d, "part")
     return p.select(
         "p_partkey",
@@ -183,6 +188,7 @@ def date_parse(spark: SparkSession, d: str) -> DataFrame:
        FROM orders""",
 )
 def date_arith(spark: SparkSession, d: str) -> DataFrame:
+    """datediff / add_months / date_add [SPEC: age->Boomer flag; EndDate math]."""
     o = t(spark, d, "orders")
     dt = F.col("o_orderdate").cast("date")
     return o.select(
@@ -227,6 +233,7 @@ def date_extract(spark: SparkSession, d: str) -> DataFrame:
        FROM events GROUP BY 1""",
 )
 def date_trunc_bucket(spark: SparkSession, d: str) -> DataFrame:
+    """Day/week/month timestamp bucketing [SPEC: daily fact grain]."""
     e = t(spark, d, "events")
     return (
         e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
@@ -246,6 +253,7 @@ def date_trunc_bucket(spark: SparkSession, d: str) -> DataFrame:
        FROM lineitem""",
 )
 def math_round_money(spark: SparkSession, d: str) -> DataFrame:
+    """HALF_UP money rounding through DECIMAL [SPEC: money rounding]."""
     # ROUND half-up to cents [SPEC: money rounding] — via dround: Spark
     # and DuckDB disagree on native double rounding (see _util).
     li = t(spark, d, "lineitem")
@@ -286,6 +294,7 @@ def math_ratio_guard(spark: SparkSession, d: str) -> DataFrame:
        FROM orders""",
 )
 def cond_case_when(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-branch CASE mapping [SPEC: status-code translation]."""
     o = t(spark, d, "orders")
     heat = (
         F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
@@ -308,6 +317,7 @@ def cond_case_when(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def null_coalesce(spark: SparkSession, d: str) -> DataFrame:
+    """COALESCE / NULLIF missing-value defaults [SPEC: missing-value rules]."""
     c = t(spark, d, "customer")
     return c.select(
         "c_custkey",
@@ -350,6 +360,7 @@ def cast_types(spark: SparkSession, d: str) -> DataFrame:
        FROM events""",
 )
 def json_extract(spark: SparkSession, d: str) -> DataFrame:
+    """JSON field extraction from events.props [EXT: north star]."""
     e = t(spark, d, "events")
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
@@ -364,6 +375,7 @@ def json_extract(spark: SparkSession, d: str) -> DataFrame:
        FROM embeddings""",
 )
 def array_ops(spark: SparkSession, d: str) -> DataFrame:
+    """size / element_at / slice over embedding arrays [EXT: north star]."""
     e = t(spark, d, "embeddings")
     return e.select(
         "vec_id",
@@ -398,6 +410,7 @@ def array_fold_dot(spark: SparkSession, d: str) -> DataFrame:
 
 @_op("map_ops")  # rows-only: map columns don't round-trip the oracle hash
 def map_ops(spark: SparkSession, d: str) -> DataFrame:
+    """Map column build/lookup (rows-only: map ordering) [EXT]."""
     doc = t(spark, d, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")

@@ -36,6 +36,7 @@ def _op(name, oracle=None):
        FROM events GROUP BY 1, 2""",
 )
 def stream_tumbling_count(spark: SparkSession, d: str) -> DataFrame:
+    """1-hour tumbling-window counts per type; streamed via availableNow replay in tests [PK: F.window]."""
     return tumbling_counts(t(spark, d, "events"))
 
 
@@ -55,6 +56,7 @@ def stream_tumbling_count(spark: SparkSession, d: str) -> DataFrame:
        FROM expanded GROUP BY ws_sec""",
 )
 def stream_sliding_sum(spark: SparkSession, d: str) -> DataFrame:
+    """1-hour window sliding 15 min, summed [PK: F.window(slide)]."""
     # Spark emits one row per (window, any-contained-event); the oracle
     # expands each event into its 4 overlapping 1h/15min windows.
     return sliding_sums(t(spark, d, "events"))
