@@ -116,13 +116,16 @@ def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
     dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfn"))
-    n_docs = doc.count()
+    # corpus size as a broadcast 1-row relation — keeps the whole op one
+    # lazy plan (no eager count() on the driver)
+    n = doc.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf = (F.col("cnt") / F.col("doclen")) * F.log(
-        F.lit(float(n_docs)) / F.col("dfn")
+        F.col("n_docs") / F.col("dfn")
     )
     return (
         tf.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "word", dround(tfidf, 6).alias("tfidf"))
     )
 
