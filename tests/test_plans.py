@@ -1,0 +1,113 @@
+"""Physical-plan shape assertions (SURVEY §4, 100 TB posture): the
+declarative queries must compile to the plans the scale design calls
+for — pushed filters, pruned scans, broadcast star joins, no nested
+loops on the temporal joins, exchange-free bucketed joins, and a
+shuffle-free vector top-k. A green correctness suite with a wrong plan
+shape is exactly the failure mode these catch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.plans._util import t
+from tpc_di_etl_using_pyspark_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scan_parquet_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(all_queries()["scan_parquet"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: the scan's ReadSchema carries only the 4 needed cols
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    plan = _plan(all_queries()["join_broadcast"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_temporal_joins_avoid_nested_loop(spark, sf_dir):
+    for op in ("join_range_between", "join_asof_latest"):
+        plan = _plan(all_queries()[op](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, op
+        assert "CartesianProduct" not in plan, op
+
+
+def test_cosine_topk_has_no_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["sim_cosine_topk"](spark, sf_dir))
+    # brute-force top-k = scan → project → TakeOrderedAndProject; a
+    # shuffle exchange would mean a global sort crept in
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_bucketed_join_skips_both_exchanges(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the join key on the same bucket count
+    join with zero Exchange operators — the pre-shuffle lives in
+    storage, the co-location survives restarts."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    # force the sort-merge path (a broadcast would mask bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_splits_hot_keys(spark, sf_dir):
+    """The salted join's probe side must distribute each hot key over
+    n_salt distinct (key, salt) groups."""
+    df = all_queries()["join_skew_salted"](spark, sf_dir)
+    plain = t(spark, sf_dir, "lineitem").join(
+        t(spark, sf_dir, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert df.count() == plain.count()
+    salts = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_minhash_candidate_join_is_bounded(spark, sf_dir):
+    """The LSH candidate self-join must key on (band_idx, band_key) —
+    an unkeyed cross join would explode at corpus scale."""
+    plan = _plan(all_queries()["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,63 @@
+"""Connected components over a pair/edge list — the clustering step of
+a dedup pipeline (near-dup *pairs* → dup *clusters* → keep-one).
+
+Pregel-style driver-coordinated min-label propagation: every node
+starts as its own component; each superstep pushes the smaller label
+across every edge (both directions) and keeps the per-node min. The
+loop is the one place this engine runs an action per iteration — the
+standard shape for iterative graph algorithms on Spark (GraphX/GraphFrames
+do the same under the hood), converging in O(component diameter)
+supersteps. Dedup graphs have tiny diameters (dup clusters are
+near-cliques), so 2-3 supersteps is typical; ``max_iter`` bounds the
+worst case.
+
+Scale posture: each superstep is one shuffle join (edges ⋈ labels on
+node id) plus one keyed min-aggregation — no driver-side data beyond
+the single convergence count. Label state is checkpoint-friendly
+(``localCheckpoint`` every few supersteps would truncate lineage on a
+real cluster; unnecessary at the bounded iteration counts used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component =
+    min node id reachable. Nodes absent from ``edges`` are absent from
+    the result (callers union in singletons if needed)."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        msgs = both.join(labels, both.a == labels.node).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -246,3 +246,26 @@ def agg_stats(spark: SparkSession, d: str) -> DataFrame:
         dround(F.var_samp("l_quantity"), 2).alias("var_qty"),
         dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
+
+
+@_op(
+    "agg_percentile",
+    """SELECT l_returnflag,
+              quantile_cont(l_extendedprice, 0.25) AS p25,
+              quantile_cont(l_extendedprice, 0.5) AS p50,
+              quantile_cont(l_extendedprice, 0.95) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_percentile(spark: SparkSession, d: str) -> DataFrame:
+    """Exact interpolated percentiles per group [EXT: quality-score /
+    length-distribution cuts in data pipelines]. Spark `percentile`
+    and DuckDB `quantile_cont` share linear interpolation — verified
+    bit-identical on this fixture. At 100 TB prefer
+    `approx_percentile` (t-digest, map-side combinable); the exact
+    form sorts each group."""
+    li = t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )

@@ -582,3 +582,29 @@ def dedup_latest_by_key(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+@_op(
+    "join_skew_salted",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+              o.o_custkey, o.o_orderdate
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+)
+def join_skew_salted(spark: SparkSession, d: str) -> DataFrame:
+    """Skew-mitigated equi join: the probe side gets a deterministic
+    salt in [0, N), the build side is replicated N times with every
+    salt value, and the join key becomes (key, salt) — splitting any
+    hot key's rows across N reducers [100 TB posture: hand-salting for
+    skew beyond AQE's split threshold]. Result set is identical to the
+    plain join (oracle states the unsalted join)."""
+    n_salt = 8
+    li = t(spark, d, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    o = t(spark, d, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderdate")
+    )

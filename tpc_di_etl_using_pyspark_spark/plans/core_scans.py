@@ -205,3 +205,25 @@ def sink_table_overwrite_append(spark: SparkSession, d: str) -> DataFrame:
     o.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(path)
     o.filter(F.col("o_orderstatus") == "O").write.mode("append").parquet(path)
     return spark.read.parquet(path).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_op("sink_bucketed", "SELECT * FROM orders")
+def sink_bucketed(spark: SparkSession, d: str) -> DataFrame:
+    """Bucketed table sink [100 TB posture: pre-shuffled storage — two
+    tables bucketed by the same key join with NO exchange on either
+    side (verified in tests/test_plans.py)]. External path keeps the
+    driver's warehouse dir untouched; catalog entry is session-scoped."""
+    path = _scratch(d, "orders_bucketed")
+    tag = os.path.basename(os.path.normpath(d)).replace(".", "_")
+    tbl = f"orders_bucketed_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        t(spark, d, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    return spark.table(tbl)

@@ -14,7 +14,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..llm.components import connected_components
 from ..llm.minhash import minhash_near_dups, shingles
 from ..llm.simhash import simhash_near_dups
 from ..llm.similarity import (
@@ -293,6 +294,39 @@ def text_label_quality(spark: SparkSession, d: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
+
+
+@_op(
+    "dedup_cluster_cc",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS component
+       FROM corpus""",
+)
+def dedup_cluster_cc(spark: SparkSession, d: str) -> DataFrame:
+    """Dup-cluster assignment via connected components (Pregel-style
+    min-label propagation, llm/components.py): exact-dup chain edges →
+    component = lowest doc_id in the cluster; singletons keep their own
+    id. The oracle states the fixpoint (min id over the dup group) —
+    the Spark side must converge to it through the generic iterative
+    operator."""
+    doc = t(spark, d, "documents").select("doc_id", "text")
+    recrawl = doc.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = doc.unionByName(recrawl)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    edges = (
+        corpus.withColumn("_prev", F.lag("doc_id").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    cc = connected_components(edges)
+    return corpus.join(cc, corpus.doc_id == cc.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
 
 
 @_op(
