@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the engine's composite
+primitives — randomized inputs, first-principles checkers. These cover
+the input shapes the fixed fixtures can't: duplicate effective dates,
+all-delete CDC batches, disconnected graphs, single-row groups.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.llm.components import connected_components
+from tpc_di_etl_using_pyspark_spark.tpcdi.pipeline import (
+    cdc_apply,
+    scd2_build,
+    scd2_validate,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_actions = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # natural key
+        st.integers(min_value=0, max_value=400),  # eff day offset (dups allowed)
+        st.sampled_from(["A", "B", "C"]),  # tracked attr
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(_actions)
+def test_scd2_intervals_always_valid(spark, rows):
+    base = datetime.date(2020, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (k, base + datetime.timedelta(days=off), attr, i)
+            for i, (k, off, attr) in enumerate(rows)
+        ],
+        "k int, eff date, attr string, tb int",
+    )
+    dim = scd2_build(df, "k", "eff", ["attr"], "tb")
+    assert scd2_validate(dim, "k").count() == 0
+    cur = dim.filter("is_current").groupBy("k").count()
+    assert cur.filter("count != 1").count() == 0
+    # version count per key == action count per key
+    per_key = dim.groupBy("k").agg(F.max("version").alias("mx"), F.count("*").alias("n"))
+    assert per_key.filter("mx != n").count() == 0
+
+
+_cdc = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # key
+        st.integers(min_value=0, max_value=100),  # value
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=1, max_value=50),  # dsn
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=1, max_value=8), max_size=8, unique=True), _cdc)
+def test_cdc_apply_matches_sequential_replay(spark, current_keys, cdc_rows):
+    current = spark.createDataFrame(
+        [(k, -1) for k in current_keys] or [(None, None)],
+        "key int, val int",
+    ).filter("key IS NOT NULL")
+    cdc = spark.createDataFrame(
+        [
+            (k, v, fl, (dsn, i))  # (dsn, input-order) → unique total order
+            for i, (k, v, fl, dsn) in enumerate(cdc_rows)
+        ]
+        or [(None, None, None, None)],
+        "key int, val int, cdc_flag string, cdc_dsn struct<d:int,i:int>",
+    ).filter("key IS NOT NULL")
+    result = {
+        r.key: r.val for r in cdc_apply(current, cdc, ["key"]).collect()
+    }
+    # replay in dsn order per key, python-side
+    state = {k: -1 for k in current_keys}
+    last = {}
+    for i, (k, v, fl, dsn) in enumerate(cdc_rows):
+        if k not in last or (dsn, i) > last[k][0]:
+            last[k] = ((dsn, i), v, fl)
+    for k, (_, v, fl) in last.items():
+        if fl == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert result == state
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want

@@ -36,10 +36,16 @@ def connected_components(
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # Materialize once: every superstep re-reads the edge relation, and
+    # without truncation each iteration would re-run the whole upstream
+    # lineage (and the label plan would grow by one join per superstep —
+    # exponential analysis cost). localCheckpoint = cached + lineage cut.
+    both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         msgs = both.join(labels, both.a == labels.node).select(
@@ -49,6 +55,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
