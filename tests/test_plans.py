@@ -105,6 +105,24 @@ def test_salted_join_splits_hot_keys(spark, sf_dir):
     assert salts == 8
 
 
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory-level pruning), not a row-level scan filter."""
+    path = str(tmp_path / "orders_by_year")
+    (
+        t(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = _plan(df)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf_line and "1995" in pf_line
+    assert df.count() > 0
+
+
 def test_minhash_candidate_join_is_bounded(spark, sf_dir):
     """The LSH candidate self-join must key on (band_idx, band_key) —
     an unkeyed cross join would explode at corpus scale."""

@@ -269,3 +269,65 @@ def agg_percentile(spark: SparkSession, d: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
     )
+
+
+@_op(
+    "agg_pivot",
+    """SELECT o_orderstatus,
+              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+              SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+              SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+              SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS unspecified,
+              SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_pivot(spark: SparkSession, d: str) -> DataFrame:
+    """Wide pivot: one column per pivot value [REF*: cross-tab audit
+    reports]. The pivot value list is explicit — at scale an implicit
+    pivot runs an extra distinct-collect job on the driver."""
+    o = t(spark, d, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = [
+        ("1-URGENT", "urgent"),
+        ("2-HIGH", "high"),
+        ("3-MEDIUM", "medium"),
+        ("4-NOT SPECIFIED", "unspecified"),
+        ("5-LOW", "low"),
+    ]
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{src}`"), F.lit(0)).alias(dst) for src, dst in renames],
+    )
+
+
+@_op(
+    "agg_unpivot",
+    f"""WITH wide AS (
+         SELECT l_returnflag,
+                {sql_dsum('l_quantity', 'sum_qty')},
+                {sql_dsum('l_discount', 'sum_disc')}
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+       UNION ALL
+       SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM wide""",
+)
+def agg_unpivot(spark: SparkSession, d: str) -> DataFrame:
+    """Unpivot/melt wide measures to long form [EXT: feature-table
+    reshaping]; narrow transform, no shuffle beyond the agg."""
+    li = t(spark, d, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_discount", "sum_disc")
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -16,7 +16,7 @@ from ..tpcdi.pipeline import (
     fact_market_history,
     scd2_build,
 )
-from ._util import t
+from ._util import epoch_s, sql_epoch_s, t
 
 QUERIES = {}
 ORACLES = {}
@@ -188,6 +188,37 @@ def tpcdi_fact_market_history(spark: SparkSession, d: str) -> DataFrame:
         "high_52wk_date",
         "low_52wk",
         "low_52wk_date",
+    )
+
+
+@_op(
+    "tpcdi_dim_trade",
+    f"""SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN {sql_epoch_s('ts')} END)
+                 AS create_ts_s,
+               MAX(CASE WHEN event_type = 'purchase' THEN {sql_epoch_s('ts')} END)
+                 AS close_ts_s,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                    THEN 'CMPT'
+                    WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 0
+                    THEN 'CNCL' ELSE 'ACTV' END AS status,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id""",
+)
+def tpcdi_dim_trade(spark: SparkSession, d: str) -> DataFrame:
+    """DimTrade lifecycle resolution [SPEC: create/close dates come
+    from the status-change history, status from the terminal state]:
+    per entity, conditional min/max over its event timeline — one
+    keyed aggregation, map-side combinable."""
+    e = t(spark, d, "events")
+    sec = epoch_s(F.col("ts"))
+    n_purch = F.count(F.when(F.col("event_type") == "purchase", 1))
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    return e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", sec)).alias("create_ts_s"),
+        F.max(F.when(F.col("event_type") == "purchase", sec)).alias("close_ts_s"),
+        F.when(n_purch > 0, "CMPT").when(n_err > 0, "CNCL").otherwise("ACTV").alias("status"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
