@@ -131,9 +131,18 @@ def minhash_near_dups(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int | None = 200,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard."""
+    """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard.
+
+    ``checkpoint`` materializes the shingle relation once (it feeds both
+    the signature path and the verify path — without it the explode +
+    dedup shuffle runs twice). On a cluster this is an executor-memory/
+    disk cache; disable for a purely lazy plan.
+    """
     sh = shingles(df, id_col, text_col, k)
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
     sig = minhash_signature(sh, id_col, num_hashes)
     bk = band_keys(sig, id_col, num_hashes, bands)
     cand = candidate_pairs(bk, id_col, max_bucket)

@@ -588,3 +588,53 @@ def multimodal_binary_features(spark: SparkSession, d: str) -> DataFrame:
             )
 
     return doc.mapInPandas(extract, schema=_MM_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4
+
+
+@_op(
+    "multimodal_frame_sample",
+    """WITH f AS (
+         SELECT doc_id, text,
+                unnest(range(0, CAST((strlen(text) - 1) // 16 + 1 AS BIGINT), 4))
+                  AS frame_idx
+         FROM documents)
+       SELECT doc_id, frame_idx,
+              sha256(substring(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16))
+                AS frame_sha
+       FROM f""",
+)
+def multimodal_frame_sample(spark: SparkSession, d: str) -> DataFrame:
+    """Frame sampling over an opaque media column: mapInPandas emits
+    every 4th fixed-size "frame" (one→many rows, typed schema). The
+    frame decoder is a deterministic fake (16-char chunks of the text
+    payload — video libs absent offline); the Spark plumbing (Arrow
+    batches, per-partition fan-out, stable frame indexing) is the real
+    surface a sampler needs."""
+    doc = t(spark, d, "documents").select("doc_id", "text")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = (len(text) - 1) // _FRAME_BYTES + 1
+                for i in range(0, n_frames, _FRAME_STRIDE):
+                    chunk = text[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return doc.mapInPandas(sample, schema=_FRAME_SCHEMA)
