@@ -94,3 +94,31 @@ def test_foreach_batch_upsert_final_state(spark, sf_dir, tmp_path):
         for r in stream_foreachbatch_upsert(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_stateful_totals_final_state_equals_batch(spark, replay):
+    """applyInPandasWithState carries per-user state across micro-batches;
+    the last emission per user must equal the batch aggregate."""
+    from tpc_di_etl_using_pyspark_spark.plans.streaming_ops import (
+        stream_stateful_totals,
+    )
+    from tpc_di_etl_using_pyspark_spark.streaming.ops import stateful_user_totals
+
+    rdir, events = replay
+    sdf = read_event_stream(spark, rdir)
+    out = run_available_now(stateful_user_totals(sdf), mode="update")
+    # update mode emits one row per user per micro-batch — the final
+    # (max n_events) row per user is the carried state's last value
+    final = {
+        r.user_id: (r.n_events, r.total_micro)
+        for r in out.orderBy("n_events").collect()
+    }
+    import os
+
+    batch = {
+        r.user_id: (r.n_events, r.total_micro)
+        for r in stream_stateful_totals(
+            spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+        ).collect()
+    }
+    assert final == batch

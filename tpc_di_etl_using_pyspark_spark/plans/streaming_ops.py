@@ -171,3 +171,21 @@ def stream_foreachbatch_upsert(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+@_op(
+    "stream_stateful_totals",
+    """SELECT user_id, COUNT(*) AS n_events,
+              SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+       FROM events GROUP BY user_id""",
+)
+def stream_stateful_totals(spark: SparkSession, d: str) -> DataFrame:
+    """Batch-deterministic analog of the applyInPandasWithState custom
+    stateful aggregate (streaming/ops.py stateful_user_totals; real
+    stateful execution exercised in tests/test_streaming.py): per-user
+    cumulative count + integer-micro value total."""
+    e = t(spark, d, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("total_micro"),
+    )

@@ -149,3 +149,42 @@ def foreach_batch_upsert(
         result.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
     return spark.read.parquet(target_path).drop("_batch_seq")
+
+
+STATEFUL_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_micro bigint"
+_STATEFUL_TOTALS_STATE = "n bigint, total bigint"
+
+
+def stateful_user_totals(sdf: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value total carried in explicit group
+    state across micro-batches, one updated row emitted per user per
+    batch. Value totals accumulate as integer micro-units
+    (floor(value·1e6)) so the arithmetic is order-exact and matches the
+    batch/DuckDB analog bit-for-bit.
+
+    State is two bigints per user — bounded, partition-local,
+    checkpointable; this is the scale-safe shape for custom streaming
+    aggregates Spark's built-ins can't express.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micro": [tot]}
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        fn,
+        STATEFUL_TOTALS_SCHEMA,
+        _STATEFUL_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
