@@ -227,3 +227,19 @@ def sink_bucketed(spark: SparkSession, d: str) -> DataFrame:
         .saveAsTable(tbl)
     )
     return spark.table(tbl)
+
+
+@_op(
+    "scan_jsonl",
+    "SELECT event_id, user_id, event_type, value, props FROM events",
+)
+def scan_jsonl(spark: SparkSession, d: str) -> DataFrame:
+    """JSON-lines source with explicit schema (no inference scan) —
+    the interchange format most LLM-corpus pipelines ingest. Round-trip
+    must reproduce the source table exactly (ts omitted: JSON text
+    carries no ns precision)."""
+    path = _scratch(d, "events_jsonl")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    t(spark, d, "events").select(*cols).write.mode("overwrite").json(path)
+    schema = "event_id long, user_id long, event_type string, value double, props string"
+    return spark.read.json(path, schema=schema).select(*cols)
