@@ -235,7 +235,12 @@ def win_first_last_value(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def win_ntile_pct(spark: SparkSession, d: str) -> DataFrame:
-    """ntile / percent_rank tiering [SPEC: Prospect marketing tiers]."""
+    """ntile / percent_rank tiering [SPEC: Prospect marketing tiers].
+
+    Deliberately unpartitioned: global tiering is the op's semantic
+    (single-reducer window — customer is dimension-sized). Fact-scale
+    distribution cuts go through agg_percentile / approx_percentile
+    instead."""
     c = t(spark, d, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -253,7 +258,8 @@ def win_ntile_pct(spark: SparkSession, d: str) -> DataFrame:
        FROM customer""",
 )
 def win_cume_dist(spark: SparkSession, d: str) -> DataFrame:
-    """Cumulative distribution [EXT]."""
+    """Cumulative distribution [EXT]. Global window by semantic —
+    dimension-sized input only (see win_ntile_pct note)."""
     c = t(spark, d, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select("c_custkey", "c_acctbal", F.cume_dist().over(w).alias("cd"))

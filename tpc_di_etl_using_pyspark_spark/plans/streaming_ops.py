@@ -106,6 +106,10 @@ def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
     """Watermark semantics, batch-simulated: arrival order = event_id,
     watermark = max(event time seen) − 10 min; late events are dropped.
     (Real watermark execution is exercised in tests/test_streaming.py.)
+
+    The global arrival-order window exists only in this batch
+    simulation; the streaming engine tracks the watermark in executor
+    state with no global sort.
     """
     e = t(spark, d, "events")
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
