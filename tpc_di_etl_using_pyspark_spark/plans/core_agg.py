@@ -331,3 +331,20 @@ def agg_unpivot(spark: SparkSession, d: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@_op(
+    "agg_collect_sorted",
+    """SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def agg_collect_sorted(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set + sort_array (the
+    unsorted collect_list is shuffle-order-nondeterministic — never
+    hash-comparable) [EXT: per-entity feature lists]."""
+    o = t(spark, d, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

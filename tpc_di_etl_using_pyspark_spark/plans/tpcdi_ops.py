@@ -192,6 +192,54 @@ def tpcdi_fact_market_history(spark: SparkSession, d: str) -> DataFrame:
 
 
 @_op(
+    "tpcdi_dim_date",
+    """SELECT d AS date_value,
+              CAST(year(d) AS INTEGER) AS year_num,
+              CAST(quarter(d) AS INTEGER) AS quarter_num,
+              CAST(month(d) AS INTEGER) AS month_num,
+              CAST(weekofyear(d) AS INTEGER) AS week_num,
+              CAST(dayofweek(d) AS INTEGER) AS dow,
+              dayname(d) AS day_name,
+              (dayofweek(d) IN (0, 6)) AS is_weekend,
+              ((month(d) = 1 AND day(d) = 1) OR (month(d) = 7 AND day(d) = 4)
+               OR (month(d) = 12 AND day(d) = 25)) AS is_holiday
+       FROM (SELECT unnest(generate_series(DATE '2003-01-01', DATE '2005-12-31',
+                                           INTERVAL 1 DAY))::DATE AS d)""",
+)
+def tpcdi_dim_date(spark: SparkSession, d: str) -> DataFrame:
+    """DimDate calendar build [SPEC: DimDate attribute derivations]:
+    generate the day grid with sequence+explode (no source file — the
+    dimension is computed), derive year/quarter/month/ISO-week/
+    day-of-week/weekend/holiday flags. dow normalized to 0=Sunday
+    (Spark's dayofweek is 1-based)."""
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2003-01-01").cast("date"),
+                F.lit("2005-12-31").cast("date"),
+            )
+        ).alias("date_value")
+    )
+    dv = F.col("date_value")
+    dow = (F.dayofweek(dv) - 1).cast("int")
+    return grid.select(
+        dv,
+        F.year(dv).cast("int").alias("year_num"),
+        F.quarter(dv).cast("int").alias("quarter_num"),
+        F.month(dv).cast("int").alias("month_num"),
+        F.weekofyear(dv).cast("int").alias("week_num"),
+        dow.alias("dow"),
+        F.date_format(dv, "EEEE").alias("day_name"),
+        dow.isin(0, 6).alias("is_weekend"),
+        (
+            ((F.month(dv) == 1) & (F.dayofmonth(dv) == 1))
+            | ((F.month(dv) == 7) & (F.dayofmonth(dv) == 4))
+            | ((F.month(dv) == 12) & (F.dayofmonth(dv) == 25))
+        ).alias("is_holiday"),
+    )
+
+
+@_op(
     "tpcdi_dim_trade",
     f"""SELECT user_id,
                MIN(CASE WHEN event_type = 'signup' THEN {sql_epoch_s('ts')} END)
