@@ -53,10 +53,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         runs = []
-        for _ in range(RUNS):
+        for i in range(RUNS + 1):  # first run is the warm-up (BASELINE.md protocol)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
+            if i > 0:
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)

@@ -96,7 +96,7 @@ def test_foreach_batch_upsert_final_state(spark, sf_dir, tmp_path):
     assert got == want
 
 
-def test_stateful_totals_final_state_equals_batch(spark, replay):
+def test_stateful_totals_final_state_equals_batch(spark, replay, sf_dir):
     """applyInPandasWithState carries per-user state across micro-batches;
     the last emission per user must equal the batch aggregate."""
     from tpc_di_etl_using_pyspark_spark.plans.streaming_ops import (
@@ -113,12 +113,8 @@ def test_stateful_totals_final_state_equals_batch(spark, replay):
         r.user_id: (r.n_events, r.total_micro)
         for r in out.orderBy("n_events").collect()
     }
-    import os
-
     batch = {
         r.user_id: (r.n_events, r.total_micro)
-        for r in stream_stateful_totals(
-            spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-        ).collect()
+        for r in stream_stateful_totals(spark, sf_dir).collect()
     }
     assert final == batch

@@ -47,6 +47,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         msgs = both.join(labels, both.a == labels.node).select(
             F.col("b").alias("node"), F.col("component")
@@ -66,5 +67,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # propagation distance = component diameter; silently returning
+        # partial labels would be wrong-but-plausible output
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} supersteps "
+            "(component diameter exceeds max_iter — raise max_iter or reduce "
+            "graph diameter, e.g. star-shaped edges per cluster)"
+        )
     return labels

@@ -93,9 +93,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # legacy conf) and truncate to µs. Engine-written copies are
         # already µs TimestampType — pass through.
         if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division (div), not `/`: float division routes the
+            # ~1e18 ns value through a double, which quantizes at 256 ns
+            # and can land one µs below DuckDB's exact truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -317,11 +317,14 @@ def dedup_cluster_cc(spark: SparkSession, d: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = doc.unionByName(recrawl)
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # star edges (group-min → each other member): component diameter 1,
+    # so propagation converges in one superstep however large the dup
+    # cluster — chain edges (lag) would need one superstep per member
+    w = Window.partitionBy("text")
     edges = (
-        corpus.withColumn("_prev", F.lag("doc_id").over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("src"), F.col("doc_id").alias("dst"))
+        corpus.withColumn("_root", F.min("doc_id").over(w))
+        .filter(F.col("_root") != F.col("doc_id"))
+        .select(F.col("_root").alias("src"), F.col("doc_id").alias("dst"))
     )
     cc = connected_components(edges)
     return corpus.join(cc, corpus.doc_id == cc.node, "left").select(
@@ -627,7 +630,12 @@ def multimodal_frame_sample(spark: SparkSession, d: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, shas = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n_frames = (len(text) - 1) // _FRAME_BYTES + 1
+                if text is None:
+                    continue  # oracle: strlen(NULL) → NULL range → no rows
+                # max(1, ...) mirrors DuckDB's truncating (strlen-1)//16+1,
+                # which yields one empty frame for text='' (Python's floor
+                # division would yield zero frames there)
+                n_frames = max(1, (len(text) - 1) // _FRAME_BYTES + 1)
                 for i in range(0, n_frames, _FRAME_STRIDE):
                     chunk = text[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
                     ids.append(doc_id)

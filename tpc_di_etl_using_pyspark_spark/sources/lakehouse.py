@@ -66,5 +66,9 @@ def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
             "spark.sql.extensions=org.apache.iceberg.spark.extensions"
             ".IcebergSparkSessionExtensions + a spark.sql.catalog.<name> entry",
         )
+    if mode not in ("append", "createOrReplace"):
+        raise ValueError(
+            f"write_iceberg mode must be 'append' or 'createOrReplace', got {mode!r}"
+        )
     writer = df.writeTo(table)
     (writer.append() if mode == "append" else writer.createOrReplace())

@@ -168,9 +168,12 @@ def asof_enrich(
     unioned = f.select(v.columns + [c for c in f.columns if c not in v.columns]).unionByName(
         v, allowMissingColumns=True
     )
+    # _payload as final tiebreak: two versions sharing a sequence value
+    # would otherwise leave F.last shuffle-order-nondeterministic — with
+    # it, the greatest payload among ties wins, deterministically
     w = (
         Window.partitionBy(key)
-        .orderBy("_seq", F.col("_is_fact").cast("int"))
+        .orderBy("_seq", F.col("_is_fact").cast("int"), "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("asof_" + payload, F.last("_payload", ignorenulls=True).over(w))
@@ -189,9 +192,7 @@ def cdc_apply(current: DataFrame, cdc: DataFrame, key_cols: list[str]) -> DataFr
     latest = (
         cdc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    survivors = current.join(
-        latest.select(*key_cols, "cdc_flag"), key_cols, "left_anti"
-    )
+    survivors = current.join(latest.select(*key_cols), key_cols, "left_anti")
     upserts = latest.filter(F.col("cdc_flag") != "D").drop("cdc_flag", "cdc_dsn")
     return survivors.unionByName(upserts)
 
