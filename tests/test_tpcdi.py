@@ -207,3 +207,20 @@ def test_batch_validation_counts(spark, sf_dir):
     by_src = {m.message_source: m for m in msgs}
     assert int(by_src["nation"].message_text) == 25
     assert by_src["orders"].batch_id == 7
+
+
+def test_asof_enrich_deterministic_on_seq_ties(spark):
+    """Two versions sharing a sequence value must resolve to the same
+    payload on every run (greatest payload wins the tie)."""
+    facts = spark.createDataFrame([(1, 10), (1, 20)], "k int, fseq int")
+    versions = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 15, "c")], "k int, vseq int, payload string"
+    )
+    results = set()
+    for n in (2, 7):
+        out = asof_enrich(
+            facts.repartition(n), versions.repartition(n), "k", "fseq", "vseq", "payload"
+        )
+        results.add(tuple(sorted((r.fseq, r.asof_payload) for r in out.collect())))
+    assert len(results) == 1
+    assert results.pop() == ((10, "b"), (20, "c"))

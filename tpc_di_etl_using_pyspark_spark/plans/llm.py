@@ -333,6 +333,42 @@ def dedup_cluster_cc(spark: SparkSession, d: str) -> DataFrame:
 
 
 @_op(
+    "dedup_keep_best",
+    """WITH corpus AS (
+         SELECT doc_id, text, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text, n_chars
+         FROM documents WHERE doc_id % 10 = 0),
+       ranked AS (
+         SELECT doc_id, n_chars,
+                MIN(doc_id) OVER (PARTITION BY text) AS component,
+                ROW_NUMBER() OVER (PARTITION BY text
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM corpus)
+       SELECT component, doc_id AS keeper_doc_id, n_chars
+       FROM ranked WHERE rn = 1""",
+)
+def dedup_keep_best(spark: SparkSession, d: str) -> DataFrame:
+    """The dedup *action*: per dup cluster keep the best document
+    (longest, id tiebreak) and drop the rest [EXT: the keep-one step
+    every training-corpus dedup pipeline ends with]. One window
+    shuffle on the cluster key."""
+    doc = t(spark, d, "documents").select("doc_id", "text", "n_chars")
+    recrawl = doc.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    corpus = doc.unionByName(recrawl)
+    wc = Window.partitionBy("text")
+    wr = Window.partitionBy("text").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        corpus.withColumn("component", F.min("doc_id").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keeper_doc_id"), "n_chars")
+    )
+
+
+@_op(
     "dedup_exact_hash",
     """WITH corpus AS (
          SELECT doc_id, text FROM documents

@@ -6,7 +6,7 @@ reference's signature computations [SPEC], run over the test tables
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tpcdi.pipeline import (
@@ -188,6 +188,81 @@ def tpcdi_fact_market_history(spark: SparkSession, d: str) -> DataFrame:
         "high_52wk_date",
         "low_52wk",
         "low_52wk_date",
+    )
+
+
+@_op(
+    "tpcdi_prospect_match",
+    """WITH prospect AS (
+         SELECT c_custkey + 5000000 AS p_id, upper(c_name) AS p_name_up,
+                c_acctbal AS p_net_worth
+         FROM customer WHERE c_custkey % 3 != 0)
+       SELECT c.c_custkey, p.p_id,
+              (p.p_id IS NOT NULL) AS is_matched,
+              CASE WHEN p.p_id IS NOT NULL AND p.p_net_worth > 5000
+                   THEN 'HighValue' END AS matched_tag
+       FROM customer c
+       LEFT JOIN prospect p ON upper(c.c_name) = p.p_name_up""",
+)
+def tpcdi_prospect_match(spark: SparkSession, d: str) -> DataFrame:
+    """Prospect↔Customer record matching [SPEC: match on upper-cased
+    name/address; matched prospects update marketing attributes,
+    unmatched stay prospects-only]. The prospect side is a derived
+    fixture (2/3 of customers, re-keyed); match is a left join on the
+    case-normalized key — broadcast-able at dimension scale."""
+    c = t(spark, d, "customer")
+    prospect = c.filter(F.col("c_custkey") % 3 != 0).select(
+        (F.col("c_custkey") + 5000000).alias("p_id"),
+        F.upper("c_name").alias("p_name_up"),
+        F.col("c_acctbal").alias("p_net_worth"),
+    )
+    joined = c.join(
+        F.broadcast(prospect), F.upper(c.c_name) == prospect.p_name_up, "left"
+    )
+    return joined.select(
+        "c_custkey",
+        "p_id",
+        F.col("p_id").isNotNull().alias("is_matched"),
+        F.when(
+            F.col("p_id").isNotNull() & (F.col("p_net_worth") > 5000), "HighValue"
+        ).alias("matched_tag"),
+    )
+
+
+@_op(
+    "tpcdi_fact_holdings",
+    """SELECT l_suppkey AS account_id, l_partkey AS security_id,
+              CAST(l_shipdate AS DATE) AS trade_date,
+              l_orderkey, l_linenumber,
+              CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                                 ELSE l_quantity END AS DECIMAL(25,6)))
+                   OVER (PARTITION BY l_suppkey, l_partkey
+                         ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS position_qty
+       FROM lineitem""",
+)
+def tpcdi_fact_holdings(spark: SparkSession, d: str) -> DataFrame:
+    """FactHoldings [SPEC: running position per (account, security)
+    from the trade stream]: signed quantities (returns negative)
+    cumulated over a total order, composite-key window — one shuffle
+    on (account, security), DECIMAL-exact at any parallelism."""
+    li = t(spark, d, "lineitem")
+    signed = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity")
+    ).otherwise(F.col("l_quantity"))
+    w = (
+        Window.partitionBy("l_suppkey", "l_partkey")
+        .orderBy(F.col("l_shipdate").cast("date"), "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("account_id"),
+        F.col("l_partkey").alias("security_id"),
+        F.col("l_shipdate").cast("date").alias("trade_date"),
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(signed.cast("decimal(25,6)")).over(w).cast("double").alias("position_qty"),
     )
 
 
