@@ -608,3 +608,43 @@ def join_skew_salted(spark: SparkSession, d: str) -> DataFrame:
         li.join(o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderdate")
     )
+
+
+@_op(
+    "sql_api_revenue_ranking",
+    """WITH revenue AS (
+         SELECT l.l_orderkey,
+                CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(25,6))) AS DOUBLE) AS rev,
+                o.o_orderdate, o.o_orderpriority
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+       SELECT l_orderkey, rev, CAST(o_orderdate AS DATE) AS order_date,
+              o_orderpriority
+       FROM revenue ORDER BY rev DESC, l_orderkey LIMIT 20""",
+)
+def sql_api_revenue_ranking(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H-Q3-shaped revenue ranking through the spark.sql entry
+    point (SURVEY §3.3): CTE + 3-way join + grouped decimal-exact
+    revenue + deterministic LIMIT, all parsed from SQL text — the
+    same ANSI surface the DataFrame ops compile to."""
+    for name in ("lineitem", "orders", "customer"):
+        t(spark, d, name).createOrReplaceTempView(f"sqlapi_{name}")
+    return spark.sql(
+        """WITH revenue AS (
+             SELECT l.l_orderkey,
+                    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(25,6))) AS DOUBLE) AS rev,
+                    o.o_orderdate, o.o_orderpriority
+             FROM sqlapi_lineitem l
+             JOIN sqlapi_orders o ON l.l_orderkey = o.o_orderkey
+             JOIN sqlapi_customer c ON o.o_custkey = c.c_custkey
+             WHERE c.c_mktsegment = 'BUILDING'
+             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+           SELECT l_orderkey, rev, CAST(o_orderdate AS DATE) AS order_date,
+                  o_orderpriority
+           FROM revenue ORDER BY rev DESC, l_orderkey LIMIT 20"""
+    )
