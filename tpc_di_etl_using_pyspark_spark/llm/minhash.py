@@ -27,16 +27,20 @@ from pyspark.sql import functions as F
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
+    """k-word shingles per document: (id, shingle), duplicates kept.
+
+    No dedup shuffle here on purpose: every consumer is
+    duplicate-insensitive (signature takes per-seed MIN, verification
+    builds collect_set), so deduping would add a full (id, shingle)
+    shuffle for nothing. Callers needing distinct shingles add their
+    own dropDuplicates.
+    """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def minhash_signature(

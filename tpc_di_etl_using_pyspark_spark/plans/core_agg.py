@@ -348,3 +348,18 @@ def agg_collect_sorted(spark: SparkSession, d: str) -> DataFrame:
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@_op("agg_approx_percentile")  # rows-only: t-digest estimate has no exact oracle
+def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
+    """approx_percentile (t-digest sketch): the 100 TB path for
+    distribution cuts — map-side combinable, bounded memory, no
+    per-group sort (the exact `agg_percentile` sorts each group).
+    Accuracy vs exact asserted in tests/test_oracle_parity.py
+    self-checks at accuracy=10000."""
+    li = t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
+        ).alias("approx_pcts")
+    )

@@ -442,8 +442,12 @@ def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs within a `source` block (blocking key
     bounds the quadratic join — the scale lever)."""
     doc = t(spark, d, "documents")
-    g = shingles(doc, "doc_id", "text", k=3).join(
-        doc.select("doc_id", "source"), "doc_id"
+    # distinct shingle sets (shingles() keeps duplicates by design —
+    # this op's Jaccard is over sets, mirroring the oracle's DISTINCT)
+    g = (
+        shingles(doc, "doc_id", "text", k=3)
+        .dropDuplicates(["doc_id", "shingle"])
+        .join(doc.select("doc_id", "source"), "doc_id")
     )
     sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
