@@ -686,3 +686,28 @@ def multimodal_frame_sample(spark: SparkSession, d: str) -> DataFrame:
             )
 
     return doc.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+@_op(
+    "sample_split_assign",
+    """SELECT doc_id,
+              (doc_id * 2654435761) % 4294967296 AS bucket,
+              CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                   THEN 'train'
+                   WHEN (doc_id * 2654435761) % 4294967296 < 3865470565
+                   THEN 'val' ELSE 'test' END AS split
+       FROM documents""",
+)
+def sample_split_assign(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via Knuth
+    multiplicative hashing on the id [EXT: reproducible corpus splits —
+    stable under re-runs, engine-independent, no RNG state]. A narrow
+    map: no shuffle, no sampling collect."""
+    doc = t(spark, d, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(bucket < F.lit(3435973836), "train")
+        .when(bucket < F.lit(3865470565), "val")
+        .otherwise("test")
+    )
+    return doc.select("doc_id", bucket.alias("bucket"), split.alias("split"))
