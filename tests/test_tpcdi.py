@@ -224,3 +224,26 @@ def test_asof_enrich_deterministic_on_seq_ties(spark):
         results.add(tuple(sorted((r.fseq, r.asof_payload) for r in out.collect())))
     assert len(results) == 1
     assert results.pop() == ((10, "b"), (20, "c"))
+
+
+def test_scd2_incremental_equals_rebuild(spark, sf_dir):
+    """Applying a later batch incrementally must equal rebuilding the
+    dimension from the combined action set [SPEC: incremental and
+    historical loads share transformation rules]."""
+    from tpc_di_etl_using_pyspark_spark.tpcdi.pipeline import scd2_apply_incremental
+
+    v = _versions(spark, sf_dir)
+    hist = v.filter("o_orderstatus = 'F'")
+    batch = v.filter("o_orderstatus = 'O'").withColumn("eff", F.date_add("eff", 4000))
+    dim = scd2_build(hist, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
+    incr = scd2_apply_incremental(
+        dim, batch, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
+    )
+    rebuilt = scd2_build(
+        hist.unionByName(batch), "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
+    )
+    cols = ["sk", "version", "o_custkey", "o_orderstatus", "effective_date", "end_date", "is_current"]
+    a = sorted(tuple(r[c] for c in cols) for r in incr.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in rebuilt.collect())
+    assert a == b
+    assert scd2_validate(incr, "o_custkey").count() == 0

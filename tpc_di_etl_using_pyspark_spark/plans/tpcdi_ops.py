@@ -14,6 +14,7 @@ from ..tpcdi.pipeline import (
     cdc_apply,
     fact_cash_balances,
     fact_market_history,
+    scd2_apply_incremental,
     scd2_build,
 )
 from ._util import epoch_s, sql_epoch_s, t
@@ -61,6 +62,48 @@ def tpcdi_scd2_dimcustomer(spark: SparkSession, d: str) -> DataFrame:
         eff_col="eff",
         attr_cols=["o_orderstatus", "o_orderpriority"],
         tiebreak="o_orderkey",
+    )
+
+
+@_op(
+    "tpcdi_scd2_incremental",
+    """WITH actions AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+                CAST(o_orderdate AS DATE) AS eff
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+                CAST(o_orderdate AS DATE) + 4000 AS eff
+         FROM orders WHERE o_orderstatus = 'O')
+       SELECT CAST(o_custkey AS VARCHAR) || '-' ||
+                CAST(ROW_NUMBER() OVER w AS VARCHAR) AS sk,
+              CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+              o_custkey, o_orderstatus, eff AS effective_date,
+              COALESCE(LEAD(eff) OVER w, DATE '9999-12-31') AS end_date,
+              (LEAD(eff) OVER w IS NULL) AS is_current
+       FROM actions
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)""",
+)
+def tpcdi_scd2_incremental(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental SCD2 maintenance [SPEC: Batch2/3 dimension updates]:
+    the historical dim ('F' orders) gets a later batch ('O' orders,
+    dates shifted past the history) applied via scd2_apply_incremental
+    — close touched current rows, append continuing versions. The
+    oracle states the equivalence invariant: the incrementally
+    maintained dimension equals a full rebuild over all actions."""
+    v = t(spark, d, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("eff"),
+    )
+    hist = v.filter(F.col("o_orderstatus") == "F")
+    batch = v.filter(F.col("o_orderstatus") == "O").withColumn(
+        "eff", F.date_add("eff", 4000)
+    )
+    dim = scd2_build(hist, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
+    return scd2_apply_incremental(
+        dim, batch, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
     )
 
 
@@ -311,6 +354,45 @@ def tpcdi_dim_date(spark: SparkSession, d: str) -> DataFrame:
             | ((F.month(dv) == 7) & (F.dayofmonth(dv) == 4))
             | ((F.month(dv) == 12) & (F.dayofmonth(dv) == 25))
         ).alias("is_holiday"),
+    )
+
+
+@_op(
+    "tpcdi_dim_time",
+    """SELECT s AS second_of_day,
+              CAST(s // 3600 AS INTEGER) AS hour_num,
+              CAST((s % 3600) // 60 AS INTEGER) AS minute_num,
+              CAST(s % 60 AS INTEGER) AS second_num,
+              lpad(CAST(s // 3600 AS VARCHAR), 2, '0') || ':' ||
+              lpad(CAST((s % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+              lpad(CAST(s % 60 AS VARCHAR), 2, '0') AS time_value,
+              (s >= 9 * 3600 + 1800 AND s < 16 * 3600) AS is_market_hours
+       FROM (SELECT unnest(range(0, 86400)) AS s)""",
+)
+def tpcdi_dim_time(spark: SparkSession, d: str) -> DataFrame:
+    """DimTime [SPEC: one row per second of day with hour/minute/second
+    and market-hours flag (09:30–16:00)]: computed grid via
+    sequence+explode, pairs with tpcdi_dim_date for the calendar
+    cross product."""
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(86399))).alias("second_of_day")
+    )
+    s = F.col("second_of_day")
+    hh = (s / 3600).cast("int")
+    mm = ((s % 3600) / 60).cast("int")
+    ss = (s % 60).cast("int")
+    return grid.select(
+        s.cast("bigint").alias("second_of_day"),
+        hh.alias("hour_num"),
+        mm.alias("minute_num"),
+        ss.alias("second_num"),
+        F.concat_ws(
+            ":",
+            F.lpad(hh.cast("string"), 2, "0"),
+            F.lpad(mm.cast("string"), 2, "0"),
+            F.lpad(ss.cast("string"), 2, "0"),
+        ).alias("time_value"),
+        ((s >= 9 * 3600 + 1800) & (s < 16 * 3600)).alias("is_market_hours"),
     )
 
 

@@ -88,6 +88,71 @@ def surrogate_lookup(
     return fact.join(d, cond, "left").drop("_nk", "_eff", "_end", "_cur")
 
 
+def scd2_apply_incremental(
+    dim: DataFrame,
+    batch: DataFrame,
+    natural_key: str,
+    eff_col: str,
+    attr_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Incremental SCD2 update [SPEC: Batch2/3 dimension maintenance]:
+    close each touched key's current row at the batch's first effective
+    date, append the batch's versions (numbering continues), leave
+    untouched keys as-is.
+
+    Invariant (asserted in tests): applying a batch whose effective
+    dates all follow the existing history equals rebuilding the
+    dimension from the combined action set — incremental and historical
+    loads share one semantic. Cost shape: the dim side is touched only
+    for keys in the batch (broadcast-able key set at typical batch
+    sizes); one window shuffle over the batch.
+    """
+    date_type = dict(dim.dtypes)["effective_date"]
+    wb = Window.partitionBy(natural_key).orderBy(eff_col, tiebreak)
+    batch_first = batch.groupBy(natural_key).agg(
+        F.min(eff_col).alias("_first_new_eff"),
+        F.count(F.lit(1)).alias("_n_new"),
+    )
+    base_ver = dim.groupBy(natural_key).agg(F.max("version").alias("_base_ver"))
+
+    # 1. existing rows: close the current row of touched keys
+    closed = (
+        dim.join(batch_first, natural_key, "left")
+        .withColumn(
+            "end_date",
+            F.when(
+                F.col("is_current") & F.col("_first_new_eff").isNotNull(),
+                F.col("_first_new_eff"),
+            ).otherwise(F.col("end_date")),
+        )
+        .withColumn(
+            "is_current",
+            F.col("is_current") & F.col("_first_new_eff").isNull(),
+        )
+        .drop("_first_new_eff", "_n_new")
+    )
+
+    # 2. batch rows: continue version numbering per key
+    nxt = F.lead(F.col(eff_col)).over(wb)
+    new_rows = (
+        batch.join(base_ver, natural_key, "left")
+        .withColumn("_ver", F.coalesce(F.col("_base_ver"), F.lit(0)) + F.row_number().over(wb))
+        .select(
+            F.concat_ws(
+                "-", F.col(natural_key).cast("string"), F.col("_ver").cast("string")
+            ).alias("sk"),
+            F.col("_ver").alias("version"),
+            F.col(natural_key),
+            *[F.col(c) for c in attr_cols],
+            F.col(eff_col).alias("effective_date"),
+            F.coalesce(nxt, F.lit(HIGH_DATE).cast(date_type)).alias("end_date"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+    return closed.unionByName(new_rows)
+
+
 # --------------------------------------------------------------------------
 # FactCashBalances [SPEC: daily cumulative cash per account]
 # --------------------------------------------------------------------------
