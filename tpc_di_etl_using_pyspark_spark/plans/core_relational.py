@@ -228,15 +228,20 @@ def join_right_full(spark: SparkSession, d: str) -> DataFrame:
        GROUP BY r.r_name""",
 )
 def join_broadcast(spark: SparkSession, d: str) -> DataFrame:
-    """Star join through broadcast reference dims [SPEC: code lookups]; F.broadcast keeps each dim side a BroadcastHashJoin."""
-    # Dimension chain broadcast end-to-end: at 100 TB the fact table
-    # never shuffles for these lookups (BroadcastHashJoin).
+    """Star join through broadcast reference dims [SPEC: code lookups].
+
+    Hint policy = scale posture: explicit F.broadcast only on the
+    bounded reference domains (nation/region — always tiny), while the
+    orders/customer sides are left to the planner — at this scale the
+    static threshold/AQE broadcasts them too (plan asserted in
+    tests/test_plans.py), but at 100 TB they are fact-sized and must
+    be free to shuffle; a hard hint would OOM the driver."""
     li, o = t(spark, d, "lineitem"), t(spark, d, "orders")
     c, n, r = t(spark, d, "customer"), t(spark, d, "nation"), t(spark, d, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
     return (
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == c.c_custkey)
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
