@@ -711,3 +711,54 @@ def sample_split_assign(spark: SparkSession, d: str) -> DataFrame:
         .otherwise("test")
     )
     return doc.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@_op(
+    "pipeline_corpus_curation",
+    """WITH sized AS (
+         SELECT doc_id, lang, text,
+                len(string_split(lower(text), ' ')) AS n_words
+         FROM documents),
+       filtered AS (
+         SELECT * FROM sized
+         WHERE lang = 'en' AND n_words BETWEEN 20 AND 70),
+       deduped AS (
+         SELECT * FROM (
+           SELECT doc_id, n_words,
+                  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM filtered) WHERE rn = 1)
+       SELECT doc_id, n_words,
+              CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                   THEN 'train'
+                   WHEN (doc_id * 2654435761) % 4294967296 < 3865470565
+                   THEN 'val' ELSE 'test' END AS split
+       FROM deduped""",
+)
+def pipeline_corpus_curation(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition every training
+    corpus goes through: quality gate (length band) → language filter
+    → exact dedup (keep lowest id) → deterministic split assignment.
+    One narrow scan + one window shuffle on the dedup key; every stage
+    is a reusable op elsewhere in the registry."""
+    doc = t(spark, d, "documents")
+    sized = doc.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.lower("text"), " ")).alias("n_words"),
+    )
+    filtered = sized.filter(
+        (F.col("lang") == "en") & F.col("n_words").between(20, 70)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(bucket < F.lit(3435973836), "train")
+        .when(bucket < F.lit(3865470565), "val")
+        .otherwise("test")
+    )
+    return deduped.select("doc_id", "n_words", split.alias("split"))
