@@ -263,3 +263,32 @@ def win_cume_dist(spark: SparkSession, d: str) -> DataFrame:
     c = t(spark, d, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select("c_custkey", "c_acctbal", F.cume_dist().over(w).alias("cd"))
+
+
+@_op(
+    "win_forward_fill",
+    """SELECT event_id, user_id,
+              LAST_VALUE(CASE WHEN event_type != 'error' THEN value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS filled_value
+       FROM events""",
+)
+def win_forward_fill(spark: SparkSession, d: str) -> DataFrame:
+    """Forward-fill gap repair [EXT: sensor/feed cleaning — carry the
+    last known-good reading]: error readings are nulled, then
+    last-non-null over an ordered per-key frame fills them. One window
+    shuffle; the frame is running (no full-partition buffering)."""
+    e = t(spark, d, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
