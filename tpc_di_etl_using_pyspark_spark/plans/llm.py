@@ -762,3 +762,92 @@ def pipeline_corpus_curation(spark: SparkSession, d: str) -> DataFrame:
         .otherwise("test")
     )
     return deduped.select("doc_id", "n_words", split.alias("split"))
+
+
+@_op(
+    "text_pii_redact",
+    """WITH seeded AS (
+         SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or +1-555-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(raw, '[a-z0-9._]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+                '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+       FROM seeded""",
+)
+def text_pii_redact(spark: SparkSession, d: str) -> DataFrame:
+    """PII scrubbing [EXT: training corpora must drop emails/phones
+    before the tokenizer sees them]: regex redaction, pure expression
+    (the patterns are RE2/Java-compatible so the oracle runs them
+    verbatim). Fixture text carries no PII, so deterministic synthetic
+    contact strings are appended first."""
+    doc = t(spark, d, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9._]+@[a-z.]+[a-z]", "<EMAIL>"),
+        r"\+1-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return doc.select("doc_id", redacted.alias("redacted"))
+
+
+@_op(
+    "text_normalize_unicode",
+    """SELECT doc_id,
+              nfc_normalize('cafe' || chr(769) || ' ' || text) AS nfc_text,
+              strlen(nfc_normalize('cafe' || chr(769) || ' ' || text)) AS n_bytes
+       FROM documents""",
+)
+def text_normalize_unicode(spark: SparkSession, d: str) -> DataFrame:
+    """Unicode NFC normalization [EXT: dedup/fingerprinting break when
+    é and e+combining-accent hash differently]: Arrow-batched pandas
+    UDF over stdlib unicodedata (Spark has no builtin normalizer —
+    this is the documented slow path, vectorized). A combining-accent
+    prefix is added so the normalization is observable."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    doc = t(spark, d, "documents")
+    # seed with the DECOMPOSED form (e + combining U+0301) so the UDF
+    # performs a real NFC fold, mirroring the oracle's 'cafe'||chr(769)
+    seeded = F.concat(F.lit("cafe\u0301 "), F.col("text"))
+    nfc_text = nfc(seeded)
+    return doc.select(
+        "doc_id",
+        nfc_text.alias("nfc_text"),
+        F.octet_length(nfc_text).cast("bigint").alias("n_bytes"),
+    )
+
+
+@_op(
+    "vec_quantize_int8",
+    """SELECT vec_id,
+              list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER))
+                AS q8,
+              len(embedding) AS dim
+       FROM embeddings""",
+)
+def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
+    """Int8 vector quantization [EXT: 4× memory cut for ANN probes —
+    scale path stores q8 + per-vector scale]: pure array expression,
+    narrow map, no shuffle."""
+    e = t(spark, d, "embeddings")
+    q8 = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("int")
+    )
+    return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
