@@ -292,3 +292,29 @@ def win_forward_fill(spark: SparkSession, d: str) -> DataFrame:
         "user_id",
         F.last(good, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@_op(
+    "win_ratio_total",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROUND(CAST(
+                o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+                AS DECIMAL(25,6)), 6) AS DOUBLE) AS share_of_customer
+       FROM orders""",
+)
+def win_ratio_total(spark: SparkSession, d: str) -> DataFrame:
+    """Ratio-to-report: each row's share of its partition total [REF*:
+    contribution reporting] — unordered partition window (no sort),
+    decimal-exact denominator, round(6) for cross-engine float
+    equality."""
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+    from ._util import dround
+
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.col("o_totalprice") / total, 6).alias("share_of_customer"),
+    )

@@ -851,3 +851,42 @@ def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
         "embedding", lambda x: F.round(x.cast("double") * 127).cast("int")
     )
     return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
+
+
+def _q8_query_vector_sql() -> str:
+    # the query_vector() rationals quantized to int8, as a SQL list literal
+    q = [round(x * 127) for x in query_vector(64)]
+    return "[" + ", ".join(f"{v}.0" for v in q) + "]"
+
+
+@_op(
+    "sim_quantized_topk",
+    f"""SELECT vec_id,
+               CAST(list_dot_product(
+                 list_transform(embedding,
+                                x -> CAST(round(CAST(x AS DOUBLE) * 127) AS DOUBLE)),
+                 {_q8_query_vector_sql()}) AS BIGINT) AS q_dot
+        FROM embeddings
+        ORDER BY q_dot DESC, vec_id LIMIT 10""",
+)
+def sim_quantized_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Quantized ANN probe: rank by integer dot product over int8
+    vectors [EXT: the memory-bound serving path — int math is exact,
+    so unlike float cosine this op needs no rounding tolerance].
+    Same shuffle-free TakeOrdered shape as the float baseline."""
+    e = t(spark, d, "embeddings")
+    qvec = [round(x * 127) for x in query_vector(64)]
+    q8 = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
+    )
+    qarr = F.array(*[F.lit(v).cast("long") for v in qvec])
+    dot_int = F.aggregate(
+        F.zip_with(q8, qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return (
+        e.select("vec_id", dot_int.alias("q_dot"))
+        .orderBy(F.col("q_dot").desc(), "vec_id")
+        .limit(10)
+    )
