@@ -247,3 +247,22 @@ def test_scd2_incremental_equals_rebuild(spark, sf_dir):
     b = sorted(tuple(r[c] for c in cols) for r in rebuilt.collect())
     assert a == b
     assert scd2_validate(incr, "o_custkey").count() == 0
+
+
+def test_scd2_incremental_rejects_late_batch(spark, sf_dir):
+    """A batch whose effective dates precede the existing history must
+    be rejected loudly, not silently corrupt the intervals."""
+    import pytest
+
+    from tpc_di_etl_using_pyspark_spark.tpcdi.pipeline import scd2_apply_incremental
+
+    v = _versions(spark, sf_dir)
+    hist = v.filter("o_orderstatus = 'F'")
+    dim = scd2_build(hist, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
+    late_batch = v.filter("o_orderstatus = 'O'").withColumn(
+        "eff", F.date_sub("eff", 4000)
+    )
+    with pytest.raises(ValueError, match="full rebuild"):
+        scd2_apply_incremental(
+            dim, late_batch, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
+        )

@@ -3,7 +3,8 @@
 Pipeline (all Catalyst expressions — no MLlib, no Python UDFs):
 
 1. shingle: words → k-word shingles (``sequence`` + ``transform`` +
-   ``slice``), exploded distinct per doc.
+   ``slice``), exploded with duplicates kept (every consumer below is
+   duplicate-insensitive, so no dedup shuffle).
 2. signature: per doc, ``min(xxhash64(shingle, seed))`` for each of
    ``num_hashes`` seeds — one shuffle (groupBy doc_id), map-side
    partial aggregation keeps it scalable.
@@ -140,8 +141,8 @@ def minhash_near_dups(
     """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard.
 
     ``checkpoint`` materializes the shingle relation once (it feeds both
-    the signature path and the verify path — without it the explode +
-    dedup shuffle runs twice). On a cluster this is an executor-memory/
+    the signature path and the verify path — without it the scan +
+    explode runs twice). On a cluster this is an executor-memory/
     disk cache; disable for a purely lazy plan.
     """
     sh = shingles(df, id_col, text_col, k)

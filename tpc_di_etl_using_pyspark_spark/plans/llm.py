@@ -14,7 +14,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -688,14 +688,38 @@ def multimodal_frame_sample(spark: SparkSession, d: str) -> DataFrame:
     return doc.mapInPandas(sample, schema=_FRAME_SCHEMA)
 
 
+# Knuth multiplicative split assignment — ONE definition feeds both the
+# Spark expressions and the SQL oracles of every op that assigns splits
+# (a threshold tweak in one place cannot diverge the pair).
+_SPLIT_A = 2654435761
+_SPLIT_M = 4294967296
+_SPLIT_TRAIN = 3435973836  # ~floor(0.8 * 2^32)
+_SPLIT_VAL = 3865470565  # ~floor(0.9 * 2^32)
+_SPLIT_BUCKET_SQL = f"(doc_id * {_SPLIT_A}) % {_SPLIT_M}"
+_SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN}
+                   THEN 'train'
+                   WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_VAL}
+                   THEN 'val' ELSE 'test' END"""
+
+
+def _split_bucket(col: Column) -> Column:
+    return (col * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M)
+
+
+def _split_label(col: Column) -> Column:
+    b = _split_bucket(col)
+    return (
+        F.when(b < F.lit(_SPLIT_TRAIN), "train")
+        .when(b < F.lit(_SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+
+
 @_op(
     "sample_split_assign",
-    """SELECT doc_id,
-              (doc_id * 2654435761) % 4294967296 AS bucket,
-              CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
-                   THEN 'train'
-                   WHEN (doc_id * 2654435761) % 4294967296 < 3865470565
-                   THEN 'val' ELSE 'test' END AS split
+    f"""SELECT doc_id,
+              {_SPLIT_BUCKET_SQL} AS bucket,
+              {_SPLIT_CASE_SQL} AS split
        FROM documents""",
 )
 def sample_split_assign(spark: SparkSession, d: str) -> DataFrame:
@@ -704,13 +728,11 @@ def sample_split_assign(spark: SparkSession, d: str) -> DataFrame:
     stable under re-runs, engine-independent, no RNG state]. A narrow
     map: no shuffle, no sampling collect."""
     doc = t(spark, d, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    split = (
-        F.when(bucket < F.lit(3435973836), "train")
-        .when(bucket < F.lit(3865470565), "val")
-        .otherwise("test")
+    return doc.select(
+        "doc_id",
+        _split_bucket(F.col("doc_id")).alias("bucket"),
+        _split_label(F.col("doc_id")).alias("split"),
     )
-    return doc.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
 @_op(
@@ -728,11 +750,8 @@ def sample_split_assign(spark: SparkSession, d: str) -> DataFrame:
                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM filtered) WHERE rn = 1)
        SELECT doc_id, n_words,
-              CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
-                   THEN 'train'
-                   WHEN (doc_id * 2654435761) % 4294967296 < 3865470565
-                   THEN 'val' ELSE 'test' END AS split
-       FROM deduped""",
+              {split_case} AS split
+       FROM deduped""".format(split_case=_SPLIT_CASE_SQL),
 )
 def pipeline_corpus_curation(spark: SparkSession, d: str) -> DataFrame:
     """End-to-end curation pipeline — the composition every training
@@ -755,13 +774,9 @@ def pipeline_corpus_curation(spark: SparkSession, d: str) -> DataFrame:
         filtered.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    split = (
-        F.when(bucket < F.lit(3435973836), "train")
-        .when(bucket < F.lit(3865470565), "val")
-        .otherwise("test")
+    return deduped.select(
+        "doc_id", "n_words", _split_label(F.col("doc_id")).alias("split")
     )
-    return deduped.select("doc_id", "n_words", split.alias("split"))
 
 
 @_op(
@@ -853,10 +868,13 @@ def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
     return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
 
 
+# the query_vector() rationals quantized to int8 — ONE list feeds both
+# the SQL oracle literal and the Spark-side array (cannot diverge)
+_Q8_QVEC = [round(x * 127) for x in query_vector(64)]
+
+
 def _q8_query_vector_sql() -> str:
-    # the query_vector() rationals quantized to int8, as a SQL list literal
-    q = [round(x * 127) for x in query_vector(64)]
-    return "[" + ", ".join(f"{v}.0" for v in q) + "]"
+    return "[" + ", ".join(f"{v}.0" for v in _Q8_QVEC) + "]"
 
 
 @_op(
@@ -875,7 +893,7 @@ def sim_quantized_topk(spark: SparkSession, d: str) -> DataFrame:
     so unlike float cosine this op needs no rounding tolerance].
     Same shuffle-free TakeOrdered shape as the float baseline."""
     e = t(spark, d, "embeddings")
-    qvec = [round(x * 127) for x in query_vector(64)]
+    qvec = _Q8_QVEC
     q8 = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 127).cast("long")
     )

@@ -259,9 +259,10 @@ def tpcdi_prospect_match(spark: SparkSession, d: str) -> DataFrame:
         F.upper("c_name").alias("p_name_up"),
         F.col("c_acctbal").alias("p_net_worth"),
     )
-    joined = c.join(
-        F.broadcast(prospect), F.upper(c.c_name) == prospect.p_name_up, "left"
-    )
+    # no broadcast hint: prospect is customer-sized, so at target scale
+    # it must be free to shuffle — the planner/AQE broadcasts it while
+    # it fits the threshold (same posture as join_broadcast)
+    joined = c.join(prospect, F.upper(c.c_name) == prospect.p_name_up, "left")
     return joined.select(
         "c_custkey",
         "p_id",

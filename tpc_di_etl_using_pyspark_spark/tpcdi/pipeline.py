@@ -111,9 +111,25 @@ def scd2_apply_incremental(
     date_type = dict(dim.dtypes)["effective_date"]
     wb = Window.partitionBy(natural_key).orderBy(eff_col, tiebreak)
     batch_first = batch.groupBy(natural_key).agg(
-        F.min(eff_col).alias("_first_new_eff"),
-        F.count(F.lit(1)).alias("_n_new"),
+        F.min(eff_col).alias("_first_new_eff")
     )
+    # enforce the ordering precondition instead of documenting it:
+    # a batch eff at or before a key's current row would close that row
+    # at a date before it opened (end < effective), silently corrupting
+    # the history and every downstream surrogate_lookup
+    late = (
+        dim.filter("is_current")
+        .join(batch_first, natural_key)
+        .filter(F.col("_first_new_eff") <= F.col("effective_date"))
+        .limit(1)
+        .count()
+    )
+    if late:
+        raise ValueError(
+            "scd2_apply_incremental: batch contains effective dates at or "
+            "before a key's current version — late-arriving history must be "
+            "applied via a full rebuild (scd2_build over the combined actions)"
+        )
     base_ver = dim.groupBy(natural_key).agg(F.max("version").alias("_base_ver"))
 
     # 1. existing rows: close the current row of touched keys
@@ -130,7 +146,7 @@ def scd2_apply_incremental(
             "is_current",
             F.col("is_current") & F.col("_first_new_eff").isNull(),
         )
-        .drop("_first_new_eff", "_n_new")
+        .drop("_first_new_eff")
     )
 
     # 2. batch rows: continue version numbering per key
