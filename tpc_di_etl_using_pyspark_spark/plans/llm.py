@@ -908,3 +908,34 @@ def sim_quantized_topk(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.col("q_dot").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_op(
+    "text_length_histogram",
+    """SELECT CASE WHEN n_chars < 100 THEN '0-99'
+                   WHEN n_chars < 200 THEN '100-199'
+                   WHEN n_chars < 300 THEN '200-299'
+                   WHEN n_chars < 400 THEN '300-399'
+                   ELSE '400+' END AS bin,
+              COUNT(*) AS n_docs,
+              MIN(n_chars) AS bin_min, MAX(n_chars) AS bin_max
+       FROM documents GROUP BY 1""",
+)
+def text_length_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Document-length histogram with fixed bins [EXT: corpus length
+    distribution — the first chart every dataset card shows]. CASE
+    binning keeps the bin edges identical across engines (width_bucket
+    variants differ on boundary ownership)."""
+    doc = t(spark, d, "documents")
+    bin_ = (
+        F.when(F.col("n_chars") < 100, "0-99")
+        .when(F.col("n_chars") < 200, "100-199")
+        .when(F.col("n_chars") < 300, "200-299")
+        .when(F.col("n_chars") < 400, "300-399")
+        .otherwise("400+")
+    )
+    return doc.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("bin_min"),
+        F.max("n_chars").alias("bin_max"),
+    )

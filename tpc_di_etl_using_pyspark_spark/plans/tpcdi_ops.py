@@ -448,3 +448,52 @@ def tpcdi_dimessages(spark: SparkSession, d: str) -> DataFrame:
         },
         batch_id=1,
     )
+
+
+@_op(
+    "events_funnel",
+    f"""WITH stages AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN {sql_epoch_s('ts')} END)
+                  AS t_signup,
+                MIN(CASE WHEN event_type = 'view' THEN {sql_epoch_s('ts')} END)
+                  AS t_view,
+                MIN(CASE WHEN event_type = 'purchase' THEN {sql_epoch_s('ts')} END)
+                  AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT COUNT(*) AS n_users,
+              COUNT(t_signup) AS n_signup,
+              COUNT(CASE WHEN t_view >= t_signup THEN 1 END) AS n_signup_view,
+              COUNT(CASE WHEN t_view >= t_signup AND t_purchase >= t_view
+                         THEN 1 END) AS n_full_funnel
+       FROM stages""",
+)
+def events_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """Ordered-funnel conversion (signup → first view after signup →
+    first purchase after that view) [EXT: product-analytics staple]:
+    one keyed aggregation collapses each user's timeline to stage
+    timestamps, then a global conditional count — two map-side-
+    combinable aggregations, no self-join over events."""
+    e = t(spark, d, "events")
+    sec = epoch_s(F.col("ts"))
+
+    def first_ts(ev):
+        return F.min(F.when(F.col("event_type") == ev, sec))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_view") >= F.col("t_signup"), 1)).alias("n_signup_view"),
+        F.count(
+            F.when(
+                (F.col("t_view") >= F.col("t_signup"))
+                & (F.col("t_purchase") >= F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
