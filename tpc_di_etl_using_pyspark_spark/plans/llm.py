@@ -557,6 +557,42 @@ def sim_embedding_neardup(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+@_op(
+    "dedup_semantic_cluster",
+    """WITH RECURSIVE
+       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE CAST(ROUND(CAST(
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   AS DECIMAL(25,6)), 6) AS DOUBLE) >= 0.35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL
+                 SELECT id_b AS a, id_a AS b FROM pairs),
+       reach(node, comp) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node)
+       SELECT node AS vec_id, MIN(comp) AS component
+       FROM reach GROUP BY node""",
+)
+def dedup_semantic_cluster(spark: SparkSession, d: str) -> DataFrame:
+    """Semantic dup clusters: connected components over the
+    embedding-cosine near-dup graph [EXT: near-dup *pairs* become
+    keep-one *clusters*]. The Spark side is the iterative Pregel-style
+    operator (llm/components.py); the oracle computes the same
+    fixpoint as a recursive CTE — two entirely different evaluation
+    strategies agreeing on the closure."""
+    e = t(spark, d, "embeddings")
+    pairs = sim_embedding_neardup(spark, d).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return e.select("vec_id").join(
+        cc, F.col("vec_id") == cc.node, "left"
+    ).select("vec_id", F.coalesce("component", "vec_id").alias("component"))
+
+
 @_op("sim_ivf_topk")  # rows-only: ANN recall < 1 by construction
 def sim_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     """IVF-bucketed ANN top-k (probe nearest pseudo-centroid cell);
