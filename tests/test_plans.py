@@ -129,3 +129,12 @@ def test_minhash_candidate_join_is_bounded(spark, sf_dir):
     plan = _plan(all_queries()["dedup_minhash_lsh"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_partitioned_probe_prunes_cells(spark, sf_dir):
+    """The IVF probe must read only the query's cell directory."""
+    df = all_queries()["sim_ivf_index_partitioned"](spark, sf_dir)
+    plan = _plan(df)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line
+    assert df.count() == 10

@@ -975,3 +975,59 @@ def text_length_histogram(spark: SparkSession, d: str) -> DataFrame:
         F.min("n_chars").alias("bin_min"),
         F.max("n_chars").alias("bin_max"),
     )
+
+
+@_op("sim_ivf_index_partitioned")  # rows-only: ANN (recall<1, centroid-dependent)
+def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
+    """IVF index at rest: cell assignments written `partitionBy(cell)`,
+    probe reads ONLY the query's cell directory (partition pruning —
+    asserted in tests/test_plans.py). This is the ANN scale path: at
+    100 TB the probe's scan cost is corpus_size / n_cells, not the
+    corpus."""
+    import os as _os
+
+    from ..llm.similarity import as_double, cosine, ivf_centroids
+
+    e = t(spark, d, "embeddings")
+    n_cells, qvec = 8, query_vector(64)
+    cents = ivf_centroids(n_cells, 64)
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    v = as_double("embedding")
+
+    def best_cell(vec):
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        from ..llm.similarity import dot
+
+        return F.aggregate(
+            idx,
+            F.struct(F.lit(-1).alias("cell"), F.lit(float("-inf")).alias("score")),
+            lambda acc, i: F.when(
+                dot(F.element_at(cent_arr, i + 1), vec) > acc["score"],
+                F.struct(i.cast("int").alias("cell"),
+                         dot(F.element_at(cent_arr, i + 1), vec).alias("score")),
+            ).otherwise(acc),
+        )["cell"]
+
+    tag = _os.path.basename(_os.path.normpath(d)) or "sf"
+    path = f"/tmp/spark_graft_scratch/{tag}/ivf_index"
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    (
+        e.select("vec_id", v.alias("v"), best_cell(v).alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    qcell = max(
+        range(n_cells), key=lambda c: sum(x * y for x, y in zip(cents[c], qvec))
+    )
+    q = F.array(*[F.lit(x) for x in qvec])
+    probe = spark.read.parquet(path).filter(F.col("cell") == qcell)
+    return (
+        probe.select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            dround(cosine(F.col("v"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
