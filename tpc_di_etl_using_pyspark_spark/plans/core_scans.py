@@ -243,3 +243,13 @@ def scan_jsonl(spark: SparkSession, d: str) -> DataFrame:
     t(spark, d, "events").select(*cols).write.mode("overwrite").json(path)
     schema = "event_id long, user_id long, event_type string, value double, props string"
     return spark.read.json(path, schema=schema).select(*cols)
+
+
+@_op("scan_orc", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_orc(spark: SparkSession, d: str) -> DataFrame:
+    """ORC columnar source (the other first-class columnar format —
+    same pushdown/pruning machinery as parquet): write nation as ORC,
+    read back, round-trip must equal the source table."""
+    path = _scratch(d, "nation_orc")
+    t(spark, d, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

@@ -436,3 +436,36 @@ def hash_checksum(spark: SparkSession, d: str) -> DataFrame:
         "n_nationkey",
         F.sha2(F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey"), 256).alias("row_sha"),
     )
+
+
+@_op(
+    "str_levenshtein_link",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              levenshtein(a.c_name, b.c_name) AS edit_dist
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+)
+def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
+    """Fuzzy record linkage [SPEC: Prospect matching generalized from
+    exact-UPPER to edit-distance]: candidate pairs blocked on nation
+    (the equi key bounds the quadratic join), kept when the names are
+    within 2 edits. Both engines ship the same Levenshtein builtin."""
+    c = t(spark, d, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+    )
