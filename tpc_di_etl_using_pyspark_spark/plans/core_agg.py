@@ -363,3 +363,23 @@ def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
         ).alias("approx_pcts")
     )
+
+
+@_op(
+    "agg_bool",
+    """SELECT o_orderstatus,
+              bool_and(o_totalprice > 1000) AS all_over_1k,
+              bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+              count_if(o_totalprice > 100000) AS n_large
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_bool(spark: SparkSession, d: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if) [SPEC: batch-validation
+    predicates — 'all rows in range', 'any failures'] — map-side
+    combinable like any other algebraic aggregate."""
+    o = t(spark, d, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+    )

@@ -318,3 +318,28 @@ def win_ratio_total(spark: SparkSession, d: str) -> DataFrame:
         "o_orderkey",
         dround(F.col("o_totalprice") / total, 6).alias("share_of_customer"),
     )
+
+
+@_op(
+    "win_nth_value",
+    """SELECT DISTINCT o_custkey,
+              nth_value(o_totalprice, 2) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS second_largest
+       FROM orders""",
+)
+def win_nth_value(spark: SparkSession, d: str) -> DataFrame:
+    """Second-largest order per customer via nth_value over a full
+    frame [REF*: runner-up reporting] — NULL for single-order keys."""
+    o = t(spark, d, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_largest"),
+    ).distinct()

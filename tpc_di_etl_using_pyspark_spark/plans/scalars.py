@@ -469,3 +469,28 @@ def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
         .select("id_a", "id_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@_op(
+    "date_boundaries",
+    """SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) AS order_date,
+              last_day(CAST(o_orderdate AS DATE)) AS month_end,
+              CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+                AS quarter_start,
+              CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS DATE)
+                AS year_start
+       FROM orders""",
+)
+def date_boundaries(spark: SparkSession, d: str) -> DataFrame:
+    """Period-boundary derivation (month end, quarter/year start)
+    [SPEC: DimDate period attributes; fiscal rollup keys]."""
+    o = t(spark, d, "orders")
+    dt = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        dt.alias("order_date"),
+        F.last_day(dt).alias("month_end"),
+        F.trunc(dt, "quarter").alias("quarter_start"),
+        F.trunc(dt, "year").alias("year_start"),
+    )
