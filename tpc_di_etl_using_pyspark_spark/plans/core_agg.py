@@ -383,3 +383,23 @@ def agg_bool(spark: SparkSession, d: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
     )
+
+
+@_op(
+    "agg_string_concat_group",
+    """SELECT o_custkey,
+              string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+                AS priorities
+       FROM orders GROUP BY o_custkey""",
+)
+def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic grouped string aggregation: collect_set →
+    sort_array → array_join (an unordered string_agg is
+    shuffle-order-nondeterministic and never hash-comparable)
+    [REF*: code-list denormalization]."""
+    o = t(spark, d, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities")
+    )

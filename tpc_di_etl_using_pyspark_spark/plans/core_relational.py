@@ -653,3 +653,54 @@ def sql_api_revenue_ranking(spark: SparkSession, d: str) -> DataFrame:
                   o_orderpriority
            FROM revenue ORDER BY rev DESC, l_orderkey LIMIT 20"""
     )
+
+
+@_op(
+    "set_symmetric_diff",
+    """SELECT 'only_f' AS side, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       UNION ALL
+       SELECT 'only_o' AS side, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def set_symmetric_diff(spark: SparkSession, d: str) -> DataFrame:
+    """Symmetric difference with a side tag [SPEC: audit reconciliation
+    — keys present in exactly one batch, and which]."""
+    o = t(spark, d, "orders")
+    f = o.filter("o_orderstatus = 'F'").select("o_custkey").distinct()
+    q = o.filter("o_orderstatus = 'O'").select("o_custkey").distinct()
+    only_f = f.exceptAll(q).select(F.lit("only_f").alias("side"), "o_custkey")
+    only_o = q.exceptAll(f).select(F.lit("only_o").alias("side"), "o_custkey")
+    return only_f.unionByName(only_o)
+
+
+@_op(
+    "sql_exists_decorrelated",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'P')""",
+)
+def sql_exists_decorrelated(spark: SparkSession, d: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL parser — Catalyst
+    decorrelates both into semi/anti joins (SURVEY §4.2); same result
+    as the DataFrame left_semi/left_anti composition, proved by the
+    shared oracle."""
+    t(spark, d, "customer").createOrReplaceTempView("sqlx_customer")
+    t(spark, d, "orders").createOrReplaceTempView("sqlx_orders")
+    return spark.sql(
+        """SELECT c_custkey, c_mktsegment FROM sqlx_customer c
+           WHERE EXISTS (SELECT 1 FROM sqlx_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)
+             AND NOT EXISTS (SELECT 1 FROM sqlx_orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'P')"""
+    )
