@@ -343,3 +343,42 @@ def win_nth_value(spark: SparkSession, d: str) -> DataFrame:
         "o_custkey",
         F.nth_value("o_totalprice", 2).over(w).alias("second_largest"),
     ).distinct()
+
+
+@_op(
+    "win_streaks",
+    """WITH days AS (
+         SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+         FROM orders),
+       grp AS (
+         SELECT o_custkey, day,
+                day - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                              ORDER BY day) AS INTEGER) AS island
+         FROM days)
+       SELECT o_custkey, MIN(day) AS streak_start,
+              CAST(COUNT(*) AS INTEGER) AS streak_days
+       FROM grp GROUP BY o_custkey, island
+       HAVING COUNT(*) >= 2""",
+)
+def win_streaks(spark: SparkSession, d: str) -> DataFrame:
+    """Gap-and-islands streak detection (consecutive order days per
+    customer, streaks of ≥ 2 days) [REF*: activity-run reporting]:
+    the classic date-minus-row_number island key — one window shuffle,
+    one aggregation."""
+    o = t(spark, d, "orders")
+    days = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    grp = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("o_custkey", "island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.count(F.lit(1)).cast("int").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("island")
+    )

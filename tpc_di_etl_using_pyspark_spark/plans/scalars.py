@@ -494,3 +494,24 @@ def date_boundaries(spark: SparkSession, d: str) -> DataFrame:
         F.trunc(dt, "quarter").alias("quarter_start"),
         F.trunc(dt, "year").alias("year_start"),
     )
+
+
+@_op(
+    "array_posexplode",
+    """SELECT vec_id, CAST(i AS INTEGER) AS pos,
+              CAST(embedding[i + 1] AS DOUBLE) AS component
+       FROM (SELECT vec_id, embedding,
+                    unnest(range(0, len(embedding))) AS i
+             FROM embeddings)""",
+)
+def array_posexplode(spark: SparkSession, d: str) -> DataFrame:
+    """Positional array explode (vector → one row per component with
+    its index) [EXT: feature-per-row reshaping for drift stats]."""
+    e = t(spark, d, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("double").alias("component"),
+    )

@@ -497,3 +497,44 @@ def events_funnel(spark: SparkSession, d: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@_op(
+    "events_retention",
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                CAST(FLOOR(EPOCH(date_trunc('week', ts))) AS BIGINT) AS wk
+         FROM events)
+       SELECT a.wk AS week_sec,
+              CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+              CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_retained
+       FROM uw a LEFT JOIN uw b
+         ON a.user_id = b.user_id AND b.wk = a.wk + 7 * 86400
+       GROUP BY a.wk""",
+)
+def events_retention(spark: SparkSession, d: str) -> DataFrame:
+    """Weekly cohort retention (active in week w AND w+1) [EXT:
+    product-analytics staple]: distinct (user, week) pairs self-joined
+    one week forward — the distinct bounds the join input to
+    users×weeks, not events."""
+    e = t(spark, d, "events")
+    uw = e.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("wk"),
+    ).distinct()
+    a = uw.select(F.col("user_id"), F.col("wk"))
+    b = uw.select(
+        F.col("user_id").alias("b_user"), F.col("wk").alias("b_wk")
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user) & (b.b_wk == a.wk + 7 * 86400),
+            "left",
+        )
+        .groupBy(F.col("wk").alias("week_sec"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct("b_user").alias("n_retained"),
+        )
+    )
