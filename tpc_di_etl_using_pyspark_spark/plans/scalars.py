@@ -515,3 +515,54 @@ def array_posexplode(spark: SparkSession, d: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.col("col").cast("double").alias("component"),
     )
+
+
+@_op(
+    "math_functions",
+    f"""SELECT l_orderkey, l_linenumber,
+               {sql_dround('ln(l_extendedprice)', 6)} AS ln_price,
+               {sql_dround('sqrt(l_extendedprice)', 6)} AS sqrt_price,
+               {sql_dround('pow(l_discount + 1, 3)', 6)} AS pow_disc,
+               {sql_dround('exp(l_discount)', 6)} AS exp_disc,
+               CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+               {sql_dround('log10(l_extendedprice)', 6)} AS log10_price
+        FROM lineitem WHERE l_extendedprice > 0""",
+)
+def math_functions(spark: SparkSession, d: str) -> DataFrame:
+    """Math function family (ln/sqrt/pow/exp/ceil/floor/log10) [SPEC:
+    measure derivations] — libm results are bit-identical across
+    engines on this platform; round(6) guards the exotic cases."""
+    li = t(spark, d, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        dround(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        dround(F.pow(F.col("l_discount") + 1, 3), 6).alias("pow_disc"),
+        dround(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        dround(F.log10("l_extendedprice"), 6).alias("log10_price"),
+    )
+
+
+@_op(
+    "str_encode_b64_hex",
+    """SELECT doc_id,
+              base64(CAST(substring(text, 1, 24) AS BLOB)) AS head_b64,
+              hex(substring(text, 1, 24)) AS head_hex,
+              strlen(text) AS n_bytes
+       FROM documents""",
+)
+def str_encode_b64_hex(spark: SparkSession, d: str) -> DataFrame:
+    """Binary encodings (base64 / hex of a content prefix) [EXT:
+    content-addressable keys and wire formats for opaque payloads]."""
+    doc = t(spark, d, "documents")
+    head = F.encode(F.substring("text", 1, 24), "utf-8")
+    return doc.select(
+        "doc_id",
+        F.base64(head).alias("head_b64"),
+        F.hex(head).alias("head_hex"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
