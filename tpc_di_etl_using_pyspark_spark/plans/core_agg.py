@@ -403,3 +403,27 @@ def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
             F.sort_array(F.collect_set("o_orderpriority")), "|"
         ).alias("priorities")
     )
+
+
+@_op(
+    "agg_weighted_avg",
+    f"""SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6)))
+                    AS DOUBLE) /
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                 AS wavg_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
+    """Quantity-weighted average price [SPEC: volume-weighted market
+    measures] — both sums decimal-routed so the ratio is the division
+    of two identical IEEE doubles in either engine."""
+    li = t(spark, d, "lineitem")
+    wsum = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")
+    ).cast("double")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (wsum / qsum).alias("wavg_price"), qsum.alias("total_qty")
+    )

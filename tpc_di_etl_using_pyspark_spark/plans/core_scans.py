@@ -253,3 +253,52 @@ def scan_orc(spark: SparkSession, d: str) -> DataFrame:
     path = _scratch(d, "nation_orc")
     t(spark, d, "nation").write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@_op(
+    "scan_csv_malformed",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+              CAST(5 AS BIGINT) AS n_corrupt
+       FROM nation""",
+)
+def scan_csv_malformed(spark: SparkSession, d: str) -> DataFrame:
+    """PERMISSIVE schema-on-read [SPEC: DQ rules route bad source rows
+    to DImessages, not to job failure]: a CSV with 5 deliberately
+    malformed lines parses into typed rows + a corrupt-record column;
+    the op reports good/corrupt counts. At scale this is the difference
+    between quarantining bad records and losing the batch."""
+    path = _scratch(d, "nation_malformed")
+    n = t(spark, d, "nation")
+    good = n.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    )
+    bad = spark.range(5).select(
+        F.concat(F.lit("not_an_int|MALFORMED_"), F.col("id").cast("string")).alias(
+            "value"
+        )
+    )
+    good.unionByName(bad).write.mode("overwrite").text(path)
+    schema = (
+        "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+    )
+    parsed = spark.read.csv(
+        path,
+        sep="|",
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    # Spark refuses plans referencing ONLY the corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # parsed data column in the same aggregate satisfies the rule
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull() & F.col("n_nationkey").isNotNull(), 1)).alias(
+            "n_good"
+        ),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+    )
