@@ -75,9 +75,82 @@ def _canon(v):
     return str(v)
 
 
+def _coarse_spark_type(dt: str) -> str:
+    """Collapse a Spark dtype string to a value-representation class."""
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("struct"):
+        return "struct"
+    if dt.startswith("map"):
+        return "map"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return dt  # string / boolean / date / binary / void
+
+
+def _coarse_arrow_type(at) -> str:
+    """Collapse a pyarrow DataType to the same classes as above."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"
+    if pa.types.is_boolean(at):
+        return "boolean"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return "binary"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return "list"
+    if pa.types.is_struct(at):
+        return "struct"
+    if pa.types.is_map(at):
+        return "map"
+    return str(at)
+
+
+def assert_type_parity(spark_df, duck_con, sql: str, op: str):
+    """The driver's value hash is representation-sensitive: a DuckDB
+    HUGEINT (SUM over integers → Arrow decimal128) hashes differently
+    from a Spark BIGINT even when every value is identical
+    (round-1 agg_conditional failure). Compare the DuckDB Arrow result
+    schema against Spark dtypes at the value-representation level so
+    local green implies driver green for this whole bug class.
+    """
+    arrow_schema = duck_con.execute(sql).arrow().schema
+    d_types = {f.name: _coarse_arrow_type(f.type) for f in arrow_schema}
+    s_types = {c: _coarse_spark_type(dt) for c, dt in spark_df.dtypes}
+    mismatches = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
+    assert not mismatches, (
+        f"{op}: value-representation type mismatch (spark, duck) = "
+        f"{mismatches} — the driver hash WILL fail on these even with "
+        f"identical values; CAST the oracle column (e.g. HUGEINT → "
+        f"CAST(... AS BIGINT))"
+    )
+
+
 def assert_parity(spark_df, duck_con, sql: str, op: str):
     """Mirror of the driver's compare: sort columns by name, canonical
-    cells, order-insensitive row multiset equality."""
+    cells, order-insensitive row multiset equality — plus a
+    value-representation type check (see assert_type_parity)."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(row) for row in spark_df.collect()]
 
@@ -88,6 +161,7 @@ def assert_parity(spark_df, duck_con, sql: str, op: str):
     assert sorted(s_cols) == sorted(d_cols), (
         f"{op}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    assert_type_parity(spark_df, duck_con, sql, op)
     assert len(s_rows) == len(d_rows), (
         f"{op}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )

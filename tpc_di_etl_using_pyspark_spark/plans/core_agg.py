@@ -110,10 +110,12 @@ def agg_approx_count_distinct(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "agg_conditional",
     """SELECT o_orderstatus,
-              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-              SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS n_other
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_urgent,
+              CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_high,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_other
        FROM orders GROUP BY o_orderstatus""",
 )
 def agg_conditional(spark: SparkSession, d: str) -> DataFrame:
@@ -274,11 +276,16 @@ def agg_percentile(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "agg_pivot",
     """SELECT o_orderstatus,
-              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-              SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-              SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-              SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS unspecified,
-              SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS urgent,
+              CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS high,
+              CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS medium,
+              CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS unspecified,
+              CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS low
        FROM orders GROUP BY o_orderstatus""",
 )
 def agg_pivot(spark: SparkSession, d: str) -> DataFrame:
@@ -370,7 +377,7 @@ def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
     """SELECT o_orderstatus,
               bool_and(o_totalprice > 1000) AS all_over_1k,
               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-              count_if(o_totalprice > 100000) AS n_large
+              CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large
        FROM orders GROUP BY o_orderstatus""",
 )
 def agg_bool(spark: SparkSession, d: str) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import dround, sql_dround, t
+from ._util import DEC, dround, sql_dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -388,23 +388,28 @@ def array_ops(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "array_fold_dot",
     f"""SELECT vec_id,
-              {sql_dround('SUM(x * x)', 6)} AS norm_sq,
-              {sql_dround('sqrt(SUM(x * x))', 6)} AS l2_norm
+              CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS norm_sq,
+              {sql_dround('sqrt(SUM(CAST(x * x AS DECIMAL(25,6))))', 6)} AS l2_norm
        FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
        GROUP BY vec_id""",
 )
 def array_fold_dot(spark: SparkSession, d: str) -> DataFrame:
     """Dot/norm via higher-order functions — no UDF, stays in codegen.
-    Sum order differs across engines → round(6) (error ~1e-15)."""
+    Each squared term is cast to DECIMAL(25,6) before the fold (the
+    repo's dsum invariant) so the accumulation is exact and
+    order-independent on both engines — raw double sums accumulate in
+    engine-specific order and can round apart at the 6th decimal."""
     e = t(spark, d, "embeddings")
     ad = F.transform("embedding", lambda x: x.cast("double"))
     dot = F.aggregate(
-        F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        F.zip_with(ad, ad, lambda x, y: x * y),
+        F.lit(0).cast(DEC),
+        lambda s, x: (s + x.cast(DEC)).cast(DEC),
     )
     return e.select(
         "vec_id",
-        dround(dot, 6).alias("norm_sq"),
-        dround(F.sqrt(dot), 6).alias("l2_norm"),
+        dot.cast("double").alias("norm_sq"),
+        dround(F.sqrt(dot.cast("double")), 6).alias("l2_norm"),
     )
 
 

@@ -180,7 +180,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "stream_stateful_totals",
     """SELECT user_id, COUNT(*) AS n_events,
-              SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+              CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micro
        FROM events GROUP BY user_id""",
 )
 def stream_stateful_totals(spark: SparkSession, d: str) -> DataFrame:
