@@ -42,12 +42,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return per_doc.select(id_col, fp.alias("simhash"))
 
 
-def _chunk(col, i: int):
-    return F.shiftrightunsigned(col, i * 16).bitwiseAND(F.lit(0xFFFF))
+def _chunk(col, i: int, chunk_bits: int = 16):
+    return F.shiftrightunsigned(col, i * chunk_bits).bitwiseAND(
+        F.lit((1 << chunk_bits) - 1)
+    )
 
 
 def hamming(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def _chunked(fp: DataFrame, id_col: str, chunk_bits: int) -> DataFrame:
+    """One row per (doc, chunk): the fingerprint split into 64/chunk_bits
+    equal bit slices. By pigeonhole, two fingerprints within Hamming
+    distance (64/chunk_bits − 1) agree exactly on ≥1 slice, so a
+    self-join keyed on (chunk_idx, chunk) finds every such pair without
+    a cartesian product. chunk_bits is the recall/cost knob: narrower
+    slices catch larger Hamming radii but make bigger join buckets.
+    """
+    n_chunks = 64 // chunk_bits
+    return fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_idx"),
+                    _chunk(F.col("simhash"), i, chunk_bits).alias("chunk"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
 
 
 def simhash_near_dups(
@@ -55,19 +86,15 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    chunk_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs (doc_a < doc_b, hamming ≤ max_hamming)."""
-    fp = simhash(df, id_col, text_col)
-    chunks = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("chunk_idx"), _chunk(F.col("simhash"), i).alias("chunk"))
-                for i in range(4)
-            ])
-        ).alias("c"),
-    ).select(id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    """Near-dup pairs (doc_a < doc_b, hamming ≤ max_hamming).
+
+    Complete (finds every qualifying pair) only while
+    max_hamming < 64/chunk_bits; beyond that the blocking can miss a
+    pair whose differing bits spread across every slice.
+    """
+    chunks = _chunked(simhash(df, id_col, text_col), id_col, chunk_bits)
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
     )
@@ -80,4 +107,24 @@ def simhash_near_dups(
         .select("doc_a", "doc_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) agreeing on ≥1 fingerprint slice —
+    simhash as the candidate generator for an exact verify stage
+    (8-bit slices ⇒ complete for Hamming ≤ 7)."""
+    chunks = _chunked(simhash(df, id_col, text_col), id_col, chunk_bits)
+    a = chunks.select(F.col(id_col).alias("doc_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("doc_b"), "chunk_idx", "chunk")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
     )

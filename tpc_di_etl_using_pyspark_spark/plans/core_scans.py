@@ -9,7 +9,6 @@ the DuckDB oracle — a stronger check than rows-only.
 from __future__ import annotations
 
 import os
-import xml.sax.saxutils as _sax
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -128,27 +127,44 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
     bounded); the mapInPandas ElementTree flatten must reproduce one
     typed row per Action.
     """
-    path = _scratch(d, "customer_mgmt") + ".xml"
-    rows = (
-        t(spark, d, "customer")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-        .collect()
+    path = _scratch(d, "customer_mgmt_xml")
+    # Fixture generation is fully distributed: each of 8 hash buckets
+    # aggregates its rows into one well-formed <Actions> document and
+    # write.text emits them in parallel — no driver-side collect, so
+    # the generator itself survives a 100× dimension scale-up (TPC-DI
+    # ships one CustomerMgmt.xml per batch; bucket ≈ batch here).
+    cust = t(spark, d, "customer").select("c_custkey", "c_name")
+    esc = F.col("c_name")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    a_type = F.element_at(
+        F.array(F.lit("NEW"), F.lit("UPDCUST"), F.lit("ADDACCT")),
+        (F.col("c_custkey") % 3 + 1).cast("int"),
     )
-    actions = []
-    for r in rows:
-        a_type = ["NEW", "UPDCUST", "ADDACCT"][r.c_custkey % 3]
-        name = _sax.escape(r.c_name, {'"': "&quot;"})
-        actions.append(
-            f'<Action type="{a_type}" ts="2015-01-01T00:00:00">'
-            f'<Customer id="{r.c_custkey}" taxId="T{r.c_custkey:09d}">'
-            f'<Name last="{name}"/>'
-            f'<Account id="{r.c_custkey * 10}" taxStatus="{r.c_custkey % 3}"/>'
-            f"</Customer></Action>"
+    elem = F.concat(
+        F.lit('<Action type="'), a_type, F.lit('" ts="2015-01-01T00:00:00">'),
+        F.lit('<Customer id="'), F.col("c_custkey").cast("string"),
+        F.lit('" taxId="T'), F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+        F.lit('"><Name last="'), esc, F.lit('"/>'),
+        F.lit('<Account id="'), (F.col("c_custkey") * 10).cast("string"),
+        F.lit('" taxStatus="'), (F.col("c_custkey") % 3).cast("string"),
+        F.lit('"/></Customer></Action>'),
+    )
+    (
+        cust.select((F.col("c_custkey") % 8).alias("bucket"), elem.alias("elem"))
+        .groupBy("bucket")
+        .agg(
+            F.concat(
+                F.lit("<Actions>"),
+                F.concat_ws("", F.collect_list("elem")),
+                F.lit("</Actions>"),
+            ).alias("doc")
         )
-    with open(path, "w") as f:
-        f.write("<Actions>" + "".join(actions) + "</Actions>")
-    flat = flatten_customer_mgmt(spark, path)
+        .write.mode("overwrite")
+        .partitionBy("bucket")  # one file per bucket → one XML doc per file
+        .text(path)
+    )
+    flat = flatten_customer_mgmt(spark, path + "/bucket=*/part-*")
     return flat.select("action_type", "c_id", "c_last", "acct_id", "acct_tax_status")
 
 

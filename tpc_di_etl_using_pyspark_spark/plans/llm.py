@@ -110,8 +110,13 @@ def text_stats(spark: SparkSession, d: str) -> DataFrame:
         JOIN dfreq ON tf.word = dfreq.word""",
 )
 def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
-    """TF-IDF without MLlib: two keyed aggregations + broadcast joins —
-    at scale the doc-frequency side is tiny (vocab) and broadcast."""
+    """TF-IDF without MLlib: two keyed aggregations + joins.
+
+    The doc-frequency relation is one row per distinct token — at
+    web-corpus scale that's 10⁸+ rows, so it must NOT carry a broadcast
+    hint (a forced broadcast OOMs the driver); the join stays unhinted
+    and AQE picks broadcast vs shuffle from the measured size. Only the
+    1-row corpus count is explicitly broadcast."""
     doc = t(spark, d, "documents")
     w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -125,7 +130,7 @@ def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
     )
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "word")
+        .join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "word", dround(tfidf, 6).alias("tfidf"))
     )
@@ -394,11 +399,37 @@ def dedup_exact_hash(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@_op("dedup_minhash_lsh")  # rows-only: band-bucket candidates depend on hash seeds
+# Exact all-pairs 3-gram Jaccard ≥ 0.5 — the ground truth both hash-based
+# near-dup ops must reproduce. The Spark ops use LSH banding / simhash
+# chunk blocking ONLY as candidate generators and verify every candidate
+# with exact Jaccard, so when the candidate stage has full recall on the
+# qualifying pairs (asserted in tests/test_llm.py) the output equals this
+# quadratic oracle. The oracle is O(n²)-by-shared-gram — fine for DuckDB
+# at fixture scale, exactly what the bucketed Spark plans avoid at 100 TB.
+_NEARDUP_EXACT_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       {sql_dround('n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)', 6)} AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@_op("dedup_minhash_lsh", _NEARDUP_EXACT_SQL)
 def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (3-word shingles, 32 hashes, 8 bands,
-    Jaccard ≥ 0.5 verified exactly). Invariants tested in
-    tests/test_llm.py (LSH pairs ⊆ exact-Jaccard pairs). 3-word
+    Jaccard ≥ 0.5 verified exactly). The exact-verify stage makes the
+    output equal to the brute-force oracle whenever banding recall is
+    full (tests/test_llm.py asserts it on the fixtures). 3-word
     shingles keep the shingle sets discriminative on a shared-vocab
     corpus — unigrams make nearly every doc pair a candidate."""
     doc = t(spark, d, "documents")
@@ -407,12 +438,21 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
-@_op("dedup_simhash")  # rows-only: fingerprint depends on xxhash64
+@_op("dedup_simhash", _NEARDUP_EXACT_SQL)
 def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, Hamming ≤ 12 — loose bound so
-    the shared-vocab fixture yields candidates)."""
+    """SimHash near-dup pairs: 64-bit fingerprints, 8-bit chunk blocking
+    (complete for Hamming ≤ 7), then exact 3-gram Jaccard ≥ 0.5 on the
+    candidates only. Same verified-candidates contract as
+    dedup_minhash_lsh, different (cheaper, denser) candidate generator."""
+    from ..llm.minhash import jaccard_verify, shingles
+    from ..llm.simhash import simhash_candidate_pairs
+
     doc = t(spark, d, "documents")
-    return simhash_near_dups(doc, "doc_id", "text", max_hamming=12)
+    cand = simhash_candidate_pairs(doc, "doc_id", "text", chunk_bits=8)
+    sh = shingles(doc, "doc_id", "text", k=3)  # jaccard_verify set-dedups
+    return jaccard_verify(cand, sh, "doc_id", threshold=0.5).select(
+        "doc_a", "doc_b", dround("jaccard", 6).alias("jaccard")
+    )
 
 
 _NGRAM_SQL = """
@@ -482,6 +522,47 @@ def _sql_cos(vec_expr: str, q_expr: str) -> str:
         f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) * "
         f"sqrt(list_dot_product({q_expr}, {q_expr})))"
     )
+
+
+def _ivf_probe_sql(n_cells: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Oracle for the IVF probe: the pseudo-centroids are deterministic
+    rational constants, so the oracle replays the exact same cell
+    assignment (argmax of dot vs each centroid, first-max-wins like the
+    Spark fold's strict-greater update), probes the query's cell, and
+    ranks by the shared rounded-cosine contract. repr() float literals
+    round-trip, so both engines score identical doubles."""
+    from ..llm.similarity import ivf_centroids, query_vector
+
+    cents = ivf_centroids(n_cells, dim)
+    qvec = query_vector(dim)
+    qcell = max(range(n_cells), key=lambda c: sum(x * y for x, y in zip(cents[c], qvec)))
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    dot_cols = ",\n       ".join(
+        f"list_dot_product(v, {lit(cents[c])}) AS d{c}" for c in range(n_cells)
+    )
+    cases = "\n            ".join(
+        "WHEN "
+        + " AND ".join(f"d{c} >= d{o}" for o in range(n_cells) if o != c)
+        + f" THEN {c}"
+        for c in range(n_cells)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v,
+       {dot_cols}
+      FROM v),
+a AS (SELECT vec_id, v,
+             CASE {cases} END AS cell
+      FROM d)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       CAST(ROUND(CAST({_sql_cos('v', lit(qvec))} AS DECIMAL(25,6)), 6) AS DOUBLE)
+         AS cos_sim
+FROM a WHERE cell = {qcell}
+ORDER BY cos_sim DESC, vec_id LIMIT {k}
+"""
 
 
 @_op(
@@ -593,10 +674,13 @@ def dedup_semantic_cluster(spark: SparkSession, d: str) -> DataFrame:
     ).select("vec_id", F.coalesce("component", "vec_id").alias("component"))
 
 
-@_op("sim_ivf_topk")  # rows-only: ANN recall < 1 by construction
+@_op("sim_ivf_topk", _ivf_probe_sql())
 def sim_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     """IVF-bucketed ANN top-k (probe nearest pseudo-centroid cell);
-    recall vs brute force asserted in tests/test_llm.py."""
+    recall vs brute force asserted in tests/test_llm.py. The centroids
+    are deterministic constants, so the probe is exactly reproducible
+    in SQL (see _ivf_probe_sql) — the ANN approximation is vs brute
+    force, not vs the oracle."""
     e = t(spark, d, "embeddings")
     return ivf_topk(e, query_vector(64), k=10, n_cells=8)
 
@@ -977,7 +1061,7 @@ def text_length_histogram(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@_op("sim_ivf_index_partitioned")  # rows-only: ANN (recall<1, centroid-dependent)
+@_op("sim_ivf_index_partitioned", _ivf_probe_sql())
 def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
     """IVF index at rest: cell assignments written `partitionBy(cell)`,
     probe reads ONLY the query's cell directory (partition pruning —

@@ -413,18 +413,29 @@ def array_fold_dot(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@_op("map_ops")  # rows-only: map columns don't round-trip the oracle hash
+@_op(
+    "map_ops",
+    """SELECT doc_id, 'lang' AS meta_key, lang AS meta_value,
+              lang AS lang_via_map, 2 AS n_keys
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'source', source, lang, 2 FROM documents""",
+)
 def map_ops(spark: SparkSession, d: str) -> DataFrame:
-    """Map column build/lookup (rows-only: map ordering) [EXT]."""
+    """Map column build/lookup/explode [EXT]. A map column itself
+    doesn't hash portably across engines (entry order), so the query
+    certifies the map machinery through its observable surface:
+    exploded entries (order-free multiset), a key lookup, and the map
+    size — all deterministic rows the SQL oracle reproduces."""
     doc = t(spark, d, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
     )
     return doc.select(
         "doc_id",
-        m.alias("meta"),
-        F.map_keys(m).alias("meta_keys"),
+        F.explode(m).alias("meta_key", "meta_value"),
         F.element_at(m, "lang").alias("lang_via_map"),
+        F.size(m).alias("n_keys"),
     )
 
 
