@@ -24,7 +24,8 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # Headline set: one representative per major cost shape (scan+agg,
 # broadcast star join, temporal range join, window range frame, keyed
 # dedup, top-k, tf-idf fan-out, LSH dedup, sessionization, running
-# balance, vector top-k).
+# balance, vector top-k, trade-stream holdings, iterative connected
+# components, end-to-end corpus curation, FINWIRE SCD2 warehouse build).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -37,6 +38,10 @@ HEADLINE = [
     "stream_session_window",
     "tpcdi_fact_cash_balances",
     "sim_cosine_topk",
+    "tpcdi_fact_holdings",
+    "dedup_cluster_cc",
+    "pipeline_corpus_curation",
+    "tpcdi_dim_security",
 ]
 
 RUNS = 3

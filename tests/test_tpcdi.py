@@ -266,3 +266,78 @@ def test_scd2_incremental_rejects_late_batch(spark, sf_dir):
         scd2_apply_incremental(
             dim, late_batch, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey"
         )
+
+
+def test_finwire_warehouse_tables(spark, sf_dir):
+    """The FINWIRE-derived warehouse tables honor the spec invariants:
+    valid SCD2 intervals, every security/financial row resolved to the
+    company version valid at its date, full quarter coverage."""
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import (
+        tpcdi_dim_company,
+        tpcdi_dim_security,
+        tpcdi_financial,
+    )
+
+    comp = tpcdi_dim_company(spark, sf_dir)
+    assert scd2_validate(comp, "cik").count() == 0
+    n_supp = t(spark, sf_dir, "supplier").count()
+    assert comp.filter("is_current").count() == n_supp
+
+    sec = tpcdi_dim_security(spark, sf_dir)
+    assert scd2_validate(sec, "symbol").count() == 0
+    # every action date falls inside its resolved company version
+    bad = sec.filter(
+        F.col("sk_company").isNotNull()
+    ).join(
+        comp.select(
+            F.col("sk").alias("sk_company"),
+            F.col("effective_date").alias("c_eff"),
+            F.col("end_date").alias("c_end"),
+        ),
+        "sk_company",
+    ).filter(
+        (F.col("effective_date") < F.col("c_eff"))
+        | (F.col("effective_date") >= F.col("c_end"))
+    )
+    assert bad.count() == 0
+
+    fin = tpcdi_financial(spark, sf_dir)
+    assert fin.count() == 8 * n_supp
+    assert fin.groupBy("cik").count().filter("count != 8").count() == 0
+
+
+def test_fact_watches_and_dimaccount_semantics(spark, sf_dir):
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import (
+        tpcdi_fact_watches,
+        tpcdi_scd2_dimaccount,
+    )
+
+    w = tpcdi_fact_watches(spark, sf_dir)
+    # a removed watch is removed at/after placement; active ⇔ no removal
+    assert w.filter(
+        F.col("date_removed").isNotNull()
+        & (F.col("date_removed") < F.col("date_placed"))
+    ).count() == 0
+    assert w.filter(F.col("is_active") != F.col("date_removed").isNull()).count() == 0
+
+    acct = tpcdi_scd2_dimaccount(spark, sf_dir)
+    assert scd2_validate(acct, "account_id").count() == 0
+    assert acct.filter(
+        (F.col("version") == 1) & (F.col("action_type") != "ADDACCT")
+    ).count() == 0
+    assert acct.filter(
+        (F.col("version") > 1)
+        & (F.col("status") == "CLSD")
+        & (F.col("action_type") != "CLOSEACCT")
+    ).count() == 0
+    # consecutive versions differ in a tracked attribute (change filter)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("account_id").orderBy("version")
+    lagged = acct.withColumn(
+        "_p", F.lag(F.struct("status", "tax_status")).over(win)
+    )
+    assert lagged.filter(
+        F.col("_p").isNotNull()
+        & (F.struct("status", "tax_status") == F.col("_p"))
+    ).count() == 0

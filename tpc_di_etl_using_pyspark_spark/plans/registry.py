@@ -24,6 +24,70 @@ _MODULES = [
     "tpcdi_ops",
 ]
 
+# Certification window rotation: the external driver checks the first
+# ~50 registry entries per round, so the ops most in need of fresh
+# correctness evidence are listed first — everything else follows in
+# module order. Round 2: the round-1 type-bug fixes, the restructured
+# formerly-rows-only ops, the new FINWIRE warehouse tables, all window
+# functions, the TPC-DI family, and the headline LLM-pipeline ops.
+# (Rotate this list next round: scalars → streaming → udfs → core.)
+_PRIORITY = [
+    # round-1 red/unchecked aggregates, now type-fixed / self-verifying
+    "agg_conditional",
+    "agg_pivot",
+    "agg_bool",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    # formerly rows-only, now exactly SQL-oracled
+    "map_ops",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    "sim_ivf_index_partitioned",
+    # new FINWIRE / warehouse tables (round 2)
+    "tpcdi_dim_company",
+    "tpcdi_dim_security",
+    "tpcdi_financial",
+    "tpcdi_dim_broker",
+    "tpcdi_fact_watches",
+    "tpcdi_scd2_dimaccount",
+    # window family (never driver-checked in round 1)
+    "win_row_number",
+    "win_rank_dense",
+    "win_lead_scd2",
+    "win_lag_change",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_52wk",
+    "win_first_last_value",
+    "win_ntile_pct",
+    "win_cume_dist",
+    "win_forward_fill",
+    "win_ratio_total",
+    "win_nth_value",
+    "win_streaks",
+    # TPC-DI family (never driver-checked in round 1)
+    "tpcdi_scd2_dimcustomer",
+    "tpcdi_scd2_incremental",
+    "tpcdi_fact_cash_balances",
+    "tpcdi_cdc_apply",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_fact_market_history",
+    "tpcdi_prospect_match",
+    "tpcdi_fact_holdings",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dim_trade",
+    "tpcdi_dimessages",
+    # headline LLM-pipeline ops
+    "text_tfidf",
+    "sim_cosine_topk",
+    "dedup_cluster_cc",
+    "pipeline_corpus_curation",
+    "text_label_quality",
+    "dedup_exact_hash",
+]
+
 
 def _collect() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -38,7 +102,12 @@ def _collect() -> tuple[dict, dict]:
                 raise ValueError(f"duplicate op id {k!r} in {mod_name}")
             queries[k] = v
         oracles.update(mod.ORACLES)
-    return queries, oracles
+    missing = [k for k in _PRIORITY if k not in queries]
+    if missing:
+        raise ValueError(f"_PRIORITY names unknown ops: {missing}")
+    ordered = {k: queries[k] for k in _PRIORITY}
+    ordered.update({k: v for k, v in queries.items() if k not in ordered})
+    return ordered, oracles
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

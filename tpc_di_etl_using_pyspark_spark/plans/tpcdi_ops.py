@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..schemas import FINWIRE_CMP_LAYOUT, FINWIRE_FIN_LAYOUT, FINWIRE_SEC_LAYOUT
+from ..sources.fixedwidth import read_fixed_width
 from ..tpcdi.pipeline import (
     batch_validation,
     cdc_apply,
@@ -16,7 +18,10 @@ from ..tpcdi.pipeline import (
     fact_market_history,
     scd2_apply_incremental,
     scd2_build,
+    scd2_change_filter,
+    surrogate_lookup,
 )
+from .core_scans import _scratch
 from ._util import epoch_s, sql_epoch_s, t
 
 QUERIES = {}
@@ -537,4 +542,451 @@ def events_retention(spark: SparkSession, d: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_active"),
             F.countDistinct("b_user").alias("n_retained"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# FINWIRE-derived warehouse tables [SPEC: FINWIRE → DimCompany /
+# DimSecurity / Financial]. The fixture is one mixed-rectype FINWIRE
+# file generated distributively from supplier/part (no driver collect),
+# so every op exercises the real multi-record discriminator scan before
+# its build. Oracles re-derive the same rows straight from the base
+# tables.
+# --------------------------------------------------------------------------
+
+
+def _finwire_fixture(spark: SparkSession, d: str) -> str:
+    """Write the mixed CMP/SEC/FIN fixed-width file; returns its path.
+
+    CMP: one ACTV record per supplier (2010-01-01) plus an INAC update
+    for every 3rd supplier (2011-04-01) — two SCD2 versions.
+    SEC: one ACTV record per part (2010-07-01) plus an INAC update for
+    every 4th part (2011-07-01); company link cik = partkey % n_supp + 1.
+    FIN: 8 quarters (2010Q1..2011Q4) per supplier with deterministic
+    integer measures.
+    """
+    path = _scratch(d, "finwire")
+    sup = t(spark, d, "supplier")
+    prt = t(spark, d, "part")
+    n_supp = sup.agg(F.count(F.lit(1)).alias("n_supp"))
+
+    name60 = F.rpad(F.rtrim(F.substring("s_name", 1, 60)), 60, " ")
+    industry = F.lpad((F.col("s_suppkey") % 10).cast("string"), 2, "0")
+
+    def cmp_line(pts: str, status: str):
+        return F.concat(
+            F.lit(pts), F.lit("CMP"), name60,
+            F.lpad(F.col("s_suppkey").cast("string"), 10, "0"),
+            F.lit(status), industry, F.lit("19900101"),
+        ).alias("value")
+
+    cmp1 = sup.select(cmp_line("20100101-120000", "ACTV"))
+    cmp2 = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        cmp_line("20110401-120000", "INAC")
+    )
+
+    pw = prt.crossJoin(F.broadcast(n_supp))
+    cik = F.col("p_partkey") % F.col("n_supp") + 1
+    symbol15 = F.rpad(
+        F.concat(F.lit("S"), F.lpad(F.col("p_partkey").cast("string"), 8, "0")), 15, " "
+    )
+    issue6 = F.rpad(F.when(F.col("p_partkey") % 2 == 0, "CS").otherwise("PS"), 6, " ")
+    name70 = F.rpad(F.rtrim(F.substring("p_name", 1, 70)), 70, " ")
+    ex6 = F.rpad(
+        F.when(F.col("p_partkey") % 2 == 0, "NYSE").otherwise("NASDQ"), 6, " "
+    )
+    sh13 = F.lpad((F.col("p_partkey") * 100 + 7).cast("string"), 13, "0")
+    co60 = F.rpad(F.lpad(cik.cast("string"), 10, "0"), 60, " ")
+
+    def sec_line(pts: str, status: str):
+        return F.concat(
+            F.lit(pts), F.lit("SEC"), symbol15, issue6, F.lit(status),
+            name70, ex6, sh13, co60,
+        ).alias("value")
+
+    sec1 = pw.select(sec_line("20100701-120000", "ACTV"))
+    sec2 = pw.filter(F.col("p_partkey") % 4 == 0).select(
+        sec_line("20110701-120000", "INAC")
+    )
+
+    sq = sup.select(
+        "s_suppkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i")
+    )
+    year = (F.lit(2010) + F.expr("i div 4")).cast("int")
+    qstart = F.make_date(year, (F.col("i") % 4) * 3 + 1, F.lit(1))
+    fin = sq.select(
+        F.concat(
+            F.date_format(qstart, "yyyyMMdd"), F.lit("-120000"), F.lit("FIN"),
+            year.cast("string"),
+            (F.col("i") % 4 + 1).cast("string"),
+            F.date_format(qstart, "yyyyMMdd"),
+            F.lpad((F.col("s_suppkey") * 1000 + F.col("i")).cast("string"), 17, "0"),
+            F.lpad((F.col("s_suppkey") * 500 + F.col("i")).cast("string"), 17, "0"),
+            F.lpad((F.col("s_suppkey") % 50).cast("string"), 12, "0"),
+            F.rpad(F.lpad(F.col("s_suppkey").cast("string"), 10, "0"), 60, " "),
+        ).alias("value")
+    )
+
+    lines = cmp1.unionByName(cmp2).unionByName(sec1).unionByName(sec2).unionByName(fin)
+    lines.write.mode("overwrite").text(path)
+    return path
+
+
+# Rewriting the fixture invalidates the file listing of any frame still
+# lazy over the previous write (overwrite = new part-file names), so the
+# deterministic fixture is written at most once per path per process.
+_FINWIRE_WRITTEN: set[str] = set()
+
+
+def _finwire_frames(spark: SparkSession, d: str) -> dict:
+    if d not in _FINWIRE_WRITTEN:
+        _finwire_fixture(spark, d)
+        _FINWIRE_WRITTEN.add(d)
+    path = _scratch(d, "finwire")
+    return read_fixed_width(
+        spark,
+        path,
+        {
+            "CMP": FINWIRE_CMP_LAYOUT,
+            "SEC": FINWIRE_SEC_LAYOUT,
+            "FIN": FINWIRE_FIN_LAYOUT,
+        },
+    )
+
+
+def _company_dim_from(cmp: DataFrame) -> DataFrame:
+    """FINWIRE CMP frame → SCD2 DimCompany (shared by three ops)."""
+    actions = cmp.select(
+        F.col("cik").cast("bigint").alias("cik"),
+        "company_name",
+        "status",
+        "industry_id",
+        F.to_date(F.substring("pts", 1, 8), "yyyyMMdd").alias("eff"),
+    )
+    return scd2_build(
+        actions, "cik", "eff", ["company_name", "status", "industry_id"], "status"
+    )
+
+
+_COMPANY_CTES = """
+comp_actions AS (
+  SELECT s_suppkey AS cik, rtrim(substring(s_name, 1, 60)) AS company_name,
+         'ACTV' AS status,
+         lpad(CAST(s_suppkey % 10 AS VARCHAR), 2, '0') AS industry_id,
+         DATE '2010-01-01' AS eff
+  FROM supplier
+  UNION ALL
+  SELECT s_suppkey, rtrim(substring(s_name, 1, 60)), 'INAC',
+         lpad(CAST(s_suppkey % 10 AS VARCHAR), 2, '0'), DATE '2011-04-01'
+  FROM supplier WHERE s_suppkey % 3 = 0),
+dim_company AS (
+  SELECT CAST(cik AS VARCHAR) || '-' || CAST(ROW_NUMBER() OVER wc AS VARCHAR) AS sk,
+         CAST(ROW_NUMBER() OVER wc AS INTEGER) AS version,
+         cik, company_name, status, industry_id,
+         eff AS effective_date,
+         COALESCE(LEAD(eff) OVER wc, DATE '9999-12-31') AS end_date,
+         (LEAD(eff) OVER wc IS NULL) AS is_current
+  FROM comp_actions
+  WINDOW wc AS (PARTITION BY cik ORDER BY eff, status))
+"""
+
+
+@_op(
+    "tpcdi_dim_company",
+    f"WITH {_COMPANY_CTES} SELECT * FROM dim_company",
+)
+def tpcdi_dim_company(spark: SparkSession, d: str) -> DataFrame:
+    """DimCompany [SPEC: FINWIRE CMP → SCD2 company history]: parse the
+    mixed FINWIRE file, slice the CMP layout, history-track by CIK."""
+    return _company_dim_from(_finwire_frames(spark, d)["CMP"])
+
+
+@_op(
+    "tpcdi_dim_security",
+    f"""WITH {_COMPANY_CTES},
+n AS (SELECT COUNT(*) AS n_supp FROM supplier),
+sec_actions AS (
+  SELECT 'S' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS symbol,
+         rtrim(substring(p_name, 1, 70)) AS name,
+         CASE WHEN p_partkey % 2 = 0 THEN 'CS' ELSE 'PS' END AS issue_type,
+         'ACTV' AS status,
+         CASE WHEN p_partkey % 2 = 0 THEN 'NYSE' ELSE 'NASDQ' END AS ex_id,
+         p_partkey * 100 + 7 AS sh_out,
+         p_partkey % n.n_supp + 1 AS cik,
+         DATE '2010-07-01' AS eff
+  FROM part, n
+  UNION ALL
+  SELECT 'S' || lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+         rtrim(substring(p_name, 1, 70)),
+         CASE WHEN p_partkey % 2 = 0 THEN 'CS' ELSE 'PS' END,
+         'INAC',
+         CASE WHEN p_partkey % 2 = 0 THEN 'NYSE' ELSE 'NASDQ' END,
+         p_partkey * 100 + 7, p_partkey % n.n_supp + 1, DATE '2011-07-01'
+  FROM part, n WHERE p_partkey % 4 = 0),
+resolved AS (
+  SELECT s.*, c.sk AS sk_company
+  FROM sec_actions s LEFT JOIN dim_company c
+    ON s.cik = c.cik AND s.eff >= c.effective_date
+   AND (s.eff < c.end_date OR c.is_current))
+SELECT CAST(symbol AS VARCHAR) || '-' || CAST(ROW_NUMBER() OVER ws AS VARCHAR) AS sk,
+       CAST(ROW_NUMBER() OVER ws AS INTEGER) AS version,
+       symbol, name, issue_type, status, ex_id, sh_out, cik, sk_company,
+       eff AS effective_date,
+       COALESCE(LEAD(eff) OVER ws, DATE '9999-12-31') AS end_date,
+       (LEAD(eff) OVER ws IS NULL) AS is_current
+FROM resolved
+WINDOW ws AS (PARTITION BY symbol ORDER BY eff, status)""",
+)
+def tpcdi_dim_security(spark: SparkSession, d: str) -> DataFrame:
+    """DimSecurity [SPEC: FINWIRE SEC → SCD2 security history with the
+    company surrogate resolved per record date]: each SEC action looks
+    up the DimCompany SK valid at its PTS date (equi-join on CIK plus
+    date-range residual — sort-merge/broadcast, never nested-loop),
+    then the security history is SCD2-built by symbol."""
+    frames = _finwire_frames(spark, d)
+    sec = frames["SEC"]
+    comp = _company_dim_from(frames["CMP"])
+    actions = sec.select(
+        "symbol",
+        "name",
+        "issue_type",
+        "status",
+        "ex_id",
+        F.col("sh_out").cast("bigint").alias("sh_out"),
+        F.col("co_name_or_cik").cast("bigint").alias("cik"),
+        F.to_date(F.substring("pts", 1, 8), "yyyyMMdd").alias("eff"),
+    )
+    resolved = surrogate_lookup(actions, comp, "cik", "eff").withColumnRenamed(
+        "sk", "sk_company"
+    )
+    return scd2_build(
+        resolved,
+        "symbol",
+        "eff",
+        ["name", "issue_type", "status", "ex_id", "sh_out", "cik", "sk_company"],
+        "status",
+    )
+
+
+@_op(
+    "tpcdi_financial",
+    f"""WITH {_COMPANY_CTES},
+q AS (SELECT s_suppkey AS cik, CAST(r.i AS INTEGER) AS i
+      FROM supplier CROSS JOIN (SELECT unnest(range(8)) AS i) r),
+fin AS (SELECT cik,
+               CAST(2010 + i // 4 AS INTEGER) AS year,
+               CAST(i % 4 + 1 AS INTEGER) AS quarter,
+               make_date(2010 + i // 4, (i % 4) * 3 + 1, 1) AS qtr_start_date,
+               cik * 1000 + i AS revenue,
+               cik * 500 + i AS earnings,
+               cik % 50 AS eps
+        FROM q)
+SELECT c.sk AS sk_company, f.cik, f.year, f.quarter, f.qtr_start_date,
+       CAST(f.revenue AS BIGINT) AS revenue,
+       CAST(f.earnings AS BIGINT) AS earnings,
+       CAST(f.eps AS BIGINT) AS eps
+FROM fin f LEFT JOIN dim_company c
+  ON f.cik = c.cik AND f.qtr_start_date >= c.effective_date
+ AND (f.qtr_start_date < c.end_date OR c.is_current)""",
+)
+def tpcdi_financial(spark: SparkSession, d: str) -> DataFrame:
+    """Financial [SPEC: FINWIRE FIN → quarterly financials keyed by the
+    company SK valid at the quarter start]."""
+    frames = _finwire_frames(spark, d)
+    fin = frames["FIN"]
+    comp = _company_dim_from(frames["CMP"])
+    facts = fin.select(
+        F.col("co_name_or_cik").cast("bigint").alias("cik"),
+        F.col("year").cast("int").alias("year"),
+        F.col("quarter").cast("int").alias("quarter"),
+        F.to_date("qtr_start_date", "yyyyMMdd").alias("qtr_start_date"),
+        F.col("revenue").cast("bigint").alias("revenue"),
+        F.col("earnings").cast("bigint").alias("earnings"),
+        F.col("eps").cast("bigint").alias("eps"),
+    )
+    resolved = surrogate_lookup(facts, comp, "cik", "qtr_start_date")
+    return resolved.withColumnRenamed("sk", "sk_company").select(
+        "sk_company", "cik", "year", "quarter", "qtr_start_date",
+        "revenue", "earnings", "eps",
+    )
+
+
+@_op(
+    "tpcdi_dim_broker",
+    """WITH hr AS (
+  SELECT c_custkey AS employee_id, c_custkey // 10 AS manager_id,
+         CASE WHEN c_custkey % 5 < 2 THEN 314
+              ELSE CAST(520 + c_custkey % 3 AS INTEGER) END AS job_code,
+         c_name AS last_name,
+         'BR' || CAST(c_nationkey AS VARCHAR) AS branch,
+         'OF' || CAST(c_custkey % 7 AS VARCHAR) AS office,
+         '+1-' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') AS phone
+  FROM customer),
+rep AS (SELECT manager_id, COUNT(*) AS n FROM hr GROUP BY manager_id)
+SELECT h.employee_id AS broker_id, h.manager_id, h.last_name, h.branch,
+       h.office, h.phone, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_reports
+FROM hr h LEFT JOIN rep r ON r.manager_id = h.employee_id
+WHERE h.job_code = 314""",
+)
+def tpcdi_dim_broker(spark: SparkSession, d: str) -> DataFrame:
+    """DimBroker [SPEC: HR.csv → brokers (job code 314) with manager
+    hierarchy]: the HR extract round-trips a real CSV scratch file
+    (write + schema-on-read), brokers get their direct-report count via
+    a keyed self-aggregation — no driver-side hierarchy walk."""
+    path = _scratch(d, "hr_csv")
+    cust = t(spark, d, "customer")
+    job = (
+        F.when(F.col("c_custkey") % 5 < 2, 314)
+        .otherwise(520 + F.col("c_custkey") % 3)
+        .cast("int")
+    )
+    hr = cust.select(
+        F.col("c_custkey").alias("employee_id"),
+        F.expr("c_custkey div 10").alias("manager_id"),
+        job.alias("job_code"),
+        F.col("c_name").alias("last_name"),
+        F.concat(F.lit("BR"), F.col("c_nationkey").cast("string")).alias("branch"),
+        F.concat(F.lit("OF"), (F.col("c_custkey") % 7).cast("string")).alias("office"),
+        F.concat(
+            F.lit("+1-"),
+            F.lpad((F.col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"),
+        ).alias("phone"),
+    )
+    hr.write.mode("overwrite").csv(path, header=True)
+    hr2 = spark.read.csv(
+        path,
+        header=True,
+        schema=(
+            "employee_id bigint, manager_id bigint, job_code int, "
+            "last_name string, branch string, office string, phone string"
+        ),
+    )
+    # rename the grouped key before the self-join: both sides share the
+    # hr2 lineage and an unaliased manager_id is ambiguous to Spark
+    rep = (
+        hr2.groupBy("manager_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed("manager_id", "_mgr")
+    )
+    brokers = hr2.filter(F.col("job_code") == 314)
+    return brokers.join(
+        rep, brokers.employee_id == F.col("_mgr"), "left"
+    ).select(
+        F.col("employee_id").alias("broker_id"),
+        "manager_id",
+        "last_name",
+        "branch",
+        "office",
+        "phone",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_reports"),
+    )
+
+
+@_op(
+    "tpcdi_fact_watches",
+    """WITH w AS (
+  SELECT o_custkey AS c_id,
+         'SYM' || lpad(CAST(o_orderkey % 500 AS VARCHAR), 5, '0') AS symbol,
+         'ACTV' AS action, CAST(o_orderdate AS DATE) AS dt
+  FROM orders
+  UNION ALL
+  SELECT o_custkey,
+         'SYM' || lpad(CAST(o_orderkey % 500 AS VARCHAR), 5, '0'),
+         'CNCL', CAST(o_orderdate AS DATE) + 90
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT c_id, symbol,
+       MIN(CASE WHEN action = 'ACTV' THEN dt END) AS date_placed,
+       MAX(CASE WHEN action = 'CNCL' THEN dt END) AS date_removed,
+       (MAX(CASE WHEN action = 'CNCL' THEN dt END) IS NULL) AS is_active
+FROM w GROUP BY c_id, symbol""",
+)
+def tpcdi_fact_watches(spark: SparkSession, d: str) -> DataFrame:
+    """FactWatches [SPEC: WatchHistory W_ACTV/W_CNCL pairing → one row
+    per (customer, symbol) with placed/removed dates]: a single
+    conditional aggregation over the union of action streams — one
+    shuffle on the watch grain, no self-join."""
+    o = t(spark, d, "orders")
+    sym = F.concat(
+        F.lit("SYM"), F.lpad((F.col("o_orderkey") % 500).cast("string"), 5, "0")
+    )
+    actv = o.select(
+        F.col("o_custkey").alias("c_id"),
+        sym.alias("symbol"),
+        F.lit("ACTV").alias("action"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    )
+    cncl = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("c_id"),
+        sym.alias("symbol"),
+        F.lit("CNCL").alias("action"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("dt"),
+    )
+    return (
+        actv.unionByName(cncl)
+        .groupBy("c_id", "symbol")
+        .agg(
+            F.min(F.when(F.col("action") == "ACTV", F.col("dt"))).alias("date_placed"),
+            F.max(F.when(F.col("action") == "CNCL", F.col("dt"))).alias("date_removed"),
+        )
+        .withColumn("is_active", F.col("date_removed").isNull())
+    )
+
+
+@_op(
+    "tpcdi_scd2_dimaccount",
+    """WITH a AS (
+  SELECT o_custkey * 4 + o_orderkey % 4 AS account_id,
+         o_custkey AS customer_id,
+         CASE o_orderstatus WHEN 'O' THEN 'ACTV' WHEN 'P' THEN 'SUSP'
+              ELSE 'CLSD' END AS status,
+         CAST(o_orderkey % 3 AS INTEGER) AS tax_status,
+         CAST(o_orderdate AS DATE) AS eff, o_orderkey
+  FROM orders),
+ch AS (SELECT *, LAG(status) OVER w AS _ps, LAG(tax_status) OVER w AS _pt
+       FROM a WINDOW w AS (PARTITION BY account_id ORDER BY eff, o_orderkey)),
+f AS (SELECT account_id, customer_id, status, tax_status, eff, o_orderkey
+      FROM ch WHERE _ps IS NULL OR status != _ps OR tax_status != _pt)
+SELECT CAST(account_id AS VARCHAR) || '-' || CAST(ROW_NUMBER() OVER w2 AS VARCHAR) AS sk,
+       CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+       account_id, customer_id, status, tax_status,
+       eff AS effective_date,
+       COALESCE(LEAD(eff) OVER w2, DATE '9999-12-31') AS end_date,
+       (LEAD(eff) OVER w2 IS NULL) AS is_current,
+       CASE WHEN ROW_NUMBER() OVER w2 = 1 THEN 'ADDACCT'
+            WHEN status = 'CLSD' THEN 'CLOSEACCT'
+            ELSE 'UPDACCT' END AS action_type
+FROM f WINDOW w2 AS (PARTITION BY account_id ORDER BY eff, o_orderkey)""",
+)
+def tpcdi_scd2_dimaccount(spark: SparkSession, d: str) -> DataFrame:
+    """DimAccount [SPEC: CustomerMgmt ADDACCT/UPDACCT/CLOSEACCT → SCD2
+    account history]: the account action stream (orders-as-actions at
+    account grain, status mapped ACTV/SUSP/CLSD) flows through
+    scd2_change_filter (UPDACCT emits a version only on change) and
+    scd2_build; action_type labels each version's spec action."""
+    o = t(spark, d, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "ACTV")
+        .when(F.col("o_orderstatus") == "P", "SUSP")
+        .otherwise("CLSD")
+    )
+    actions = o.select(
+        (F.col("o_custkey") * 4 + F.col("o_orderkey") % 4).alias("account_id"),
+        F.col("o_custkey").alias("customer_id"),
+        status.alias("status"),
+        (F.col("o_orderkey") % 3).cast("int").alias("tax_status"),
+        F.col("o_orderdate").cast("date").alias("eff"),
+        "o_orderkey",
+    )
+    changed = scd2_change_filter(
+        actions, "account_id", "eff", ["status", "tax_status"], "o_orderkey"
+    )
+    dim = scd2_build(
+        changed, "account_id", "eff", ["customer_id", "status", "tax_status"],
+        "o_orderkey",
+    )
+    return dim.withColumn(
+        "action_type",
+        F.when(F.col("version") == 1, "ADDACCT")
+        .when(F.col("status") == "CLSD", "CLOSEACCT")
+        .otherwise("UPDACCT"),
     )
