@@ -477,3 +477,29 @@ def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         (wsum / qsum).alias("wavg_price"), qsum.alias("total_qty")
     )
+
+
+@_op(
+    "agg_pivot_dynamic",
+    """SELECT o_orderstatus,
+              CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+              CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+              CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+              CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+              CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_pivot_dynamic(spark: SparkSession, d: str) -> DataFrame:
+    """Dynamic pivot: the value list is DISCOVERED with a bounded
+    distinct (capped — an unbounded implicit pivot is a driver-side
+    collect of unknown size, the classic 100 TB foot-gun; the cap turns
+    a runaway cardinality into an explicit error)."""
+    o = t(spark, d, "orders")
+    cap = 100
+    vals = [
+        r[0]
+        for r in o.select("o_orderpriority").distinct().limit(cap + 1).collect()
+    ]
+    if len(vals) > cap:
+        raise ValueError(f"pivot cardinality exceeds cap={cap}")
+    return o.groupBy("o_orderstatus").pivot("o_orderpriority", sorted(vals)).count()

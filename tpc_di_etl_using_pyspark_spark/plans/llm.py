@@ -1115,3 +1115,38 @@ def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@_op(
+    "sample_stratified_exact",
+    """WITH h AS (
+         SELECT doc_id, lang,
+                (doc_id * 2654435761) % 4294967296 AS hkey
+         FROM documents),
+       r AS (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM h)
+       SELECT doc_id, lang, CAST(rn AS BIGINT) AS stratum_rank
+       FROM r WHERE rn <= CEIL(0.2 * n)""",
+)
+def sample_stratified_exact(spark: SparkSession, d: str) -> DataFrame:
+    """Exact stratified sampling: every stratum contributes exactly
+    ceil(20%) of its rows, chosen by a deterministic multiplicative
+    hash rank — reproducible across runs and engines, unlike
+    df.sampleBy (Bernoulli, approximate per-stratum fractions).
+    One window shuffle on the stratum key [EXT: train-split curation]."""
+    doc = t(spark, d, "documents")
+    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    r = doc.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") <= F.ceil(0.2 * F.col("n"))
+    ).select("doc_id", "lang", F.col("rn").cast("bigint").alias("stratum_rank"))

@@ -582,3 +582,37 @@ def str_encode_b64_hex(spark: SparkSession, d: str) -> DataFrame:
         F.hex(head).alias("head_hex"),
         F.octet_length("text").cast("bigint").alias("n_bytes"),
     )
+
+
+@_op(
+    "str_url_parse",
+    """WITH u AS (
+         SELECT c_custkey,
+                'https://ex' || CAST(c_nationkey AS VARCHAR) ||
+                '.com/seg/' || CAST(c_custkey % 7 AS VARCHAR) ||
+                '?q=' || lower(c_mktsegment) AS url
+         FROM customer)
+       SELECT c_custkey, url,
+              regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+              regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+              regexp_extract(url, '\\?(.*)$', 1) AS query
+       FROM u""",
+)
+def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
+    """URL decomposition (host/path/query) via parse_url — a JVM
+    builtin, no UDF [EXT: web-corpus curation needs URL keys for
+    dedup/blocklists]. The oracle mirrors with regexes."""
+    c = t(spark, d, "customer")
+    url = F.concat(
+        F.lit("https://ex"), F.col("c_nationkey").cast("string"),
+        F.lit(".com/seg/"), (F.col("c_custkey") % 7).cast("string"),
+        F.lit("?q="), F.lower("c_mktsegment"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )

@@ -990,3 +990,125 @@ def tpcdi_scd2_dimaccount(spark: SparkSession, d: str) -> DataFrame:
         .when(F.col("status") == "CLSD", "CLOSEACCT")
         .otherwise("UPDACCT"),
     )
+
+
+@_op(
+    "tpcdi_audit_reconciliation",
+    f"""WITH {_COMPANY_CTES},
+n AS (SELECT COUNT(*) AS n_supp FROM supplier),
+acct_actions AS (
+  SELECT o_custkey * 4 + o_orderkey % 4 AS account_id,
+         CASE o_orderstatus WHEN 'O' THEN 'ACTV' WHEN 'P' THEN 'SUSP'
+              ELSE 'CLSD' END AS status,
+         CAST(o_orderkey % 3 AS INTEGER) AS tax_status,
+         CAST(o_orderdate AS DATE) AS eff, o_orderkey
+  FROM orders),
+acct_ch AS (SELECT *, LAG(status) OVER w AS _ps, LAG(tax_status) OVER w AS _pt
+            FROM acct_actions
+            WINDOW w AS (PARTITION BY account_id ORDER BY eff, o_orderkey)),
+acct_f AS (SELECT account_id, eff, o_orderkey FROM acct_ch
+           WHERE _ps IS NULL OR status != _ps OR tax_status != _pt),
+acct_cur AS (
+  SELECT account_id,
+         COUNT(*) FILTER (WHERE nxt IS NULL) AS n_current
+  FROM (SELECT account_id,
+               LEAD(eff) OVER (PARTITION BY account_id
+                               ORDER BY eff, o_orderkey) AS nxt
+        FROM acct_f)
+  GROUP BY account_id),
+checks(check_name, expected, actual) AS (
+  SELECT 'dim_company_current_rows',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dim_company WHERE is_current)
+  UNION ALL
+  SELECT 'dim_company_version_rows',
+         (SELECT CAST(COUNT(*) + COUNT(*) FILTER (WHERE s_suppkey % 3 = 0)
+                 AS BIGINT) FROM supplier),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dim_company)
+  UNION ALL
+  SELECT 'financial_rows',
+         (SELECT CAST(8 * n_supp AS BIGINT) FROM n),
+         (SELECT CAST(8 * COUNT(DISTINCT cik) AS BIGINT) FROM dim_company)
+  UNION ALL
+  SELECT 'fact_watches_grain',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT o_custkey, o_orderkey % 500 FROM orders)),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT o_custkey,
+                   'SYM' || lpad(CAST(o_orderkey % 500 AS VARCHAR), 5, '0')
+            FROM orders GROUP BY 1, 2))
+  UNION ALL
+  SELECT 'dim_account_single_current',
+         (SELECT CAST(COUNT(DISTINCT account_id) AS BIGINT) FROM acct_actions),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM acct_cur WHERE n_current = 1))
+SELECT check_name, expected, actual, (expected = actual) AS ok FROM checks""",
+)
+def tpcdi_audit_reconciliation(spark: SparkSession, d: str) -> DataFrame:
+    """Audit-phase cross-table reconciliation [SPEC: batch-validation /
+    audit queries — counts reconciled across source and warehouse]:
+    each check derives an expected count from the SOURCE tables and an
+    actual count from the WAREHOUSE build, emitting one
+    (check, expected, actual, ok) row. All checks are single
+    aggregates — at 100 TB the audit phase is a handful of narrow
+    scans/partial aggregations, never a row-level diff."""
+    frames = _finwire_frames(spark, d)
+    comp = _company_dim_from(frames["CMP"])
+    sup = t(spark, d, "supplier")
+    o = t(spark, d, "orders")
+    acct = tpcdi_scd2_dimaccount(spark, d)
+    watches = tpcdi_fact_watches(spark, d)
+
+    def check(name: str, expected: DataFrame, actual: DataFrame) -> DataFrame:
+        e = expected.select(F.col(expected.columns[0]).cast("bigint").alias("expected"))
+        a = actual.select(F.col(actual.columns[0]).cast("bigint").alias("actual"))
+        return (
+            e.crossJoin(a)
+            .select(
+                F.lit(name).alias("check_name"),
+                "expected",
+                "actual",
+                (F.col("expected") == F.col("actual")).alias("ok"),
+            )
+        )
+
+    rows = [
+        check(
+            "dim_company_current_rows",
+            sup.agg(F.count(F.lit(1))),
+            comp.filter("is_current").agg(F.count(F.lit(1))),
+        ),
+        check(
+            "dim_company_version_rows",
+            sup.agg(
+                F.count(F.lit(1))
+                + F.count(F.when(F.col("s_suppkey") % 3 == 0, F.lit(1)))
+            ),
+            comp.agg(F.count(F.lit(1))),
+        ),
+        check(
+            "financial_rows",
+            sup.agg(8 * F.count(F.lit(1))),
+            comp.agg(8 * F.countDistinct("cik")),
+        ),
+        check(
+            "fact_watches_grain",
+            o.select("o_custkey", (F.col("o_orderkey") % 500)).distinct().agg(
+                F.count(F.lit(1))
+            ),
+            watches.agg(F.count(F.lit(1))),
+        ),
+        check(
+            "dim_account_single_current",
+            o.select(
+                (F.col("o_custkey") * 4 + F.col("o_orderkey") % 4)
+            ).distinct().agg(F.count(F.lit(1))),
+            acct.groupBy("account_id")
+            .agg(F.count(F.when(F.col("is_current"), F.lit(1))).alias("n_cur"))
+            .filter(F.col("n_cur") == 1)
+            .agg(F.count(F.lit(1))),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
