@@ -118,3 +118,35 @@ def test_stateful_totals_final_state_equals_batch(spark, replay, sf_dir):
         for r in stream_stateful_totals(spark, sf_dir).collect()
     }
     assert final == batch
+
+
+def test_stream_stream_join_equals_batch(spark, replay):
+    """Watermarked stream-stream interval join (views ⋈ purchases within
+    1 hour) must equal the batch-equivalent plan the driver verifies."""
+    from tpc_di_etl_using_pyspark_spark.streaming.ops import (
+        view_purchase_interval_join,
+    )
+
+    rdir, events = replay
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        return views, purchases
+
+    # watermark is set per side AFTER the split/rename (setting one on
+    # the shared source and again per side is a disallowed redefinition)
+    sv, sp = split(read_event_stream(spark, rdir))
+    sv = sv.withWatermark("vts", "2 hours")
+    sp = sp.withWatermark("pts", "2 hours")
+    out = run_available_now(view_purchase_interval_join(sv, sp), mode="append")
+
+    bv, bp = split(events)
+    cols = ["view_id", "purchase_id", "user_id", "gap_sec"]
+    assert _rows(out, cols) == _rows(view_purchase_interval_join(bv, bp), cols)

@@ -193,3 +193,36 @@ def stream_stateful_totals(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("total_micro"),
     )
+
+
+@_op(
+    "stream_stream_join",
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts
+                  FROM events WHERE event_type = 'view'),
+       p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+             FROM events WHERE event_type = 'purchase')
+       SELECT v.view_id, p.purchase_id, v.user_id,
+              CAST(FLOOR(EPOCH(p.pts)) AS BIGINT)
+                - CAST(FLOOR(EPOCH(v.vts)) AS BIGINT) AS gap_sec
+       FROM v JOIN p ON v.user_id = p.p_user
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR""",
+)
+def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
+    """Stream-stream interval join [PK: watermarked join with a
+    time-range conjunct — the range bound is what lets Spark expire
+    join state]: views pair with same-user purchases in the next hour.
+    The driver checks the batch-equivalent plan;
+    tests/test_streaming.py replays both sides as real watermarked
+    streams and asserts stream == batch."""
+    from ..streaming.ops import view_purchase_interval_join
+
+    e = t(spark, d, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    return view_purchase_interval_join(views, purchases)

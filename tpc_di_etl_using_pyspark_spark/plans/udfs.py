@@ -200,3 +200,38 @@ def udtf_map_in_pandas(spark: SparkSession, d: str) -> DataFrame:
 
     e = t(spark, d, "events")
     return e.select("event_id", "props", "value").mapInPandas(parse, schema)
+
+
+@_op(
+    "udtf_map_in_arrow",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS net_price
+       FROM lineitem""",
+)
+def udtf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
+    """Partition-wise table function via mapInArrow: zero-copy Arrow
+    RecordBatch in/out — the lowest-overhead Python hook (no pandas
+    conversion). The arithmetic runs in Arrow compute kernels, one
+    vectorized call per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            net = pc.multiply(
+                batch.column(2), pc.subtract(pa.scalar(1.0), batch.column(3))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), net],
+                ["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = t(spark, d, "lineitem").select(
+        F.col("l_orderkey").cast("bigint"),
+        F.col("l_linenumber").cast("bigint"),
+        F.col("l_extendedprice").cast("double"),
+        F.col("l_discount").cast("double"),
+    )
+    return li.mapInArrow(
+        fn, "l_orderkey bigint, l_linenumber bigint, net_price double"
+    )

@@ -188,3 +188,23 @@ def stateful_user_totals(sdf: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def view_purchase_interval_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: each view pairs
+    with the same user's purchases within the following hour. On
+    streams both sides must be watermarked so the join state is
+    bounded; the time-range conjunct is what lets Spark expire state.
+    Expects views(view_id, user_id, vts) and
+    purchases(purchase_id, p_user, pts)."""
+    cond = (
+        (views["user_id"] == purchases["p_user"])
+        & (purchases["pts"] >= views["vts"])
+        & (purchases["pts"] <= views["vts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return views.join(purchases, cond).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias("gap_sec"),
+    )
