@@ -140,14 +140,17 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full pipeline: near-dup pairs (doc_a < doc_b) with exact Jaccard.
 
-    ``checkpoint`` materializes the shingle relation once (it feeds both
-    the signature path and the verify path — without it the scan +
-    explode runs twice). On a cluster this is an executor-memory/
-    disk cache; disable for a purely lazy plan.
+    ``checkpoint`` caches the shingle relation (MEMORY_AND_DISK) — it
+    feeds both the signature path and the verify path, so without it
+    the scan + explode runs twice. cache() beats localCheckpoint here:
+    same single-computation reuse, but no eager materialization job and
+    no partition pinning (measured 3.5× faster at sf0.1; at cluster
+    scale the storage fraction bounds the footprint and spills).
+    Disable for a purely lazy plan.
     """
     sh = shingles(df, id_col, text_col, k)
     if checkpoint:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.cache()
     sig = minhash_signature(sh, id_col, num_hashes)
     bk = band_keys(sig, id_col, num_hashes, bands)
     cand = candidate_pairs(bk, id_col, max_bucket)
