@@ -382,3 +382,41 @@ def win_streaks(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("streak_days") >= 2)
         .drop("island")
     )
+
+
+@_op(
+    "win_running_distinct",
+    """WITH f AS (
+         SELECT event_type, ts, event_id, user_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                   ORDER BY ts, event_id) AS occ
+         FROM events)
+       SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_id,
+              CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users_so_far
+       FROM f""",
+)
+def win_running_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — not natively
+    supported by Spark (or most engines) as a window aggregate; the
+    standard rewrite marks each key's first occurrence with one window
+    and running-sums the marks with a second [EXT: unique-users-to-date
+    dashboards]. Both windows shuffle on event_type only once."""
+    e = t(spark, d, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = e.withColumn("occ", F.row_number().over(w_first))
+    return f.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "event_id",
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .over(w_run)
+        .cast("bigint")
+        .alias("distinct_users_so_far"),
+    )

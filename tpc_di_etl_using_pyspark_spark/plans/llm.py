@@ -33,7 +33,7 @@ from ..llm.similarity import (
     knn_join_blocked,
     query_vector,
 )
-from ._util import dround, sql_dround, t
+from ._util import davg, dround, sql_davg, sql_dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -1150,3 +1150,75 @@ def sample_stratified_exact(spark: SparkSession, d: str) -> DataFrame:
     return r.filter(
         F.col("rn") <= F.ceil(0.2 * F.col("n"))
     ).select("doc_id", "lang", F.col("rn").cast("bigint").alias("stratum_rank"))
+
+
+@_op(
+    "text_unigram_logprob",
+    f"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        n AS (SELECT COUNT(*) AS total FROM w),
+        cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word)
+        SELECT w.doc_id,
+               {sql_davg('-ln(cnt.c / CAST(n.total AS DOUBLE))', 'avg_nll')}
+        FROM w JOIN cnt ON w.word = cnt.word CROSS JOIN n
+        GROUP BY w.doc_id""",
+)
+def text_unigram_logprob(spark: SparkSession, d: str) -> DataFrame:
+    """Pseudo-perplexity quality signal: per-doc mean negative log
+    probability under the corpus unigram distribution — low = generic
+    boilerplate, high = rare-token soup; both tails are cut in LLM
+    corpus curation [EXT]. Two keyed aggregations + an unhinted join on
+    word (the unigram relation is vocabulary-sized — AQE decides, same
+    posture as text_tfidf); the 1-row total is broadcast."""
+    doc = t(spark, d, "documents")
+    w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nll = -F.log(F.col("c") / F.col("total"))
+    return (
+        w.join(cnt, "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(davg(nll, "avg_nll"))
+    )
+
+
+@_op(
+    "pack_sequences_greedy",
+    """WITH tok AS (
+         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS cum_before
+         FROM tok)
+       SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+              CAST(cum_before % 2048 AS BIGINT) AS offset_in_pack
+       FROM c""",
+)
+def pack_sequences_greedy(spark: SparkSession, d: str) -> DataFrame:
+    """Sequence packing for training: docs are laid head-to-tail in
+    deterministic (doc_id) order and cut into 2048-token packs; each
+    doc gets (pack_id, offset) [EXT: every pretraining pipeline packs].
+    Packing is PER SOURCE (one window shuffle on the source key) — a
+    single global running sum would serialize through one reducer at
+    corpus scale."""
+    doc = t(spark, d, "documents")
+    tok = doc.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    c = tok.withColumn("cum_before", cum_before)
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("cum_before div 2048").alias("pack_id"),
+        (F.col("cum_before") % 2048).cast("bigint").alias("offset_in_pack"),
+    )
