@@ -318,3 +318,49 @@ def scan_csv_malformed(spark: SparkSession, d: str) -> DataFrame:
         ),
         F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
     )
+
+
+@_op(
+    "scan_schema_evolution",
+    """SELECT o_orderkey, o_totalprice,
+              CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                   ELSE o_orderpriority END AS priority
+       FROM orders""",
+)
+def scan_schema_evolution(spark: SparkSession, d: str) -> DataFrame:
+    """Schema evolution on read [PK: parquet mergeSchema]: an old batch
+    written without the `priority` column and a new batch with it are
+    read as ONE relation — mergeSchema unions the footers and
+    null-fills the missing column. The batch layout (one dir per
+    batch) is exactly TPC-DI's incremental-load file shape."""
+    path = _scratch(d, "evolving")
+    o = t(spark, d, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    old.write.mode("overwrite").parquet(path + "/batch=1")
+    new.write.mode("overwrite").parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/batch=1", path + "/batch=2"
+    )
+    return merged.select("o_orderkey", "o_totalprice", "priority")
+
+
+@_op(
+    "sink_sorted_clustered",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+       FROM lineitem WHERE l_returnflag = 'A'""",
+)
+def sink_sorted_clustered(spark: SparkSession, d: str) -> DataFrame:
+    """Clustered write [PK: sortWithinPartitions before the sink]: rows
+    are sorted by l_shipdate inside each output file so parquet
+    row-group min/max stats become selective — date-range scans over
+    the written table prune row groups (zone-map effect) without any
+    global sort. Read back and verified against the source."""
+    path = _scratch(d, "clustered_sink")
+    li = t(spark, d, "lineitem").filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    li.sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -420,3 +420,53 @@ def win_running_distinct(spark: SparkSession, d: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_users_so_far"),
     )
+
+
+@_op(
+    "win_pattern_vshape",
+    """WITH s AS (
+         SELECT user_id, event_id, ts, value,
+                LAG(value) OVER w AS prev_v,
+                LEAD(value) OVER w AS next_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       v AS (SELECT user_id, event_id,
+                    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+                    prev_v, value, next_v
+             FROM s
+             WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+               AND value < prev_v AND value < next_v)
+       SELECT user_id, event_id, ts_sec,
+              CAST(prev_v AS DOUBLE) AS before_v,
+              CAST(value AS DOUBLE) AS trough_v,
+              CAST(next_v AS DOUBLE) AS after_v
+       FROM v""",
+)
+def win_pattern_vshape(spark: SparkSession, d: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-style V-shape:
+    down-then-up trough) via lag/lead over the per-user event order —
+    the declarative rewrite engines without MATCH_RECOGNIZE use
+    [EXT: price-dip / anomaly detection]. One window shuffle."""
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.col("value"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return s.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") < F.col("prev_v"))
+        & (F.col("value") < F.col("next_v"))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.col("prev_v").cast("double").alias("before_v"),
+        F.col("value").cast("double").alias("trough_v"),
+        F.col("next_v").cast("double").alias("after_v"),
+    )
