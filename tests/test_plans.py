@@ -138,3 +138,40 @@ def test_ivf_partitioned_probe_prunes_cells(spark, sf_dir):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in pf_line
     assert df.count() == 10
+
+
+def test_stream_stream_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The interval join must plan as an equi-join on user_id with the
+    time range as a residual condition — a nested loop here would scan
+    purchases once per view at scale."""
+    plan = _plan(all_queries()["stream_stream_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_clustered_sink_readback_prunes(spark, sf_dir):
+    """A date-range scan over the sortWithinPartitions-clustered table
+    must reach the parquet reader as a pushed filter (row-group min/max
+    pruning is what the clustering buys)."""
+    out = all_queries()["sink_sorted_clustered"](spark, sf_dir)
+    probe = out.filter(F.col("l_shipdate") >= "1995-01-01")
+    plan = _plan(probe)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_tfidf_vocab_join_is_unhinted(spark, sf_dir):
+    """text_tfidf must not force-broadcast the vocabulary relation (a
+    10^8-row relation at corpus scale); the only broadcast hint allowed
+    is the 1-row corpus count."""
+    df = all_queries()["text_tfidf"](spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert logical.count("broadcast") <= 1
+
+
+def test_sample_stratified_single_exchange(spark, sf_dir):
+    """Both windows (rank + per-stratum count) share the stratum
+    partitioning — exactly one shuffle exchange in the plan."""
+    plan = _plan(all_queries()["sample_stratified_exact"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail) — count tree nodes
+    assert plan.count("+- Exchange") == 1
