@@ -91,3 +91,49 @@ def test_ivf_results_subset_of_brute_force_cell(spark, sf_dir):
     bf_ids = {r.vec_id for r in bf}
     overlap = sum(1 for r in ivf if r.vec_id in bf_ids)
     assert overlap >= 1, "IVF probe found nothing from the true top-50"
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must tile each source's token stream exactly: offsets in
+    [0, 2048), and pack_id*2048 + offset reproduces the exclusive
+    running sum (no gaps, no overlaps)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import pack_sequences_greedy
+
+    out = pack_sequences_greedy(spark, sf_dir).collect()
+    assert all(0 <= r.offset_in_pack < 2048 for r in out)
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id * 2048 + r.offset_in_pack == cum, r
+            cum += r.n_tokens
+
+
+def test_stratified_sample_exact_fractions(spark, sf_dir):
+    """Every stratum contributes exactly ceil(20%) of its rows, and the
+    selection is deterministic across invocations."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tpc_di_etl_using_pyspark_spark.plans.llm import sample_stratified_exact
+    from tpc_di_etl_using_pyspark_spark.plans._util import t
+
+    sizes = {
+        r.lang: r.n
+        for r in t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = sample_stratified_exact(spark, sf_dir)
+    counts = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {k: math.ceil(0.2 * v) for k, v in sizes.items()}
+    again = set(r.doc_id for r in sample_stratified_exact(spark, sf_dir).collect())
+    assert again == set(r.doc_id for r in got.collect())
