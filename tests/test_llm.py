@@ -137,3 +137,18 @@ def test_stratified_sample_exact_fractions(spark, sf_dir):
     assert counts == {k: math.ceil(0.2 * v) for k, v in sizes.items()}
     again = set(r.doc_id for r in sample_stratified_exact(spark, sf_dir).collect())
     assert again == set(r.doc_id for r in got.collect())
+
+
+def test_pagerank_sane(spark, sf_dir):
+    """Ranks stay positive, bounded, and non-uniform after 4 rounds;
+    total mass stays within the damping leak bound."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r.rank_micro for r in rows)
+    assert all(r.rank_micro >= 150000 for r in rows)
+    assert len(set(r.rank_micro for r in rows)) > 1
+    # mass: base 0.15 plus damped inflow ≤ 1.0 per node (integer floor
+    # plus dangling-edge leakage only ever lose mass)
+    assert total <= n * 1000000

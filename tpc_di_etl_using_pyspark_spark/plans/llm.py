@@ -1222,3 +1222,79 @@ def pack_sequences_greedy(spark: SparkSession, d: str) -> DataFrame:
         F.expr("cum_before div 2048").alias("pack_id"),
         (F.col("cum_before") % 2048).cast("bigint").alias("offset_in_pack"),
     )
+
+
+@_op(
+    "graph_pagerank",
+    """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+edges AS (
+  SELECT id AS src, ((id * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) u),
+e AS (SELECT src, dst FROM edges JOIN nodes ON dst = id),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+i1 AS (SELECT e.dst AS id, SUM(r0.r // deg.outdeg) AS m
+       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+r1 AS (SELECT nodes.id,
+              CAST(150000 + (850000 * COALESCE(i1.m, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes LEFT JOIN i1 ON i1.id = nodes.id),
+i2 AS (SELECT e.dst AS id, SUM(r1.r // deg.outdeg) AS m
+       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+r2 AS (SELECT nodes.id,
+              CAST(150000 + (850000 * COALESCE(i2.m, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes LEFT JOIN i2 ON i2.id = nodes.id),
+i3 AS (SELECT e.dst AS id, SUM(r2.r // deg.outdeg) AS m
+       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+r3 AS (SELECT nodes.id,
+              CAST(150000 + (850000 * COALESCE(i3.m, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes LEFT JOIN i3 ON i3.id = nodes.id),
+i4 AS (SELECT e.dst AS id, SUM(r3.r // deg.outdeg) AS m
+       FROM e JOIN deg USING (src) JOIN r3 ON r3.id = e.src GROUP BY e.dst),
+r4 AS (SELECT nodes.id,
+              CAST(150000 + (850000 * COALESCE(i4.m, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes LEFT JOIN i4 ON i4.id = nodes.id)
+SELECT id AS c_custkey, r AS rank_micro FROM r4""",
+)
+def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
+    """PageRank, 4 synchronous iterations over a deterministic 3-out
+    synthetic graph on the customer keys [EXT: iterative-algorithm
+    exemplar #2 beside connected components].
+
+    Ranks are BIGINT micro-units and every update is integer-only
+    (contribution = rank div outdeg; new = 150000 + 850000·Σ div 1e6),
+    so the fixpoint arithmetic is bit-identical across engines — no
+    float accumulation to drift. Each iteration is one keyed
+    shuffle (contributions groupBy dst) plus a left join back to the
+    node set; the plan unrolls 4 supersteps lazily (at larger iteration
+    counts, checkpoint per superstep like llm/components.py)."""
+    cust = t(spark, d, "customer")
+    nodes = cust.select(F.col("c_custkey").alias("id"))
+    cnt = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    edges = (
+        nodes.crossJoin(F.broadcast(cnt))
+        .select("id", ks, "cnt")
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
+        )
+    )
+    e = edges.join(nodes.select(F.col("id").alias("dst")), "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src")
+    r = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(4):
+        contrib = (
+            ed.join(r.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).alias("m"))
+            .withColumnRenamed("dst", "id")
+        )
+        r = nodes.join(contrib, "id", "left").select(
+            "id",
+            F.expr(
+                "CAST(150000 + (850000 * coalesce(m, 0)) div 1000000 AS BIGINT)"
+            ).alias("r"),
+        )
+    return r.select(F.col("id").alias("c_custkey"), F.col("r").alias("rank_micro"))
