@@ -616,3 +616,55 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY")).alias("query"),
     )
+
+
+@_op(
+    "bit_ops",
+    """SELECT e1.event_id,
+              CAST(e1.event_id & 255 AS BIGINT) AS low_byte,
+              CAST(e1.event_id | 4096 AS BIGINT) AS with_flag,
+              CAST(xor(e1.event_id, e1.user_id) AS BIGINT) AS mixed,
+              CAST(e1.event_id << 2 AS BIGINT) AS shifted_l,
+              CAST(e1.event_id >> 3 AS BIGINT) AS shifted_r,
+              CAST(bit_count(CAST(e1.event_id AS BIGINT)) AS INTEGER) AS popcount
+       FROM events e1""",
+)
+def bit_ops(spark: SparkSession, d: str) -> DataFrame:
+    """Bitwise flag manipulation (AND/OR/XOR/shifts/popcount) [EXT:
+    packed-flag columns, fingerprint surgery — the scalar surface under
+    simhash]. All JVM-codegen expressions."""
+    e = t(spark, d, "events")
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.col("user_id")).cast("bigint").alias("mixed"),
+        F.shiftleft(k, 2).cast("bigint").alias("shifted_l"),
+        F.shiftright(k, 3).cast("bigint").alias("shifted_r"),
+        F.bit_count(k.cast("bigint")).cast("int").alias("popcount"),
+    )
+
+
+@_op(
+    "math_trig",
+    f"""SELECT n_nationkey,
+               {sql_dround('sin(n_nationkey * 0.25)', 6)} AS sin_v,
+               {sql_dround('cos(n_nationkey * 0.25)', 6)} AS cos_v,
+               {sql_dround('atan2(n_nationkey, 10)', 6)} AS bearing,
+               {sql_dround('degrees(atan2(n_nationkey, 10))', 6)} AS bearing_deg
+        FROM nation""",
+)
+def math_trig(spark: SparkSession, d: str) -> DataFrame:
+    """Trigonometric family (sin/cos/atan2/degrees) [EXT: geo bearing /
+    cyclical-feature encoding]; rounded through DECIMAL(25,6) — libm
+    vs JVM trig can differ in the last ulp."""
+    n = t(spark, d, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        dround(F.sin(k * 0.25), 6).alias("sin_v"),
+        dround(F.cos(k * 0.25), 6).alias("cos_v"),
+        dround(F.atan2(k.cast("double"), F.lit(10.0)), 6).alias("bearing"),
+        dround(F.degrees(F.atan2(k.cast("double"), F.lit(10.0))), 6).alias("bearing_deg"),
+    )
