@@ -51,6 +51,7 @@ _PRIORITY = [
     "tpcdi_dim_broker",
     "tpcdi_fact_watches",
     "tpcdi_scd2_dimaccount",
+    "tpcdi_audit_reconciliation",
     # window family (never driver-checked in round 1)
     "win_row_number",
     "win_rank_dense",
@@ -66,19 +67,6 @@ _PRIORITY = [
     "win_ratio_total",
     "win_nth_value",
     "win_streaks",
-    # TPC-DI family (never driver-checked in round 1)
-    "tpcdi_scd2_dimcustomer",
-    "tpcdi_scd2_incremental",
-    "tpcdi_fact_cash_balances",
-    "tpcdi_cdc_apply",
-    "tpcdi_marketing_nameplate",
-    "tpcdi_fact_market_history",
-    "tpcdi_prospect_match",
-    "tpcdi_fact_holdings",
-    "tpcdi_dim_date",
-    "tpcdi_dim_time",
-    "tpcdi_dim_trade",
-    "tpcdi_dimessages",
     # headline LLM-pipeline ops
     "text_tfidf",
     "sim_cosine_topk",
@@ -86,6 +74,29 @@ _PRIORITY = [
     "pipeline_corpus_curation",
     "text_label_quality",
     "dedup_exact_hash",
+    # round-2 new surfaces
+    "stream_stream_join",
+    "udtf_map_in_arrow",
+    "graph_pagerank",
+    "text_unigram_logprob",
+    "pack_sequences_greedy",
+    "sample_stratified_exact",
+    "win_running_distinct",
+    "win_pattern_vshape",
+    # TPC-DI family, heaviest first (rest follow in module order and
+    # rotate into the round-3 window)
+    "tpcdi_scd2_dimcustomer",
+    "tpcdi_scd2_incremental",
+    "tpcdi_fact_cash_balances",
+    "tpcdi_fact_market_history",
+    "tpcdi_fact_holdings",
+    "tpcdi_cdc_apply",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_prospect_match",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dim_trade",
+    "tpcdi_dimessages",
 ]
 
 
