@@ -1298,3 +1298,105 @@ def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
             ).alias("r"),
         )
     return r.select(F.col("id").alias("c_custkey"), F.col("r").alias("rank_micro"))
+
+
+@_op(
+    "text_contamination_ngram",
+    """WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+                  FROM documents),
+g AS (SELECT DISTINCT doc_id, source,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+             words[i+3] || ' ' || words[i+4] AS gram
+      FROM (SELECT doc_id, source, words,
+                   unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i
+            FROM w)),
+bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE source = 'src0'),
+corpus AS (SELECT doc_id, gram FROM g WHERE source != 'src0'),
+hits AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         FROM corpus c JOIN bench b ON c.gram = b.gram
+         GROUP BY c.doc_id, b.bench_id)
+SELECT doc_id,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared_5grams,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_docs_hit
+FROM hits GROUP BY doc_id""",
+)
+def text_contamination_ngram(spark: SparkSession, d: str) -> DataFrame:
+    """Benchmark decontamination [EXT: every serious pretraining corpus
+    is screened for eval-set leakage]: 5-gram overlap of each corpus
+    doc against the held-out set (source 'src0' plays the benchmark).
+    The join is keyed on the shared gram — cost scales with actual
+    overlap, never corpus × benchmark; at 100 TB the benchmark gram
+    side is small and broadcasts."""
+    doc = t(spark, d, "documents")
+    g = (
+        shingles(doc, "doc_id", "text", k=5)
+        .dropDuplicates(["doc_id", "shingle"])
+        .join(doc.select("doc_id", "source"), "doc_id")
+    )
+    bench = g.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = g.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    hits = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.max("n_shared").cast("bigint").alias("max_shared_5grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_docs_hit"),
+    )
+
+
+@_op(
+    "text_repetition_score",
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                  FROM documents),
+g2 AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+       FROM (SELECT doc_id, words,
+                    unnest(generate_series(1, greatest(len(words) - 1, 1))) AS i
+             FROM w)),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tstat AS (SELECT doc_id, SUM(cnt) AS n_tok, COUNT(*) AS n_uniq,
+                 MAX(cnt) AS top_cnt
+          FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY doc_id, word)
+          GROUP BY doc_id),
+gstat AS (SELECT doc_id, COUNT(*) AS n_g2, COUNT(DISTINCT gram) AS n_g2_uniq
+          FROM g2 GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n_uniq / CAST(t.n_tok AS DOUBLE) AS distinct_token_ratio,
+       t.top_cnt / CAST(t.n_tok AS DOUBLE) AS top_token_share,
+       1 - g.n_g2_uniq / CAST(g.n_g2 AS DOUBLE) AS dup_2gram_ratio
+FROM tstat t JOIN gstat g ON t.doc_id = g.doc_id""",
+)
+def text_repetition_score(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher-style repetition signals [EXT: repetition filters —
+    distinct-token ratio, most-frequent-token share, duplicate-2-gram
+    ratio]: highly repetitive docs are low-quality generations or
+    boilerplate and get filtered before training. Two keyed
+    aggregations per signal family, pure expressions."""
+    doc = t(spark, d, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    per_word = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    tstat = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    g2 = shingles(doc, "doc_id", "text", k=2)
+    gstat = g2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_g2"),
+        F.countDistinct("shingle").alias("n_g2_uniq"),
+    )
+    return tstat.join(gstat, "doc_id").select(
+        "doc_id",
+        (F.col("n_uniq") / F.col("n_tok").cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        (F.col("top_cnt") / F.col("n_tok").cast("double")).alias("top_token_share"),
+        (F.lit(1) - F.col("n_g2_uniq") / F.col("n_g2").cast("double")).alias(
+            "dup_2gram_ratio"
+        ),
+    )
