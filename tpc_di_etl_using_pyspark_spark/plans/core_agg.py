@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import davg, dround, dsum, sql_davg, sql_dround, sql_dsum, t
+from ._util import DEC, SQL_DEC, davg, dround, dsum, sql_davg, sql_dround, sql_dsum, t
 
 QUERIES = {}
 ORACLES = {}
@@ -503,3 +503,135 @@ def agg_pivot_dynamic(spark: SparkSession, d: str) -> DataFrame:
     if len(vals) > cap:
         raise ValueError(f"pivot cardinality exceeds cap={cap}")
     return o.groupBy("o_orderstatus").pivot("o_orderpriority", sorted(vals)).count()
+
+
+@_op(
+    "agg_median_mode",
+    """WITH m AS (
+         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+         FROM orders GROUP BY o_orderstatus, o_orderpriority)
+       SELECT s.o_orderstatus,
+              quantile_cont(s.o_totalprice, 0.5) AS median_price,
+              MIN(m.o_orderpriority) AS mode_priority
+       FROM orders s
+       JOIN m ON m.o_orderstatus = s.o_orderstatus AND m.rk = 1
+       GROUP BY s.o_orderstatus""",
+)
+def agg_median_mode(spark: SparkSession, d: str) -> DataFrame:
+    """Median + mode per group [SPEC: Prospect demographic aggregates].
+
+    ``mode`` is deliberately NOT the engine builtin: both Spark and
+    DuckDB return an arbitrary value among tied modes, which is never
+    hash-comparable. Instead the mode is derived deterministically —
+    value counts, ranked (count DESC, value ASC), rank 1 — the same
+    total-order rewrite both engines agree on. Median reuses the
+    interpolated-percentile path verified bit-identical in
+    ``agg_percentile``. Two shuffles on the same group key; the count
+    aggregation is map-side combinable."""
+    from pyspark.sql import Window
+
+    o = t(spark, d, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price")
+    )
+    return med.join(mode, "o_orderstatus").select(
+        "o_orderstatus", "median_price", "mode_priority"
+    )
+
+
+@_op(
+    "agg_regression_exact",
+    f"""WITH s AS (
+         SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity * l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(l_quantity * l_quantity AS {SQL_DEC})) AS DOUBLE) AS sxx
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+       FROM s""",
+)
+def agg_regression_exact(spark: SparkSession, d: str) -> DataFrame:
+    """Linear-regression aggregate (slope/intercept of price ~ qty)
+    [EXT: drift monitors over training-data stats].
+
+    Built from exact decimal moment sums rather than ``regr_slope``:
+    the builtin accumulates doubles in shuffle order, which is not
+    reproducible across engines or even runs. Here each moment
+    (Sx, Sy, Sxy, Sxx) is an order-independent DECIMAL(25,6) sum cast
+    to double, and the closed-form slope/intercept is the identical
+    IEEE expression on both engines — bit-exact, no rounding mask.
+    One shuffle; all five moments come from a single map-side-combined
+    aggregation. At 100 TB this is the same cost as a SUM."""
+    li = t(spark, d, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+@_op(
+    "sketch_hll_partition_merge",
+    """SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS merged_within_10pct
+       FROM events GROUP BY event_type""",
+)
+def sketch_hll_partition_merge(spark: SparkSession, d: str) -> DataFrame:
+    """Mergeable HLL sketches: per-week partial sketches unioned to a
+    total [EXT: incremental distinct-user rollups].
+
+    The 100-TB point is MERGEABILITY — per-partition/per-day sketches
+    are built once (map-side combinable binary state), persisted, and
+    unioned later without touching raw data; a re-aggregation over a
+    year of dailies reads KB, not TB. Self-verifying: the merged
+    estimate is compared against the exact distinct count and the
+    driver hashes the exact value plus the tolerance flag."""
+    e = t(spark, d, "events")
+    weekly = e.groupBy(
+        "event_type", F.weekofyear("ts").alias("wk")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = weekly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("merged_within_10pct"),
+    )

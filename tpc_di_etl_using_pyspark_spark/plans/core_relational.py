@@ -704,3 +704,37 @@ def sql_exists_decorrelated(spark: SparkSession, d: str) -> DataFrame:
                              WHERE o2.o_custkey = c.c_custkey
                                AND o2.o_orderstatus = 'P')"""
     )
+
+
+@_op(
+    "sql_lateral_topk",
+    """SELECT n.n_name, o.o_orderkey, o.o_totalprice
+       FROM nation n,
+            LATERAL (SELECT o_orderkey, o_totalprice
+                     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT 2) o""",
+)
+def sql_lateral_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per nation
+    [EXT: SQL-surface parity — both engines support SQL:2016 LATERAL].
+
+    Catalyst decorrelates the lateral into a ranked window over the
+    joined relation (DecorrelateInnerQuery) — the physical plan is the
+    same shuffle-once top-k-per-group as ``topk_per_group``, NOT a
+    per-outer-row re-execution; at 100 TB the correlated form and the
+    window form cost the same. The driver-facing columns are ordered
+    deterministically by the LIMIT's total order key."""
+    for name in ("nation", "customer", "orders"):
+        t(spark, d, name).createOrReplaceTempView(f"lat_{name}")
+    return spark.sql(
+        """SELECT n.n_name, o.o_orderkey, o.o_totalprice
+           FROM lat_nation n,
+                LATERAL (SELECT o_orderkey, o_totalprice
+                         FROM lat_orders o JOIN lat_customer c
+                           ON o.o_custkey = c.c_custkey
+                         WHERE c.c_nationkey = n.n_nationkey
+                         ORDER BY o_totalprice DESC, o_orderkey
+                         LIMIT 2) o"""
+    )

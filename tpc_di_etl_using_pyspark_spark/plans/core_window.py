@@ -470,3 +470,65 @@ def win_pattern_vshape(spark: SparkSession, d: str) -> DataFrame:
         F.col("value").cast("double").alias("trough_v"),
         F.col("next_v").cast("double").alias("after_v"),
     )
+
+
+@_op(
+    "win_sessionize_gap",
+    """WITH marked AS (
+         SELECT user_id, event_id,
+                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+                CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800
+                          OR LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events),
+       sess AS (
+         SELECT user_id, event_id, ts_s,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM marked)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s
+       FROM sess GROUP BY user_id, session_id""",
+)
+def win_sessionize_gap(spark: SparkSession, d: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session [EXT: the batch twin of ``stream_session_window``].
+
+    The classic two-window rewrite — lag to mark gap starts, running
+    sum of marks to number sessions — needs ONE shuffle on user_id;
+    both windows and the final per-session aggregate share that
+    partitioning, so Spark plans a single exchange. Timestamps are
+    normalized to epoch seconds (ns/µs storage parity, _util)."""
+    e = t(spark, d, "events")
+    ts_s = F.unix_timestamp("ts")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        ts_s.alias("ts_s"),
+        F.when(
+            (ts_s - F.lag(ts_s).over(order) > 1800)
+            | F.lag("ts").over(order).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start_s"),
+        F.max("ts_s").alias("session_end_s"),
+    )

@@ -33,7 +33,7 @@ from ..llm.similarity import (
     knn_join_blocked,
     query_vector,
 )
-from ._util import davg, dround, sql_davg, sql_dround, t
+from ._util import DEC, davg, dround, sql_davg, sql_dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -1399,4 +1399,238 @@ def text_repetition_score(spark: SparkSession, d: str) -> DataFrame:
         (F.lit(1) - F.col("n_g2_uniq") / F.col("n_g2").cast("double")).alias(
             "dup_2gram_ratio"
         ),
+    )
+
+
+@_op(
+    "vec_l2_normalize",
+    """WITH norms AS (
+         SELECT vec_id,
+                sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE)) AS l2_norm
+         FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings)
+         GROUP BY vec_id)
+       SELECT e.vec_id, n.l2_norm,
+              list_transform(e.embedding,
+                             x -> CAST(x AS DOUBLE) / n.l2_norm) AS unit_vec
+       FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id""",
+)
+def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
+    """L2-normalize embeddings to unit vectors [EXT: cosine = dot on
+    unit vectors — normalize once at ingest, every downstream
+    similarity op becomes a cheap dot product].
+
+    Whole-row expression pipeline: the squared-norm fold is the
+    DECIMAL(25,6)-accumulated exact sum (order-independent, same as
+    ``array_fold_dot``), then one sqrt and one per-element divide —
+    both single IEEE ops, bit-identical across engines. No shuffle at
+    all: narrow map over the vector column, ideal 100-TB shape."""
+    e = t(spark, d, "embeddings")
+    ad = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, ad, lambda x, y: x * y),
+        F.lit(0).cast(DEC),
+        lambda s, x: (s + x.cast(DEC)).cast(DEC),
+    )
+    norm = F.sqrt(dot.cast("double"))
+    return e.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(ad, lambda x: x / norm).alias("unit_vec"),
+    )
+
+
+@_op(
+    "text_ngram_topk",
+    """WITH w AS (SELECT lang, string_split(lower(text), ' ') AS words
+                  FROM documents),
+       b AS (SELECT lang,
+                    unnest(list_transform(generate_series(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1])) AS bigram
+             FROM w),
+       c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2)
+       SELECT lang, bigram, CAST(n AS BIGINT) AS n, rk FROM (
+         SELECT lang, bigram, n,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rk
+         FROM c) WHERE rk <= 10""",
+)
+def text_ngram_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Top-k bigrams per language [EXT: corpus n-gram statistics —
+    vocabulary induction, contamination screens, Zipf audits].
+
+    Bigrams are built inside the row with higher-order functions
+    (sequence + transform over word indices — no UDF, no self-join),
+    then one explode feeds a map-side-combinable count and a top-k
+    window per language. The heavy relation (every bigram occurrence)
+    exists only inside one shuffle; at 100 TB the count pre-aggregates
+    per partition before exchange. Deterministic total order: (count
+    DESC, bigram ASC)."""
+    doc = t(spark, d, "documents")
+    words = F.split(F.lower("text"), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        doc.select("lang", F.explode(grams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
+@_op(
+    "text_quality_linear",
+    """WITH q AS (
+         SELECT doc_id, lang, n_chars,
+                len(string_split(lower(text), ' ')) AS n_words,
+                len(list_filter(string_split(lower(text), ' '),
+                    w -> w = 'the' OR w = 'a' OR w = 'value' OR w = 'data'))
+                    AS n_stop
+         FROM documents),
+       f AS (
+         SELECT doc_id, lang,
+                ((500000 * n_stop) // n_words)
+                + ((300000 * LEAST(n_words, 64)) // 64)
+                + ((200000 * LEAST((n_chars * 100) // n_words, 800)) // 800)
+                    AS score_ppm
+         FROM q)
+       SELECT doc_id, lang, CAST(score_ppm AS BIGINT) AS score_ppm,
+              CASE WHEN score_ppm >= 550000 THEN 'high'
+                   WHEN score_ppm >= 400000 THEN 'mid'
+                   ELSE 'low' END AS bucket
+       FROM f""",
+)
+def text_quality_linear(spark: SparkSession, d: str) -> DataFrame:
+    """Linear quality classifier [EXT: fastText-style scorer shape —
+    fixed feature weights over cheap text statistics, the standard
+    first-pass filter before an expensive model pass].
+
+    The weighted sum is EXACT fixed-point integer arithmetic
+    (parts-per-million, integer floor division) — the same
+    bit-identical-across-engines discipline as ``graph_pagerank``.
+    A double-weighted formulation was tried first and flaked: a score
+    landing exactly on a dyadic .xxxxxx5 value (e.g. 0.3453125 from
+    the /64 feature) rounds differently under Spark's HALF_UP
+    double→decimal cast vs DuckDB's scaled-multiply — integer ppm has
+    no rounding step at all. Features: stopword ratio (weight 0.5),
+    clipped word count (0.3), clipped mean word length (0.2). Narrow
+    map, no shuffle — at 100 TB this runs at scan speed."""
+    doc = t(spark, d, "documents")
+    words = F.split(F.lower("text"), " ")
+    stops = ["the", "a", "value", "data"]
+    n_stop = F.size(
+        F.filter(
+            words,
+            lambda w: (w == stops[0]) | (w == stops[1]) | (w == stops[2]) | (w == stops[3]),
+        )
+    )
+    q = doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+        n_stop.cast("bigint").alias("n_stop"),
+    )
+    awl_c = F.least(
+        F.expr("(n_chars * 100) div n_words"), F.lit(800).cast("bigint")
+    )
+    q2 = q.withColumn("awl_c", awl_c).withColumn(
+        "score_ppm",
+        F.expr(
+            "(500000 * n_stop) div n_words"
+            " + (300000 * least(n_words, 64)) div 64"
+            " + (200000 * awl_c) div 800"
+        ),
+    )
+    return q2.select(
+        "doc_id",
+        "lang",
+        F.col("score_ppm").cast("bigint").alias("score_ppm"),
+        F.when(F.col("score_ppm") >= 550000, "high")
+        .when(F.col("score_ppm") >= 400000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+
+
+@_op(
+    "graph_triangle_count",
+    """WITH op AS (
+         SELECT DISTINCT a.l_orderkey,
+                a.l_suppkey AS sa, b.l_suppkey AS sb
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+       edges AS (
+         SELECT sa, sb FROM op GROUP BY sa, sb HAVING COUNT(*) >= 2)
+       SELECT CAST((SELECT COUNT(*) FROM (SELECT sa AS s FROM edges
+                                          UNION SELECT sb FROM edges))
+                   AS BIGINT) AS n_nodes,
+              CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+              CAST((SELECT COUNT(*)
+                    FROM edges e1
+                    JOIN edges e2 ON e1.sb = e2.sa
+                    JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb)
+                   AS BIGINT) AS n_triangles""",
+)
+def graph_triangle_count(spark: SparkSession, d: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence graph [EXT:
+    graph statistics — community density, spam-cluster detection].
+
+    Edges = supplier pairs co-occurring in ≥2 orders (the frequency
+    threshold sparsifies a dense co-occurrence graph — the standard
+    association-graph trick). Node ordering a<b orients every edge
+    once, so each triangle is counted exactly once by the two-hop
+    join e1(a,b)⋈e2(b,c)⋈e3(a,c) with a<b<c by construction — the
+    compact-forward algorithm's join form, O(m^1.5) worst case. The
+    per-order pair expansion is bounded by orders' line counts (≤7 in
+    TPC-H-shaped data), not quadratic in the table."""
+    li = t(spark, d, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("sa", "sb")
+    )
+    nodes = edges.select(F.col("sa").alias("s")).union(
+        edges.select(F.col("sb").alias("s"))
+    ).distinct()
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.sb") == F.col("e2.sa"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.sa") == F.col("e1.sa"))
+            & (F.col("e3.sb") == F.col("e2.sb")),
+        )
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )

@@ -668,3 +668,51 @@ def math_trig(spark: SparkSession, d: str) -> DataFrame:
         dround(F.atan2(k.cast("double"), F.lit(10.0)), 6).alias("bearing"),
         dround(F.degrees(F.atan2(k.cast("double"), F.lit(10.0))), 6).alias("bearing_deg"),
     )
+
+
+@_op(
+    "date_spine_gapfill",
+    """WITH spine AS (
+         SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                            DATE '1995-03-31',
+                                            INTERVAL 1 DAY)) AS DATE) AS d),
+       daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+         FROM orders
+         WHERE o_orderdate >= DATE '1995-01-01'
+           AND o_orderdate < DATE '1995-04-01'
+         GROUP BY 1)
+       SELECT spine.d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+       FROM spine LEFT JOIN daily ON spine.d = daily.d""",
+)
+def date_spine_gapfill(spark: SparkSession, d: str) -> DataFrame:
+    """Date-spine gap fill [SPEC: DimDate generated calendar; EXT:
+    every reporting pipeline's zero-fill].
+
+    The spine is generated with ``sequence`` + ``explode`` from ONE
+    driver row — a bounded calendar domain (90 days here; 36 500 rows
+    for a century), never a scan. The fact side is pre-filtered to the
+    spine's range so the parquet scan prunes on o_orderdate, then the
+    left join zero-fills missing days. The spine side is tiny →
+    planner broadcasts it; the daily aggregate is map-side combined."""
+    o = t(spark, d, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1995-01-01")),
+                F.to_date(F.lit("1995-03-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders")
+    )
