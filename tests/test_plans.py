@@ -175,3 +175,33 @@ def test_sample_stratified_single_exchange(spark, sf_dir):
     plan = _plan(all_queries()["sample_stratified_exact"](spark, sf_dir))
     # formatted mode prints each node twice (tree + detail) — count tree nodes
     assert plan.count("+- Exchange") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both windows (gap mark + running session id) and the final
+    per-session aggregate share the user_id partitioning — the plan
+    must contain exactly one shuffle exchange."""
+    plan = _plan(all_queries()["win_sessionize_gap"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+
+
+def test_l2_normalize_is_shuffle_free(spark, sf_dir):
+    """Norm fold + per-element divide is a narrow map over the vector
+    column — no exchange at all."""
+    plan = _plan(all_queries()["vec_l2_normalize"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_date_spine_broadcasts_spine_side(spark, sf_dir):
+    """The 90-row generated spine must be the broadcast side; the fact
+    scan must push the o_orderdate range filter down."""
+    plan = _plan(all_queries()["date_spine_gapfill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """Catalyst must rewrite the correlated LATERAL into a ranked
+    window join, not a per-outer-row nested-loop re-execution."""
+    plan = _plan(all_queries()["sql_lateral_topk"](spark, sf_dir))
+    assert "Window" in plan
