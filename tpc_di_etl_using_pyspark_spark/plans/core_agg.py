@@ -635,3 +635,27 @@ def sketch_hll_partition_merge(spark: SparkSession, d: str) -> DataFrame:
             <= 0.10 * F.col("exact_users")
         ).alias("merged_within_10pct"),
     )
+
+
+@_op(
+    "sketch_approx_topk",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+def sketch_approx_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Frequent-items sketch: ``approx_top_k`` heavy hitters
+    [EXT: vocabulary / hot-key discovery at 100 TB].
+
+    The sketch tracks up to maxItemsTracked items per partition and
+    merges map-side; when the true cardinality is below that bound
+    (event types here) the counts are EXACT, which is what makes this
+    certifiable against a plain GROUP BY oracle — the explode turns
+    the single sketch row back into (item, count) rows. At web scale
+    the same plan gives approximate heavy hitters over 10^9 keys with
+    bounded memory, no full shuffle of the key space."""
+    e = t(spark, d, "events")
+    sk = e.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+    return sk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("event_type"),
+        F.col("x.count").cast("bigint").alias("n"),
+    )

@@ -738,3 +738,67 @@ def sql_lateral_topk(spark: SparkSession, d: str) -> DataFrame:
                          ORDER BY o_totalprice DESC, o_orderkey
                          LIMIT 2) o"""
     )
+
+
+@_op(
+    "join_asof_tolerance",
+    """WITH p AS (
+         SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, v.view_id AS asof_view_id_1h
+       FROM p LEFT JOIN LATERAL (
+         SELECT e.event_id AS view_id
+         FROM events e
+         WHERE e.event_type = 'view' AND e.user_id = p.user_id
+           AND (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) < p.sec
+                OR (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) = p.sec
+                    AND e.event_id <= p.event_id))
+           AND p.sec - CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) <= 3600
+         ORDER BY CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) DESC, e.event_id DESC
+         LIMIT 1) v ON TRUE""",
+)
+def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance: the latest view
+    at-or-before each purchase, but only if it happened within the
+    last hour — otherwise NULL (pandas ``merge_asof(tolerance=...)``
+    semantics) [EXT: feature freshness windows in training pipelines].
+
+    Same single-shuffle union+window merge as ``join_asof_latest`` —
+    the carried struct also brings the matched row's timestamp forward,
+    and the tolerance is applied as a post-window filter expression,
+    so the tolerance costs nothing extra at scale."""
+    e = t(spark, d, "events")
+    sec = F.unix_timestamp("ts").alias("sec")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        sec,
+        "event_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_timestamp("ts").alias("view_sec"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        sec,
+        "event_id",
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("long").alias("view_sec"),
+    )
+    unioned = views.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "a_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("a_sec", F.last("view_sec", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("view_id").isNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("sec") - F.col("a_sec") <= 3600, F.col("a_id")).alias(
+                "asof_view_id_1h"
+            ),
+        )
+    )

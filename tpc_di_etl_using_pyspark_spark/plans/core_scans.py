@@ -364,3 +364,39 @@ def sink_sorted_clustered(spark: SparkSession, d: str) -> DataFrame:
     )
     li.sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@_op(
+    "scan_binaryfile",
+    """SELECT doc_id,
+              CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+              sha256(text || chr(10)) AS sha
+       FROM documents WHERE doc_id < 64""",
+)
+def scan_binaryfile(spark: SparkSession, d: str) -> DataFrame:
+    """Whole-file binary source (`binaryFile`) [EXT: the ingest shape
+    for multimodal corpora — images/audio land as one opaque binary
+    row per object, metadata from the path].
+
+    Fixture: 64 documents written one-file-per-doc distributively
+    (partitionBy doc_id, no driver collect). The read-back proves the
+    (path, length, content) contract: doc id recovered from the path,
+    byte length, and a content digest that must equal sha256 of the
+    source text (+ the text sink's trailing newline) computed by the
+    oracle from the original table — a round-trip check, not a
+    rows-only count. At 100 TB binaryFile scans parallelize per file
+    and never materialize more than one object per task."""
+    path = _scratch(d, "binary_docs")
+    doc = t(spark, d, "documents").filter(F.col("doc_id") < 64)
+    (
+        doc.select("doc_id", "text")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(path)
+    )
+    raw = spark.read.format("binaryFile").load(path + "/doc_id=*/part-*")
+    return raw.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("sha"),
+    )
