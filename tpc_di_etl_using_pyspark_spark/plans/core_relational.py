@@ -802,3 +802,42 @@ def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+@_op(
+    "sql_recursive_hierarchy",
+    """WITH RECURSIVE h(emp_id, mgr_id, depth, chain) AS (
+         SELECT c_custkey AS emp_id, c_custkey // 10 AS mgr_id,
+                0 AS depth, CAST(c_custkey AS VARCHAR) AS chain
+         FROM customer WHERE c_custkey // 10 = 0 AND c_custkey > 0
+         UNION ALL
+         SELECT c.c_custkey, c.c_custkey // 10, h.depth + 1,
+                h.chain || '/' || CAST(c.c_custkey AS VARCHAR)
+         FROM customer c JOIN h ON c.c_custkey // 10 = h.emp_id
+         WHERE c.c_custkey > 0)
+       SELECT emp_id, mgr_id, CAST(depth AS INTEGER) AS depth, chain
+       FROM h""",
+)
+def sql_recursive_hierarchy(spark: SparkSession, d: str) -> DataFrame:
+    """Recursive CTE: management-chain transitive closure
+    [SPEC: DimBroker manager hierarchy from HR records].
+
+    Spark 4's WITH RECURSIVE executes as an iterative union (one
+    distributed join per level, like the CC/PageRank supersteps but
+    planned by the engine). The synthetic hierarchy (mgr = emp div
+    10) is logarithmic-depth, so the recursion terminates in
+    ~log10(N) joins at any scale. Same SQL runs on both engines."""
+    t(spark, d, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql(
+        """WITH RECURSIVE h AS (
+             SELECT c_custkey AS emp_id, c_custkey div 10 AS mgr_id,
+                    0 AS depth, CAST(c_custkey AS STRING) AS chain
+             FROM rec_customer WHERE c_custkey div 10 = 0 AND c_custkey > 0
+             UNION ALL
+             SELECT c.c_custkey, c.c_custkey div 10, h.depth + 1,
+                    CONCAT(h.chain, '/', CAST(c.c_custkey AS STRING))
+             FROM rec_customer c JOIN h ON c.c_custkey div 10 = h.emp_id
+             WHERE c.c_custkey > 0)
+           SELECT emp_id, mgr_id, CAST(depth AS INT) AS depth, chain
+           FROM h"""
+    )

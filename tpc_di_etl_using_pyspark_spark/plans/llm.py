@@ -1634,3 +1634,69 @@ def graph_triangle_count(spark: SparkSession, d: str) -> DataFrame:
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+@_op(
+    "dedup_chunk_level",
+    """WITH w AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS words
+         FROM documents),
+       ch AS (
+         SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(0, (len(words) - 1) // 20),
+                  i -> array_to_string(
+                         list_slice(words, i * 20 + 1, i * 20 + 20), ' ')))
+                  AS chunk
+         FROM w),
+       freq AS (
+         SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+         FROM ch GROUP BY chunk)
+       SELECT ch.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(COUNT(*) FILTER (WHERE freq.n_docs > 1) AS BIGINT)
+                AS n_dup_chunks,
+              CAST((1000000 * COUNT(*) FILTER (WHERE freq.n_docs > 1))
+                   // COUNT(*) AS BIGINT) AS dup_ppm
+       FROM ch JOIN freq ON ch.chunk = freq.chunk
+       GROUP BY ch.doc_id""",
+)
+def dedup_chunk_level(spark: SparkSession, d: str) -> DataFrame:
+    """Chunk-level duplication audit [EXT: CCNet/C4-style paragraph
+    dedup — the unit of deduplication is a 20-word chunk, and a doc's
+    duplication ratio is how many of its chunks appear in other docs].
+
+    Chunks are built in-row with higher-order functions (sequence +
+    list_slice — no UDF), then ONE shuffle groups identical chunks
+    across the corpus (count distinct docs per chunk, map-side
+    combinable) and a join back scores each document. The ratio is
+    exact fixed-point ppm (integer floor division — no float rounding
+    surface). At 100 TB this is the standard two-pass shape: chunk
+    frequency table, then per-doc audit; the frequency relation is
+    corpus-sized but hash-partitioned, never collected."""
+    doc = t(spark, d, "documents")
+    words = F.split(F.lower("text"), " ")
+    ch = doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr("(size(split(lower(text), ' ')) - 1) div 20")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * F.lit(20) + 1, 20)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = ch.join(freq, "chunk")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(F.col("n_docs") > 1).alias("n_dup_chunks"),
+        F.expr(
+            "(1000000 * count_if(n_docs > 1)) div count(*)"
+        ).alias("dup_ppm"),
+    )
