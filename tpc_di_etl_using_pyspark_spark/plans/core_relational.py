@@ -841,3 +841,42 @@ def sql_recursive_hierarchy(spark: SparkSession, d: str) -> DataFrame:
            SELECT emp_id, mgr_id, CAST(depth AS INT) AS depth, chain
            FROM h"""
     )
+
+
+@_op(
+    "join_null_safe",
+    """WITH l AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_orderkey % 5 END AS k
+                  FROM orders),
+          r AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                            ELSE c_custkey % 5 END AS k
+                FROM customer)
+       SELECT l.k AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+       GROUP BY l.k""",
+)
+def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out [SPEC: CDC key matching
+    where unknown keys must still pair].
+
+    ``eqNullSafe`` stays a hash-partitionable equi-condition (NULLs
+    hash to one bucket), so this is a plain shuffled hash join — NOT
+    a nested loop; the NULL bucket is a designed skew point to watch
+    at scale (AQE skew handling or pre-filtering NULLs when the
+    semantics allow)."""
+    o = t(spark, d, "orders").select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k")
+    )
+    c = t(spark, d, "customer").select(
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_custkey") % 5)
+        .alias("lk")
+    )
+    return (
+        o.join(c, F.col("k").eqNullSafe(F.col("lk")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

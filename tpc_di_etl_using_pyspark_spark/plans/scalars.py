@@ -716,3 +716,71 @@ def date_spine_gapfill(spark: SparkSession, d: str) -> DataFrame:
     return spine.join(daily, "d", "left").select(
         "d", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders")
     )
+
+
+@_op(
+    "array_exists_forall",
+    """SELECT vec_id,
+              len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 2.5)) > 0
+                AS any_large,
+              len(list_filter(embedding,
+                  x -> NOT (CAST(x AS DOUBLE) >= -4.0
+                            AND CAST(x AS DOUBLE) <= 4.0))) = 0
+                AS all_bounded,
+              CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0))
+                   AS INTEGER) AS n_negative
+       FROM embeddings""",
+)
+def array_exists_forall(spark: SparkSession, d: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / filter-count
+    [EXT: vector sanity gates — range checks on embeddings before they
+    enter an index]. Pure codegen expressions, shuffle-free."""
+    e = t(spark, d, "embeddings")
+    ad = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.exists(ad, lambda x: x > 2.5).alias("any_large"),
+        F.forall(ad, lambda x: (x >= -4.0) & (x <= 4.0)).alias("all_bounded"),
+        F.size(F.filter(ad, lambda x: x < 0)).alias("n_negative"),
+    )
+
+
+@_op(
+    "json_nested_roundtrip",
+    """WITH j AS (
+         SELECT event_id,
+                to_json(struct_pack(
+                  usr := struct_pack(id := user_id, typ := event_type),
+                  vals := [event_id % 7, event_id % 11])) AS js
+         FROM events)
+       SELECT event_id,
+              CAST(json_extract(js, '$.usr.id') AS BIGINT) AS uid,
+              json_extract_string(js, '$.usr.typ') AS utype,
+              CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS val2
+       FROM j""",
+)
+def json_nested_roundtrip(spark: SparkSession, d: str) -> DataFrame:
+    """Typed nested-JSON round trip: build a nested document with
+    to_json, parse it back with from_json against an explicit schema,
+    and project dotted paths [EXT: log/event ingestion — the schema-on
+    -read contract]. Proves serializer and parser agree on nesting,
+    arrays, and types in both engines. Narrow map, shuffle-free."""
+    e = t(spark, d, "events")
+    js = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("id"), F.col("event_type").alias("typ")
+            ).alias("usr"),
+            F.array(F.col("event_id") % 7, F.col("event_id") % 11).alias(
+                "vals"
+            ),
+        )
+    )
+    schema = "struct<usr: struct<id: bigint, typ: string>, vals: array<bigint>>"
+    parsed = F.from_json(js, schema)
+    return e.select(
+        "event_id",
+        parsed["usr"]["id"].alias("uid"),
+        parsed["usr"]["typ"].alias("utype"),
+        F.element_at(parsed["vals"], 2).alias("val2"),
+    )

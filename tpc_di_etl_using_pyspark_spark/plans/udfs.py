@@ -235,3 +235,26 @@ def udtf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
     return li.mapInArrow(
         fn, "l_orderkey bigint, l_linenumber bigint, net_price double"
     )
+
+
+@_op(
+    "udf_arrow_scalar",
+    """SELECT c_custkey,
+              CAST(strlen(c_name) AS INTEGER) || ':' || reverse(c_name)
+                AS tagged
+       FROM customer""",
+)
+def udf_arrow_scalar(spark: SparkSession, d: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): row-at-a-time
+    Python semantics with Arrow-batch transport instead of pickled
+    rows — the drop-in upgrade path for legacy F.udf code that can't
+    be vectorized (SPARK-40307). The rule (length-tag + reverse) is
+    re-expressed in plain SQL by the oracle, so the op certifies the
+    serialization path, not the Python logic."""
+
+    @F.udf("string", useArrow=True)
+    def tag(name: str) -> str:
+        return f"{len(name)}:{name[::-1]}"
+
+    c = t(spark, d, "customer")
+    return c.select("c_custkey", tag("c_name").alias("tagged"))
