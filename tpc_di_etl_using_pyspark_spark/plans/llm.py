@@ -1432,11 +1432,17 @@ def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
         F.lit(0).cast(DEC),
         lambda s, x: (s + x.cast(DEC)).cast(DEC),
     )
-    norm = F.sqrt(dot.cast("double"))
-    return e.select(
+    # Materialize the norm as a column BEFORE the per-element divide:
+    # referencing the norm expression inside the transform lambda would
+    # re-evaluate the whole fold per element (O(dim²) per row — measured
+    # 8 s → 0.3 s at sf0.1 for this projection split).
+    withnorm = e.select(
+        "vec_id", ad.alias("ad"), F.sqrt(dot.cast("double")).alias("l2_norm")
+    )
+    return withnorm.select(
         "vec_id",
-        norm.alias("l2_norm"),
-        F.transform(ad, lambda x: x / norm).alias("unit_vec"),
+        "l2_norm",
+        F.transform("ad", lambda x: x / F.col("l2_norm")).alias("unit_vec"),
     )
 
 
@@ -1699,4 +1705,60 @@ def dedup_chunk_level(spark: SparkSession, d: str) -> DataFrame:
         F.expr(
             "(1000000 * count_if(n_docs > 1)) div count(*)"
         ).alias("dup_ppm"),
+    )
+
+
+@_op(
+    "sample_temperature_mixture",
+    f"""WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       w AS (SELECT source, n,
+                    CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT)
+                      AS wr
+             FROM s),
+       q AS (SELECT source, wr,
+                    CAST((200 * wr) // (SELECT SUM(wr) FROM w) AS BIGINT)
+                      AS quota
+             FROM w),
+       r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY (doc_id * {_SPLIT_A}) % {_SPLIT_M},
+                                                doc_id) AS rk
+             FROM documents)
+       SELECT r.doc_id, r.source, q.quota
+       FROM r JOIN q ON r.source = q.source WHERE r.rk <= q.quota""",
+)
+def sample_temperature_mixture(spark: SparkSession, d: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5) [EXT: the multilingual
+    /multi-source sampling rule from mBERT/XLM-R and T5 data recipes —
+    upsample small sources, downsample large ones ∝ n^α].
+
+    Per-source weights are sqrt(n) in fixed-point micro-units (IEEE
+    sqrt is correctly rounded, so both engines floor the identical
+    double); quotas are exact integer division of the 200-doc budget;
+    the quota is filled by a deterministic multiplicative-hash rank
+    within each source — reproducible, no RNG, no collect. Shape at
+    100 TB: one combinable count, one tiny quota relation broadcast
+    back, one per-source rank window."""
+    doc = t(spark, d, "documents")
+    s = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = s.select(
+        "source",
+        F.floor(F.sqrt(F.col("n").cast("double") * F.lit(1000000.0)))
+        .cast("bigint")
+        .alias("wr"),
+    )
+    total = w.agg(F.sum("wr").alias("tw"))
+    q = w.crossJoin(F.broadcast(total)).select(
+        "source", F.expr("(200 * wr) div tw").alias("quota")
+    )
+    rk = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M), "doc_id"
+    )
+    r = doc.select(
+        "doc_id", "source", F.row_number().over(rk).alias("rk")
+    )
+    return (
+        r.join(F.broadcast(q), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
     )
