@@ -101,29 +101,46 @@ def build_scaled(spark) -> None:
         scaled.write.mode("overwrite").parquet(out)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def _time_one(spark, qs, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_interleaved(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Per query: best-of-3 at base, then best-of-3 at 5×, back to back.
+    Interleaving means any machine-level drift (page cache, competing
+    load) hits both sides of each ratio equally instead of biasing one
+    whole pass — two sequential passes produced <1× 'ratios' when the
+    base pass contended with another JVM."""
     qs = all_queries()
-    out = {}
+    base: dict[str, float] = {}
+    big: dict[str, float] = {}
     for name in PROBE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = best
-    return out
+        qs[name](spark, BASE).write.mode("overwrite").format("noop").save()  # warm-up
+        base[name] = _time_one(spark, qs, name, BASE)
+        big[name] = _time_one(spark, qs, name, SCALED)
+    return base, big
 
 
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
-    base = time_queries(spark, BASE)
-    big = time_queries(spark, SCALED)
+    # Measure in a FRESH session: the 5x build leaves the JVM heap full
+    # of write/shuffle state whose GC churn contaminated earlier probe
+    # runs (observed 16x-vs-1.0x run-to-run swings on the same op).
+    spark.stop()
+    spark = get_spark("scale-probe-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    base, big = time_interleaved(spark)
     lines = [
         "# SCALING — 5× volume probe (auto-generated by tools/scale_probe.py)",
         "",
-        f"Best-of-2 wall-clock at `{BASE}` vs a {REPLICAS}× replicated copy",
+        f"Interleaved best-of-3 wall-clock at `{BASE}` vs a {REPLICAS}× replicated copy",
         "(keys shifted per replica → cardinalities scale; document text",
         "perturbed → dup structure stays linear). Ratio ≲ 5 ⇒ the op's cost",
         "grows at most linearly with volume at this scale.",

@@ -532,3 +532,46 @@ def win_sessionize_gap(spark: SparkSession, d: str) -> DataFrame:
         F.min("ts_s").alias("session_start_s"),
         F.max("ts_s").alias("session_end_s"),
     )
+
+
+@_op(
+    "win_range_time_interval",
+    """WITH e AS (
+         SELECT event_id, user_id,
+                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s, value
+         FROM events)
+       SELECT event_id, user_id, ts_s,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                AS sum_1h
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+)
+def win_range_time_interval(spark: SparkSession, d: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-1-hour count and
+    sum [SPEC: FactMarketHistory 52-week frames, at event-time grain].
+
+    RANGE on epoch seconds (not ROWS) so simultaneous events are frame
+    peers in both engines; the frame sum is decimal-routed. One
+    shuffle on user_id; the frame scan is a single ordered pass per
+    partition."""
+    e = t(spark, d, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
+    )

@@ -1579,7 +1579,7 @@ def text_quality_linear(spark: SparkSession, d: str) -> DataFrame:
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
        edges AS (
-         SELECT sa, sb FROM op GROUP BY sa, sb HAVING COUNT(*) >= 2)
+         SELECT sa, sb FROM op GROUP BY sa, sb HAVING COUNT(*) >= 4)
        SELECT CAST((SELECT COUNT(*) FROM (SELECT sa AS s FROM edges
                                           UNION SELECT sb FROM edges))
                    AS BIGINT) AS n_nodes,
@@ -1594,7 +1594,7 @@ def graph_triangle_count(spark: SparkSession, d: str) -> DataFrame:
     """Triangle count over the supplier co-occurrence graph [EXT:
     graph statistics — community density, spam-cluster detection].
 
-    Edges = supplier pairs co-occurring in ≥2 orders (the frequency
+    Edges = supplier pairs co-occurring in ≥4 orders (the frequency
     threshold sparsifies a dense co-occurrence graph — the standard
     association-graph trick). Node ordering a<b orients every edge
     once, so each triangle is counted exactly once by the two-hop
@@ -1620,7 +1620,7 @@ def graph_triangle_count(spark: SparkSession, d: str) -> DataFrame:
     edges = (
         pairs.groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
+        .filter(F.col("w") >= 4)
         .select("sa", "sb")
     )
     nodes = edges.select(F.col("sa").alias("s")).union(

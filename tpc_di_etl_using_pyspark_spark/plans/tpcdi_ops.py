@@ -1112,3 +1112,43 @@ def tpcdi_audit_reconciliation(spark: SparkSession, d: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@_op(
+    "tpcdi_reference_dims",
+    """WITH st(st_id, st_name) AS (
+         VALUES ('ACTV', 'Active'), ('CMPT', 'Completed'),
+                ('CNCL', 'Canceled'), ('PNDG', 'Pending'),
+                ('SBMT', 'Submitted'), ('INAC', 'Inactive')),
+       m AS (SELECT CASE o_orderstatus WHEN 'F' THEN 'CMPT'
+                         WHEN 'O' THEN 'ACTV' ELSE 'PNDG' END AS st_id,
+                    COUNT(*) AS n
+             FROM orders GROUP BY 1)
+       SELECT st.st_id, st.st_name,
+              CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+       FROM st LEFT JOIN m ON st.st_id = m.st_id""",
+)
+def tpcdi_reference_dims(spark: SparkSession, d: str) -> DataFrame:
+    """Static reference dimension (StatusType) + FK usage audit
+    [SPEC: StatusType.txt → StatusType; batch validation FK checks].
+
+    Reference data is a bounded in-plan VALUES relation (spec
+    constants, never a scan); fact statuses map onto it and the LEFT
+    join keeps unused codes with zero counts — the referential-
+    integrity audit shape. The VALUES side is planner-broadcast."""
+    t(spark, d, "orders").createOrReplaceTempView("ref_orders")
+    return spark.sql(
+        """WITH st AS (
+             SELECT * FROM VALUES
+               ('ACTV', 'Active'), ('CMPT', 'Completed'),
+               ('CNCL', 'Canceled'), ('PNDG', 'Pending'),
+               ('SBMT', 'Submitted'), ('INAC', 'Inactive')
+               AS t(st_id, st_name)),
+           m AS (SELECT CASE o_orderstatus WHEN 'F' THEN 'CMPT'
+                             WHEN 'O' THEN 'ACTV' ELSE 'PNDG' END AS st_id,
+                        COUNT(*) AS n
+                 FROM ref_orders GROUP BY 1)
+           SELECT st.st_id, st.st_name,
+                  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+           FROM st LEFT JOIN m ON st.st_id = m.st_id"""
+    )
