@@ -880,3 +880,66 @@ def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@_op(
+    "join_interval_overlap",
+    """WITH i AS (
+         SELECT CAST(l_shipdate AS DATE) AS s,
+                CAST(l_shipdate AS DATE)
+                  + CAST(1 + l_linenumber % 14 AS INTEGER) AS e,
+                l_quantity
+         FROM lineitem),
+       m AS (
+         SELECT CAST(ms AS DATE) AS month_start
+         FROM (SELECT unnest(range(DATE '1995-01-01', DATE '2002-01-01',
+                                   INTERVAL 1 MONTH)) AS ms)),
+       j AS (
+         SELECT m.month_start, i.l_quantity
+         FROM m JOIN i
+           ON i.s < m.month_start + INTERVAL 1 MONTH
+          AND i.e >= m.month_start)
+       SELECT month_start,
+              CAST(COUNT(*) AS BIGINT) AS n_overlap,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                AS sum_qty
+       FROM j GROUP BY month_start""",
+)
+def join_interval_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Interval-overlap join: shipping windows vs the month calendar
+    [SPEC: FactWatches date-pair resolution; period-overlap audits].
+
+    The scale path is grid decomposition, NOT a theta join: each
+    interval explodes into the months it spans (bounded fan-out: a
+    ≤15-day interval hits ≤2 months), turning the overlap predicate
+    into a pure equi-join key. The oracle states the same semantics
+    as the naive theta join over a generated calendar. At 100 TB the
+    explode is map-side (no driver calendar, no nested loop) and the
+    single shuffle is the month-key aggregation."""
+    li = t(spark, d, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.lit(1) + F.col("l_linenumber") % 14).cast("int"),
+        ).alias("e"),
+        "l_quantity",
+    )
+    exploded = li.select(
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"),
+                F.trunc("e", "month"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start"),
+        "l_quantity",
+    )
+    return (
+        exploded.groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

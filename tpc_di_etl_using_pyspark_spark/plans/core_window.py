@@ -575,3 +575,94 @@ def win_range_time_interval(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@_op(
+    "win_interpolate_linear",
+    """WITH e AS (
+         SELECT event_id, user_id,
+                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s, event_type,
+                CASE WHEN event_type = 'purchase' THEN value END AS av,
+                CASE WHEN event_type = 'purchase'
+                     THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END AS at
+         FROM events),
+       f AS (
+         SELECT event_id, user_id, ts_s, event_type,
+                LAST_VALUE(av IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+                LAST_VALUE(at IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+                FIRST_VALUE(av IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+                FIRST_VALUE(at IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+         FROM e)
+       SELECT event_id, user_id, ts_s, event_type,
+              CASE WHEN v0 IS NULL OR v1 IS NULL THEN NULL
+                   WHEN t1 = t0 THEN v0
+                   ELSE v0 + (v1 - v0) * (CAST(ts_s - t0 AS DOUBLE)
+                                          / CAST(t1 - t0 AS DOUBLE))
+              END AS interp_value
+       FROM f""",
+)
+def win_interpolate_linear(spark: SparkSession, d: str) -> DataFrame:
+    """Linear interpolation between sparse anchors [EXT: time-series
+    gap fill — sensor/price imputation at event grain].
+
+    Anchors are 'purchase' events; every event gets the straight-line
+    value between its surrounding anchors (NULL outside the anchored
+    range). Both directional fills share one (user_id, ts) sort, so
+    the whole op is a single shuffle + sort with two frame passes.
+    The arithmetic keeps an identical IEEE expression tree in both
+    engines (exact integer deltas, one divide, one multiply, one
+    add), so results are bit-identical without decimal routing."""
+    e = t(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+    is_anchor = F.col("event_type") == "purchase"
+    e = e.withColumn("av", F.when(is_anchor, F.col("value"))).withColumn(
+        "at", F.when(is_anchor, F.col("ts_s"))
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    f = e.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "event_type",
+        F.last("av", ignorenulls=True).over(back).alias("v0"),
+        F.last("at", ignorenulls=True).over(back).alias("t0"),
+        F.first("av", ignorenulls=True).over(fwd).alias("v1"),
+        F.first("at", ignorenulls=True).over(fwd).alias("t1"),
+    )
+    interp = (
+        F.when(F.col("v0").isNull() | F.col("v1").isNull(), F.lit(None))
+        .when(F.col("t1") == F.col("t0"), F.col("v0"))
+        .otherwise(
+            F.col("v0")
+            + (F.col("v1") - F.col("v0"))
+            * (
+                (F.col("ts_s") - F.col("t0")).cast("double")
+                / (F.col("t1") - F.col("t0")).cast("double")
+            )
+        )
+    )
+    return f.select(
+        "event_id", "user_id", "ts_s", "event_type", interp.alias("interp_value")
+    )
