@@ -205,3 +205,37 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     window join, not a per-outer-row nested-loop re-execution."""
     plan = _plan(all_queries()["sql_lateral_topk"](spark, sf_dir))
     assert "Window" in plan
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes in a formatted explain (the '(n) Name'
+    detail headers — the tree section repeats every node name)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", plan, flags=re.M))
+
+
+def test_interval_overlap_is_equi_not_theta(spark, sf_dir):
+    """Grid decomposition must turn the overlap predicate into an
+    explode + single agg shuffle — never a nested-loop theta join."""
+    plan = _plan(all_queries()["join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "Generate")  # the month-sequence explode
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_interpolate_single_sort_single_window(spark, sf_dir):
+    """Both directional IGNORE NULLS fills must share one (user, ts)
+    sort and compute in a single Window node — one shuffle total."""
+    plan = _plan(all_queries()["win_interpolate_linear"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 1
+
+
+def test_zscore_single_exchange(spark, sf_dir):
+    """The anomaly re-aggregation must reuse the moment window's
+    user_id partitioning — a second exchange means the groupBy lost
+    the co-partitioning guarantee."""
+    plan = _plan(all_queries()["win_zscore_anomaly"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 1

@@ -659,3 +659,111 @@ def sketch_approx_topk(spark: SparkSession, d: str) -> DataFrame:
         F.col("x.item").alias("event_type"),
         F.col("x.count").cast("bigint").alias("n"),
     )
+
+
+@_op(
+    "agg_histogram_fixed",
+    """WITH b AS (
+         SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin_id,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM b)
+       SELECT bin_id,
+              CAST(bin_id * 50000 AS DOUBLE) AS bin_lo,
+              CAST(n AS BIGINT) AS n_orders,
+              CAST(n AS DOUBLE) / total AS share
+       FROM b, tot""",
+)
+def agg_histogram_fixed(spark: SparkSession, d: str) -> DataFrame:
+    """Fixed-width histogram of order values with density shares
+    [EXT: distribution profiling — the first look at any new column].
+
+    Binning is a map-side expression (floor of an IEEE divide —
+    identical in both engines), so the whole histogram is ONE
+    map-combined aggregation shuffle on ~#bins keys; the grand total
+    for the share column joins back as a broadcast 1-row relation
+    (never a window over an empty partition, which would collapse to
+    a single task at scale)."""
+    o = t(spark, d, "orders")
+    b = (
+        o.select(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            .cast("bigint")
+            .alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = b.agg(F.sum("n").cast("double").alias("total"))
+    return b.join(F.broadcast(tot)).select(
+        "bin_id",
+        (F.col("bin_id") * 50000).cast("double").alias("bin_lo"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+@_op(
+    "win_zscore_anomaly",
+    f"""WITH s AS (
+         SELECT user_id,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(value AS {SQL_DEC})) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(value * value AS {SQL_DEC})) AS DOUBLE) AS sxx
+         FROM events GROUP BY user_id),
+       m AS (
+         SELECT user_id, n,
+                sx / n AS mean_v,
+                SQRT(GREATEST((n * sxx - sx * sx) / (n * n), 0.0)) AS std_v
+         FROM s)
+       SELECT m.user_id,
+              CAST(m.n AS BIGINT) AS n_events,
+              m.mean_v, m.std_v,
+              CAST(COUNT(*) FILTER (
+                WHERE ABS(e.value - m.mean_v) > 2.0 * m.std_v
+              ) AS BIGINT) AS n_anomalies
+       FROM m JOIN events e ON e.user_id = m.user_id
+       GROUP BY m.user_id, m.n, m.mean_v, m.std_v""",
+)
+def win_zscore_anomaly(spark: SparkSession, d: str) -> DataFrame:
+    """Per-user z-score anomaly counting [EXT: outlier gating on
+    training-signal columns; data-drift monitors].
+
+    Mean and population std come from exact DECIMAL moment sums (the
+    agg_regression_exact pattern), so both are bit-identical doubles
+    in both engines; sqrt and the closed-form variance are correctly
+    rounded IEEE ops. The per-row z-test then runs inside the SAME
+    user_id window partitioning — one shuffle feeds the moment
+    window, the anomaly re-aggregation reuses that partitioning, so
+    the whole op is a single exchange (asserted in test_plans)."""
+    from pyspark.sql import Window
+
+    e = t(spark, d, "events").select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+    mean_v = sx / n
+    std_v = F.sqrt(F.greatest((n * sxx - sx * sx) / (n * n), F.lit(0.0)))
+    scored = e.select(
+        "user_id",
+        "value",
+        n.alias("n"),
+        mean_v.alias("mean_v"),
+        std_v.alias("std_v"),
+    )
+    return scored.groupBy("user_id", "n", "mean_v", "std_v").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mean_v")) > 2.0 * F.col("std_v"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies")
+    ).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        "mean_v",
+        "std_v",
+        "n_anomalies",
+    )
