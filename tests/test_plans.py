@@ -239,3 +239,11 @@ def test_zscore_single_exchange(spark, sf_dir):
     the co-partitioning guarantee."""
     plan = _plan(all_queries()["win_zscore_anomaly"](spark, sf_dir))
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_partition_pruned_scan_lists_only_matching_dirs(spark, sf_dir):
+    """The o_year >= 2000 predicate must land in PartitionFilters (file
+    listing), not as a post-scan row filter over every partition."""
+    plan = _plan(all_queries()["scan_partition_pruned"](spark, sf_dir))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf and "2000" in pf

@@ -400,3 +400,40 @@ def scan_binaryfile(spark: SparkSession, d: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.lower(F.sha2("content", 256)).alias("sha"),
     )
+
+
+@_op(
+    "scan_partition_pruned",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                AS sum_price
+       FROM orders WHERE year(o_orderdate) >= 2000
+       GROUP BY 1""",
+)
+def scan_partition_pruned(spark: SparkSession, d: str) -> DataFrame:
+    """Partition-pruned scan [PK: hive-layout directory pruning — the
+    single biggest IO lever at 100 TB: a year-filtered query over a
+    year-partitioned table must list and read ONLY the matching
+    directories, never the other ~95% of the data].
+
+    Writes orders partitioned by o_year (hive layout), reads back with
+    a partition-column predicate; the plan's PartitionFilters (and a
+    partition count below the total — asserted in test_plans) prove
+    the filter was applied at file listing, not per row after a full
+    scan."""
+    path = _scratch(d, "orders_by_year")
+    (
+        t(spark, d, "orders")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") >= 2000)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

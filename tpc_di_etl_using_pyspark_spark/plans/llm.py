@@ -1762,3 +1762,100 @@ def sample_temperature_mixture(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "source", "quota")
     )
+
+
+@_op(
+    "vec_centroid_per_label",
+    """WITH u AS (
+         SELECT label,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       s AS (
+         SELECT label, pos,
+                CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS m
+         FROM u GROUP BY label, pos),
+       c AS (
+         SELECT label, list(m ORDER BY pos) AS centroid
+         FROM s GROUP BY label),
+       n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             FROM embeddings GROUP BY label)
+       SELECT c.label, n.n_vecs, c.centroid
+       FROM c JOIN n ON c.label = n.label""",
+)
+def vec_centroid_per_label(spark: SparkSession, d: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) [EXT: clustering
+    seeds, nearest-centroid classification, IVF coarse quantizer
+    training].
+
+    posexplode → per-(label, dimension) exact DECIMAL sums (map-side
+    combinable: the shuffle carries #labels × dim partial rows, KB at
+    any corpus size) → means re-assembled position-ordered via
+    array_sort over (pos, m) structs, so the collect order is
+    deterministic. Means are exact-sum / count — bit-identical
+    doubles in both engines."""
+    e = t(spark, d, "embeddings")
+    u = e.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    s = u.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    c = s.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("centroid")
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    return c.join(n, "label").select("label", "n_vecs", "centroid")
+
+
+@_op(
+    "text_bpe_pair_count",
+    """WITH w AS (
+         SELECT lower(unnest(regexp_split_to_array(text, '[^A-Za-z]+')))
+                  AS word
+         FROM documents),
+       ww AS (SELECT word FROM w WHERE strlen(word) >= 2),
+       p AS (
+         SELECT unnest(list_transform(range(1, strlen(word)),
+                                      i -> substr(word, CAST(i AS INTEGER), 2)))
+                  AS pair
+         FROM ww)
+       SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+       FROM p GROUP BY pair
+       ORDER BY n DESC, pair LIMIT 30""",
+)
+def text_bpe_pair_count(spark: SparkSession, d: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner loop of BPE vocabulary
+    training [EXT: tokenizer training at corpus scale].
+
+    Words explode from each document map-side; each word emits its
+    len-1 adjacent character pairs via a higher-order transform over
+    an index sequence (no UDF, no per-char explode — one array op per
+    word). The only shuffle is the map-side-combined pair count; the
+    top-30 is a TakeOrdered, not a global sort. A real BPE trainer
+    iterates this exact job, merging the argmax pair each round —
+    each iteration stays one combinable shuffle at any corpus size."""
+    doc = t(spark, d, "documents")
+    words = doc.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
