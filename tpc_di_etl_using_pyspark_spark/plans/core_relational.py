@@ -943,3 +943,30 @@ def join_interval_overlap(spark: SparkSession, d: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@_op(
+    "sql_pipe_syntax",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+       FROM lineitem
+       WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def sql_pipe_syntax(spark: SparkSession, d: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555): the |> operator chain
+    mirrors DataFrame composition order inside SQL text. Parses to the
+    identical Catalyst plan as the classic form — same pushdown, same
+    partial aggregation — so the oracle is the classic rewrite."""
+    t(spark, d, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """FROM pipe_lineitem
+           |> WHERE l_shipdate <= DATE '1998-09-02'
+           |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,6)) AS disc_price
+           |> AGGREGATE CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+                        COUNT(*) AS n
+              GROUP BY l_returnflag, l_linestatus"""
+    )

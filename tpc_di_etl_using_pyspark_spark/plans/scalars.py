@@ -784,3 +784,119 @@ def json_nested_roundtrip(spark: SparkSession, d: str) -> DataFrame:
         parsed["usr"]["typ"].alias("utype"),
         F.element_at(parsed["vals"], 2).alias("val2"),
     )
+
+
+@_op(
+    "json_variant_extract",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+              'OBJECT<k: BIGINT>' AS vschema
+       FROM events""",
+)
+def json_variant_extract(spark: SparkSession, d: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion [EXT: semi-structured at scale]:
+    parse_json → an open-schema binary VARIANT column, typed path
+    extraction with variant_get and runtime shape via
+    schema_of_variant. Unlike from_json, VARIANT defers the schema to
+    read time while staying columnar-shreddable at rest — the
+    parse + extract is a narrow map (no shuffle). The oracle mirrors
+    the path extraction and pins the discovered shape as a literal."""
+    e = t(spark, d, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+
+
+@_op(
+    "math_try_overflow",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey <= 1023
+                   THEN o_orderkey * 9007199254740992 END AS mul_53,
+              CASE WHEN o_orderkey <= 30000
+                   THEN o_orderkey + 9223372036854745807 END AS add_max,
+              o_totalprice / NULLIF(o_orderkey % 7, 0) AS div_guard
+       FROM orders""",
+)
+def math_try_overflow(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI-safe arithmetic [EXT: Spark 4 ANSI mode]: try_multiply /
+    try_add return NULL on BIGINT overflow instead of failing the job,
+    try_divide NULLs division by zero. At 100 TB one poisoned row must
+    not kill a 1000-executor stage. The oracle reproduces the overflow
+    boundary analytically (2^63-1 bounds) since DuckDB errors on
+    overflow rather than NULLing."""
+    o = t(spark, d, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.try_multiply(k, F.lit(9007199254740992).cast("long")).alias("mul_53"),
+        F.try_add(k, F.lit(9223372036854745807).cast("long")).alias("add_max"),
+        F.try_divide(F.col("o_totalprice"), k % 7).alias("div_guard"),
+    )
+
+
+@_op(
+    "str_collate_ci",
+    """WITH m AS (SELECT p_brand,
+                         CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                              ELSE p_name END AS name_mixed
+                  FROM part)
+       SELECT p_brand,
+              COUNT(DISTINCT lower(name_mixed)) AS n_ci,
+              COUNT(DISTINCT name_mixed) AS n_cs
+       FROM m GROUP BY p_brand""",
+)
+def str_collate_ci(spark: SparkSession, d: str) -> DataFrame:
+    """Spark 4 string collations [EXT]: UNICODE_CI makes equality,
+    DISTINCT, and joins case-insensitive in the engine (collation-aware
+    hashing/codegen) instead of wrapping every operand in lower() — at
+    scale that keeps the optimizer's statistics and pushdowns on the
+    raw column. Distinct-count under UNICODE_CI vs binary collation;
+    oracle mirrors with lower() (ASCII fixture ⇒ identical folding)."""
+    p = t(spark, d, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name")).otherwise(
+        F.col("p_name")
+    )
+    return (
+        p.select("p_brand", mixed.alias("name_mixed"))
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct(F.collate(F.col("name_mixed"), "UNICODE_CI")).alias("n_ci"),
+            F.count_distinct(F.col("name_mixed")).alias("n_cs"),
+        )
+    )
+
+
+@_op(
+    "xml_roundtrip_builtin",
+    """SELECT c_custkey AS xkey, c_mktsegment AS seg, c_nationkey AS nat
+       FROM customer""",
+)
+def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
+    """Native XML parsing [EXT: Spark 4 from_xml builtin — no external
+    spark-xml jar, no UDF]: serialize each customer row to an XML
+    fragment in-plan, parse it back through from_xml against an
+    explicit schema, and project the typed fields. Complements
+    scan_xml_flatten (file-level mapInPandas flatten) with the
+    expression-level path; fully codegen'd narrow map. Oracle is the
+    identity projection — the round trip must be lossless."""
+    c = t(spark, d, "customer")
+    # from_xml matches fields by element name — serialize with the
+    # target field names so the parsed struct needs no renames.
+    xml = F.concat(
+        F.lit("<cust><xkey>"),
+        F.col("c_custkey").cast("string"),
+        F.lit("</xkey><seg>"),
+        F.col("c_mktsegment"),
+        F.lit("</seg><nat>"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("</nat></cust>"),
+    )
+    parsed = F.from_xml(xml, "xkey BIGINT, seg STRING, nat BIGINT")
+    return c.select(
+        parsed["xkey"].alias("xkey"),
+        parsed["seg"].alias("seg"),
+        parsed["nat"].alias("nat"),
+    )

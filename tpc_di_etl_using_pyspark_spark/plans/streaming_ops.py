@@ -113,7 +113,9 @@ def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
     """
     e = t(spark, d, "events")
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros("ts")
+    # events.ts is TIMESTAMP_NTZ at rest; unix_micros needs LTZ. The
+    # session TZ is pinned UTC so the cast is an exact reinterpretation.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (
         e.withColumn("max_us", F.max(us).over(w))
         .filter(us >= F.col("max_us") - 600 * 1000000)

@@ -258,3 +258,60 @@ def udf_arrow_scalar(spark: SparkSession, d: str) -> DataFrame:
 
     c = t(spark, d, "customer")
     return c.select("c_custkey", tag("c_name").alias("tagged"))
+
+
+@_op(
+    "udf_sql_declarative",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(25,6)), 2)
+                   AS DOUBLE) AS gross
+       FROM lineitem WHERE l_linenumber <= 2""",
+)
+def udf_sql_declarative(spark: SparkSession, d: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4, SPARK-46246): CREATE OR REPLACE
+    TEMPORARY FUNCTION ... RETURNS ... RETURN <expr>. The body is
+    inlined into the plan by the analyzer — full codegen and pushdown,
+    zero serialization cost, unlike every Python UDF. This is the
+    scale-preferred way to package reusable business rules."""
+    t(spark, d, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION gross_price(p DOUBLE, tax DOUBLE)
+           RETURNS DOUBLE
+           RETURN CAST(ROUND(CAST(p * (1 + tax) AS DECIMAL(25,6)), 2) AS DOUBLE)"""
+    )
+    return spark.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  gross_price(l_extendedprice, l_tax) AS gross
+           FROM sqludf_lineitem WHERE l_linenumber <= 2"""
+    )
+
+
+@_op(
+    "udtf_sql_table_fn",
+    """SELECT 'big' AS tier, o_orderkey, o_totalprice
+       FROM orders WHERE o_totalprice > 400000
+       UNION ALL
+       SELECT 'mid', o_orderkey, o_totalprice
+       FROM orders WHERE o_totalprice > 300000 AND o_totalprice <= 350000""",
+)
+def udtf_sql_table_fn(spark: SparkSession, d: str) -> DataFrame:
+    """SQL table function (Spark 4): CREATE TEMPORARY FUNCTION ...
+    RETURNS TABLE(...) — a parameterized view expanded and inlined at
+    analysis time (predicates push straight into the scan). Called
+    twice with different bands and unioned; the oracle is the plain
+    relational expansion."""
+    t(spark, d, "orders").createOrReplaceTempView("sqltvf_orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(lo DOUBLE, hi DOUBLE)
+           RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+           RETURN SELECT o_orderkey, o_totalprice
+                  FROM sqltvf_orders
+                  WHERE o_totalprice > lo AND (hi < 0 OR o_totalprice <= hi)"""
+    )
+    return spark.sql(
+        """SELECT 'big' AS tier, o_orderkey, o_totalprice
+           FROM price_band(400000.0, -1.0)
+           UNION ALL
+           SELECT 'mid', o_orderkey, o_totalprice
+           FROM price_band(300000.0, 350000.0)"""
+    )
