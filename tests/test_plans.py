@@ -247,3 +247,39 @@ def test_partition_pruned_scan_lists_only_matching_dirs(spark, sf_dir):
     plan = _plan(all_queries()["scan_partition_pruned"](spark, sf_dir))
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_year" in pf and "2000" in pf
+
+
+def test_rp_lsh_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Random-hyperplane LSH: candidates come from an equi self-join on
+    (band_idx, band_key) — never an all-pairs cartesian; the signature
+    pass is a narrow map over the embeddings scan."""
+    plan = _plan(all_queries()["sim_rp_lsh_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_udf_is_inlined_no_python(spark, sf_dir):
+    """Declarative SQL UDF/TVF bodies inline at analysis time — the
+    physical plan must contain no Python evaluation node and keep the
+    TVF's predicate pushed into the parquet scan."""
+    plan = _plan(all_queries()["udf_sql_declarative"](spark, sf_dir))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    plan = _plan(all_queries()["udtf_sql_table_fn"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "PushedFilters: [IsNotNull(o_totalprice)" in plan
+
+
+def test_pipe_syntax_compiles_to_partial_agg(spark, sf_dir):
+    """|> AGGREGATE lowers to the same two-phase hash aggregation as
+    the classic form, with the WHERE pushed to the scan."""
+    plan = _plan(all_queries()["sql_pipe_syntax"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_variant_and_xml_are_shuffle_free(spark, sf_dir):
+    """VARIANT parse/extract and the from_xml round trip are narrow
+    maps — no Exchange in either plan."""
+    for op in ("json_variant_extract", "xml_roundtrip_builtin"):
+        plan = _plan(all_queries()[op](spark, sf_dir))
+        assert "Exchange" not in plan, op

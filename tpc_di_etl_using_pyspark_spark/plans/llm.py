@@ -1859,3 +1859,110 @@ def text_bpe_pair_count(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+_RP_COS_SQL = """
+       CAST(ROUND(CAST(
+         list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+         AS DECIMAL(25,6)), 6) AS DOUBLE)"""
+
+
+@_op(
+    "sim_rp_lsh_cosine",
+    f"""WITH planes AS (
+         SELECT p, j,
+                ((1103515245 * (p * 64 + j) + 12345) // 65536) % 2048 - 1024 AS w
+         FROM range(16) tp(p), range(64) tj(j)),
+       comps AS (
+         SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+         FROM embeddings, range(64) t(j)),
+       dots AS (
+         SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(25,6))) AS dp
+         FROM comps JOIN planes USING (j) GROUP BY vec_id, p),
+       bands AS (
+         SELECT vec_id, p // 8 AS band_idx,
+                string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p) AS band_key
+         FROM dots GROUP BY vec_id, p // 8),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b USING (band_idx, band_key)
+         WHERE a.vec_id < b.vec_id)
+       SELECT id_a, id_b, {_RP_COS_SQL} AS cos_sim
+       FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                 JOIN embeddings eb ON eb.vec_id = id_b
+       WHERE {_RP_COS_SQL} >= 0.30""",
+)
+def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
+    """Random-hyperplane LSH for cosine similarity [EXT: ANN at corpus
+    scale — SimHash for embeddings]: 16 deterministic pseudo-random
+    hyperplanes (LCG-derived integer weights, exactly reproducible in
+    SQL) -> per-vector sign bits via an exact DECIMAL dot fold -> two
+    8-bit band keys -> candidate pairs only within a shared band ->
+    exact cosine >= 0.30 verified on candidates only.
+
+    Scale shape: the signature pass is a narrow map (nested
+    higher-order fold, no UDF, no shuffle); the only wide ops are the
+    band self-join (bounded by bucket occupancy, never all-pairs) and
+    the candidate-pair vector fetch. Collision probability per band is
+    (1 - theta/pi)^8, so bucket sizes stay tiny on near-uniform
+    corpora and near-dups collide with high probability — the same
+    contract as dedup_minhash_lsh but for the embedding column.
+    The oracle mirrors the banding exactly (deterministic planes), so
+    approximate recall is certified, not hidden."""
+    from ..llm.similarity import as_double, cosine
+
+    e = t(spark, d, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+
+    def plane_w(p: Column, j: Column) -> Column:
+        k = (p * 64 + j).cast("long")
+        x = F.lit(1103515245).cast("long") * k + 12345
+        return ((x - x % 65536) / 65536).cast("long") % 2048 - 1024
+
+    def sign_bit(p: Column) -> Column:
+        dp = F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast(DEC),
+            lambda s, j: (s + (F.get(F.col("emb"), j) * plane_w(p, j)).cast(DEC)).cast(
+                DEC
+            ),
+        )
+        return F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), sign_bit)
+    sigs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.array_join(F.slice(bits, 1, 8), "").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.array_join(F.slice(bits, 9, 8), "").alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_key")
+
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
+    cos = dround(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.30)
+    )

@@ -97,6 +97,16 @@ _PRIORITY = [
     "tpcdi_dim_time",
     "tpcdi_dim_trade",
     "tpcdi_dimessages",
+    # late-round-2 additions (outside this round's 50-op window;
+    # first in line when the round-3 rotation rewrites this list)
+    "sim_rp_lsh_cosine",
+    "json_variant_extract",
+    "math_try_overflow",
+    "str_collate_ci",
+    "xml_roundtrip_builtin",
+    "sql_pipe_syntax",
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
 ]
 
 
