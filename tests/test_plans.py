@@ -283,3 +283,20 @@ def test_variant_and_xml_are_shuffle_free(spark, sf_dir):
     for op in ("json_variant_extract", "xml_roundtrip_builtin"):
         plan = _plan(all_queries()[op](spark, sf_dir))
         assert "Exchange" not in plan, op
+
+
+def test_incremental_dedup_probes_not_self_joins(spark, sf_dir):
+    """Incremental dedup joins new-side band keys to corpus-side band
+    keys — equi join on the band bucket, no cartesian anywhere."""
+    plan = _plan(all_queries()["pipeline_incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """k-means assignment broadcasts the k x dim centroid relation;
+    the per-vector distance aggregation partially aggregates before
+    its shuffle."""
+    plan = _plan(all_queries()["vec_kmeans_refine"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1966,3 +1966,134 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.30)
     )
+
+
+@_op(
+    "pipeline_incremental_dedup",
+    f"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                  FROM documents),
+       g AS (SELECT DISTINCT doc_id,
+                    words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+             FROM (SELECT doc_id, words,
+                          unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+                   FROM w)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                        COUNT(*) AS n_inter
+                 FROM g a JOIN g b ON a.gram = b.gram
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT new_id, corpus_id,
+              {sql_dround('n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)', 6)}
+                AS jaccard
+       FROM inter JOIN sz sa ON sa.doc_id = new_id
+                  JOIN sz sb ON sb.doc_id = corpus_id
+       WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5""",
+)
+def pipeline_incremental_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental ingestion dedup [EXT: the 100-TB operating mode]:
+    an arriving batch (doc_id % 5 = 0 here) is near-dup-checked against
+    the standing corpus WITHOUT recomputing corpus-vs-corpus pairs —
+    new-side band keys join corpus-side band keys, so the candidate
+    join is new × bucket-mates, never corpus × corpus. In production
+    the corpus signatures/band keys are an index at rest (written once,
+    partitioned by band); each batch only computes its own signatures
+    and probes. Exact-Jaccard verification on candidates only; the
+    oracle is the brute-force cross-side comparison (banding recall is
+    full on the fixtures, as asserted for the same parameters in
+    tests/test_llm.py)."""
+    from ..llm.minhash import band_keys, jaccard_verify, minhash_signature, shingles
+
+    doc = t(spark, d, "documents")
+    sh = shingles(doc, "doc_id", "text", 3).cache()
+    bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
+    nb = bk.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    cb = bk.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        nb.join(cb, ["band_idx", "band_key"]).select("doc_a", "doc_b").dropDuplicates()
+    )
+    return jaccard_verify(cand, sh, "doc_id", 0.5).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        dround("jaccard", 6).alias("jaccard"),
+    )
+
+
+@_op(
+    "vec_kmeans_refine",
+    """WITH comps AS (
+         SELECT vec_id, j AS pos, CAST(embedding[j + 1] AS DOUBLE) AS x
+         FROM embeddings, range(64) t(j)),
+       c1 AS (
+         SELECT cell, pos, ((cell * 7 + pos * 13) % 11 - 5) / 5.0 AS m
+         FROM range(8) tc(cell), range(64) tp(pos)),
+       d1 AS (
+         SELECT vec_id, cell, SUM(CAST((x - m) * (x - m) AS DECIMAL(25,6))) AS dd
+         FROM comps JOIN c1 USING (pos) GROUP BY vec_id, cell),
+       a1 AS (
+         SELECT vec_id, cell FROM d1
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) = 1),
+       c2 AS (
+         SELECT cell, pos,
+                CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+         FROM comps JOIN a1 USING (vec_id) GROUP BY cell, pos),
+       d2 AS (
+         SELECT vec_id, cell, SUM(CAST((x - m) * (x - m) AS DECIMAL(25,6))) AS dd
+         FROM comps JOIN c2 USING (pos) GROUP BY vec_id, cell)
+       SELECT vec_id, cell AS cluster, CAST(dd AS DOUBLE) AS dist_sq
+       FROM d2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) = 1""",
+)
+def vec_kmeans_refine(spark: SparkSession, d: str) -> DataFrame:
+    """One exact k-means refinement, unrolled [EXT: embedding-space
+    clustering for corpus curation]: assign to the deterministic IVF
+    pseudo-centroids (same formula as sim_ivf_topk), recompute each
+    non-empty cell's centroid as the exact per-dimension DECIMAL mean,
+    re-assign, and emit (vec_id, cluster, dist_sq).
+
+    Scale shape per iteration: the centroid relation is k×dim rows —
+    always broadcast; assignment is a narrow map over the posexploded
+    vectors with one (vec_id, cell)-keyed partial-aggregated shuffle;
+    the centroid update shuffles only k×dim partial sums regardless of
+    corpus size. Distances fold through DECIMAL(25,6) so the argmin
+    (tie-broken by cell id) is bit-identical across engines — that is
+    what lets an iterative ML-style algorithm be certified by a SQL
+    oracle with two unrolled iterations."""
+    e = t(spark, d, "embeddings")
+    comps = e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).withColumnsRenamed({"pos": "pos", "col": "x"})
+
+    cells = spark.range(8).select(F.col("id").cast("int").alias("cell"))
+    poss = spark.range(64).select(F.col("id").cast("int").alias("pos"))
+    c1 = cells.crossJoin(poss).select(
+        "cell", "pos", (((F.col("cell") * 7 + F.col("pos") * 13) % 11 - 5) / 5.0).alias("m")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dd = (
+            comps.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).cast(DEC))
+                .alias("dd")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dd", "cell")
+        return dd.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    a1 = assign(c1).select("vec_id", "cell")
+    c2 = (
+        comps.join(a1, "vec_id")
+        .groupBy("cell", "pos")
+        .agg((F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    return assign(c2).select(
+        "vec_id",
+        F.col("cell").alias("cluster"),
+        F.col("dd").cast("double").alias("dist_sq"),
+    )

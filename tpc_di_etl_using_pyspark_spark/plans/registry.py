@@ -107,6 +107,8 @@ _PRIORITY = [
     "sql_pipe_syntax",
     "udf_sql_declarative",
     "udtf_sql_table_fn",
+    "pipeline_incremental_dedup",
+    "vec_kmeans_refine",
 ]
 
 
