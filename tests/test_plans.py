@@ -300,3 +300,10 @@ def test_kmeans_centroids_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["vec_kmeans_refine"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_python_datasource_parallelizes_per_file(spark, sf_dir):
+    """The Python DataSource plans one InputPartition per data file —
+    the read must not collapse to a single task."""
+    df = all_queries()["scan_python_datasource"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() >= 2

@@ -150,3 +150,45 @@ def test_stream_stream_join_equals_batch(spark, replay):
     bv, bp = split(events)
     cols = ["view_id", "purchase_id", "user_id", "gap_sec"]
     assert _rows(out, cols) == _rows(view_purchase_interval_join(bv, bp), cols)
+
+
+def test_transform_with_state_equals_batch(spark, replay, sf_dir):
+    """transformWithStateInPandas (typed ValueState, RocksDB store)
+    carries per-user state across micro-batches; the final emission per
+    user must equal the batch aggregate the driver verifies.
+
+    The TWS state-server protocol needs google.protobuf, which this
+    container lacks (no network, no installs) — skip there; the
+    operator itself is environment-gated, not stubbed."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from tpc_di_etl_using_pyspark_spark.plans.streaming_ops import (
+        stream_transform_with_state,
+    )
+    from tpc_di_etl_using_pyspark_spark.streaming.ops import (
+        transform_with_state_maxcount,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rdir, events = replay
+        sdf = read_event_stream(spark, rdir)
+        out = run_available_now(transform_with_state_maxcount(sdf), mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    final = {
+        r.user_id: (r.n_events, r.max_micro)
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.max_micro)
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    assert final == batch

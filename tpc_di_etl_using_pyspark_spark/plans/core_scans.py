@@ -437,3 +437,40 @@ def scan_partition_pruned(spark: SparkSession, d: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@_op(
+    "scan_python_datasource",
+    """SELECT 'CMP' AS rec_type, rtrim(substring(p_name, 1, 60)) AS company_name,
+              p_partkey AS cik, '20100101-120000' AS pts
+       FROM part""",
+)
+def scan_python_datasource(spark: SparkSession, d: str) -> DataFrame:
+    """User-defined Python DataSource (Spark 4 connector API,
+    sources/pyds_finwire.py): FINWIRE CMP fixture read through
+    ``spark.read.format("finwire_cmp")`` — partition planning in
+    ``partitions()`` (one per file), Arrow-batched per-partition
+    generators on executors. The connector-surface complement to
+    scan_text_fixedwidth's expression-sliced fast path; must reproduce
+    the same rows."""
+    from ..sources.pyds_finwire import FinwireCmpDataSource
+
+    path = _scratch(d, "finwire_pyds")
+    part = t(spark, d, "part")  # also ships the package to executors
+    line = F.concat(
+        F.lit("20100101-120000"),
+        F.lit("CMP"),
+        F.rpad(F.substring("p_name", 1, 60), 60, " "),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+    )
+    # 4 fixture files → 4 InputPartitions: the partition planning in
+    # FinwireCmpReader.partitions() is what the plan test asserts
+    part.select(line.alias("value")).repartition(4).write.mode("overwrite").text(path)
+    spark.dataSource.register(FinwireCmpDataSource)
+    raw = spark.read.format("finwire_cmp").option("path", path).load()
+    return raw.select(
+        "rec_type",
+        "company_name",
+        F.col("cik").cast("bigint").alias("cik"),
+        "pts",
+    )

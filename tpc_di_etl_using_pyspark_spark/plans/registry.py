@@ -109,6 +109,8 @@ _PRIORITY = [
     "udtf_sql_table_fn",
     "pipeline_incremental_dedup",
     "vec_kmeans_refine",
+    "scan_python_datasource",
+    "stream_transform_with_state",
 ]
 
 

@@ -228,3 +228,22 @@ def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
         F.col("ts").alias("pts"),
     )
     return view_purchase_interval_join(views, purchases)
+
+
+@_op(
+    "stream_transform_with_state",
+    """SELECT user_id, COUNT(*) AS n_events,
+              MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) AS max_micro
+       FROM events GROUP BY user_id""",
+)
+def stream_transform_with_state(spark: SparkSession, d: str) -> DataFrame:
+    """Batch-deterministic analog of the transformWithStateInPandas
+    custom stateful operator (streaming/ops.py
+    transform_with_state_maxcount; real stateful execution with typed
+    ValueState + RocksDB store exercised in tests/test_streaming.py):
+    per-user cumulative count + integer-micro max."""
+    e = t(spark, d, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.floor(F.col("value") * 1_000_000).cast("long")).alias("max_micro"),
+    )

@@ -208,3 +208,59 @@ def view_purchase_interval_join(views: DataFrame, purchases: DataFrame) -> DataF
         "user_id",
         (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias("gap_sec"),
     )
+
+
+TWS_MAXCOUNT_SCHEMA = "user_id bigint, n_events bigint, max_micro bigint"
+
+
+def transform_with_state_maxcount(sdf: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas``
+    (Spark 4, SPARK-49564 — the successor API to applyInPandasWithState):
+    per-user cumulative event count + max value, carried in a typed
+    ``ValueState`` across micro-batches, one updated row per user per
+    batch. Values accumulate as integer micro-units (floor(value*1e6))
+    so the arithmetic is order-exact and matches the batch analog
+    bit-for-bit.
+
+    Compared with applyInPandasWithState, the handle API gives typed
+    value/list/map state cells and timers; state stays partition-local
+    and RocksDB-backed — the scale-safe shape for custom streaming
+    aggregates. Requires the RocksDB state store provider, plus
+    google.protobuf at runtime for the TWS state-server protocol
+    (absent in this container, so the execution test skips there; the
+    batch-deterministic analog
+    plans/streaming_ops.stream_transform_with_state is driver-certified
+    regardless).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MaxCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, mx bigint")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ARG002
+            n, mx = self._agg.get() if self._agg.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                m = int(
+                    np.floor(pdf["value"].to_numpy() * 1_000_000)
+                    .astype("int64")
+                    .max()
+                )
+                mx = m if mx is None else max(mx, m)
+            self._agg.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_micro": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy("user_id").transformWithStateInPandas(
+        MaxCountProcessor(), TWS_MAXCOUNT_SCHEMA, "Update", "None"
+    )
