@@ -25,7 +25,8 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # broadcast star join, temporal range join, window range frame, keyed
 # dedup, top-k, tf-idf fan-out, LSH dedup, sessionization, running
 # balance, vector top-k, trade-stream holdings, iterative connected
-# components, end-to-end corpus curation, FINWIRE SCD2 warehouse build).
+# components, end-to-end corpus curation, FINWIRE SCD2 warehouse build,
+# hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -42,6 +43,9 @@ HEADLINE = [
     "dedup_cluster_cc",
     "pipeline_corpus_curation",
     "tpcdi_dim_security",
+    "sim_rp_lsh_cosine",
+    "pipeline_incremental_dedup",
+    "vec_kmeans_refine",
 ]
 
 RUNS = 3

@@ -65,6 +65,9 @@ PROBE = [
     "graph_triangle_count",
     "vec_l2_normalize",
     "sketch_hll_partition_merge",
+    "sim_rp_lsh_cosine",
+    "pipeline_incremental_dedup",
+    "vec_kmeans_refine",
 ]
 
 

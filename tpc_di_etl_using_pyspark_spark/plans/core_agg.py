@@ -767,3 +767,37 @@ def win_zscore_anomaly(spark: SparkSession, d: str) -> DataFrame:
         "std_v",
         "n_anomalies",
     )
+
+
+@_op(
+    "agg_transpose_matrix",
+    """SELECT 'n_orders' AS key,
+              CAST(count_if(o_orderstatus = 'F') AS DOUBLE) AS F,
+              CAST(count_if(o_orderstatus = 'O') AS DOUBLE) AS O,
+              CAST(count_if(o_orderstatus = 'P') AS DOUBLE) AS P
+       FROM orders
+       UNION ALL
+       SELECT 'revenue',
+              CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE),
+              CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE),
+              CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+       FROM orders""",
+)
+def agg_transpose_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """DataFrame transpose (Spark 4, SPARK-47081): rows become columns
+    with the index column's values as the new column names — the
+    report-shaping complement to pivot. Here a 3-row per-status
+    aggregate flips to metrics-as-rows × statuses-as-columns. Only ever
+    applied to already-aggregated (dimension-sized) relations: the
+    column set must be driver-known, exactly like agg_pivot's explicit
+    value list. The oracle is the manual conditional-aggregation
+    transpose."""
+    o = t(spark, d, "orders")
+    src = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    return src.transpose()

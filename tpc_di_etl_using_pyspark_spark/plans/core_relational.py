@@ -970,3 +970,22 @@ def sql_pipe_syntax(spark: SparkSession, d: str) -> DataFrame:
                         COUNT(*) AS n
               GROUP BY l_returnflag, l_linestatus"""
     )
+
+
+@_op(
+    "sort_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""",
+)
+def sort_limit_offset(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic pagination: total order (unique tiebreak) +
+    offset + limit [EXT: report paging]. Spark executes this as a
+    single-pass TakeOrdered of offset+limit rows — no global sort of
+    the full relation."""
+    o = t(spark, d, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -1876,10 +1876,12 @@ _RP_COS_SQL = """
                 ((1103515245 * (p * 64 + j) + 12345) // 65536) % 2048 - 1024 AS w
          FROM range(16) tp(p), range(64) tj(j)),
        comps AS (
-         SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+         SELECT vec_id, j,
+                CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT)
+                  AS xi
          FROM embeddings, range(64) t(j)),
        dots AS (
-         SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(25,6))) AS dp
+         SELECT vec_id, p, SUM(xi * w) AS dp
          FROM comps JOIN planes USING (j) GROUP BY vec_id, p),
        bands AS (
          SELECT vec_id, p // 8 AS band_idx,
@@ -1899,14 +1901,19 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
     """Random-hyperplane LSH for cosine similarity [EXT: ANN at corpus
     scale — SimHash for embeddings]: 16 deterministic pseudo-random
     hyperplanes (LCG-derived integer weights, exactly reproducible in
-    SQL) -> per-vector sign bits via an exact DECIMAL dot fold -> two
-    8-bit band keys -> candidate pairs only within a shared band ->
-    exact cosine >= 0.30 verified on candidates only.
+    SQL) -> per-vector sign bits from integer micro-unit dot products
+    (floor(x*1e6) · w: BIGINT sums are exact in any order — no decimal
+    routing needed) -> two 8-bit band keys -> candidate pairs only
+    within a shared band -> exact cosine >= 0.30 verified on
+    candidates only.
 
-    Scale shape: the signature pass is a narrow map (nested
-    higher-order fold, no UDF, no shuffle); the only wide ops are the
-    band self-join (bounded by bucket occupancy, never all-pairs) and
-    the candidate-pair vector fetch. Collision probability per band is
+    Scale shape: the signature pass is posexplode -> broadcast join
+    with the 16x64 plane relation -> one map-side-combined (vec_id,
+    plane) integer aggregation — all whole-stage codegen (an earlier
+    nested higher-order fold was 5x slower: HOF lambdas are
+    interpreted per element). The wide ops are the band self-join
+    (bounded by bucket occupancy, never all-pairs) and the
+    candidate-pair vector fetch. Collision probability per band is
     (1 - theta/pi)^8, so bucket sizes stay tiny on near-uniform
     corpora and near-dups collide with high probability — the same
     contract as dedup_minhash_lsh but for the embedding column.
@@ -1914,40 +1921,45 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
     approximate recall is certified, not hidden."""
     from ..llm.similarity import as_double, cosine
 
-    e = t(spark, d, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
-
-    def plane_w(p: Column, j: Column) -> Column:
-        k = (p * 64 + j).cast("long")
-        x = F.lit(1103515245).cast("long") * k + 12345
-        return ((x - x % 65536) / 65536).cast("long") % 2048 - 1024
-
-    def sign_bit(p: Column) -> Column:
-        dp = F.aggregate(
-            F.sequence(F.lit(0), F.lit(63)),
-            F.lit(0).cast(DEC),
-            lambda s, j: (s + (F.get(F.col("emb"), j) * plane_w(p, j)).cast(DEC)).cast(
-                DEC
-            ),
-        )
-        return F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), sign_bit)
-    sigs = e.select(
+    e = t(spark, d, "embeddings")
+    comps = e.select(
         "vec_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_idx"),
-                    F.array_join(F.slice(bits, 1, 8), "").alias("band_key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_idx"),
-                    F.array_join(F.slice(bits, 9, 8), "").alias("band_key"),
-                ),
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
             )
-        ).alias("band"),
-    ).select("vec_id", "band.band_idx", "band.band_key")
+        ),
+    ).select("vec_id", F.col("pos").alias("j"), F.col("col").alias("xi"))
 
+    # one flat range, k = p*64 + j — no join in the plane build
+    lcg = F.lit(1103515245).cast("long") * F.col("id") + 12345
+    planes = spark.range(16 * 64).select(
+        (F.col("id") / 64).cast("long").alias("p"),
+        (F.col("id") % 64).alias("j"),
+        (((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024).alias("w"),
+    )
+
+    dots = (
+        comps.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("xi") * F.col("w")).alias("dp"))
+    )
+    bit = F.when(F.col("dp") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    sigs = (
+        dots.select(
+            "vec_id",
+            F.floor(F.col("p") / 8).cast("int").alias("band_idx"),
+            F.struct(F.col("p"), bit.alias("b")).alias("pb"),
+        )
+        .groupBy("vec_id", "band_idx")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("pb")), lambda s: s["b"])
+            ).alias("band_key")
+        )
+    )
+
+    emb_d = e.select("vec_id", as_double("embedding").alias("emb"))
     cand = (
         sigs.alias("a")
         .join(sigs.alias("b"), ["band_idx", "band_key"])
@@ -1957,8 +1969,8 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
+    ea = emb_d.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
+    eb = emb_d.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
     cos = dround(cosine(F.col("va"), F.col("vb")), 6)
     return (
         cand.join(ea, "id_a")

@@ -111,6 +111,9 @@ _PRIORITY = [
     "vec_kmeans_refine",
     "scan_python_datasource",
     "stream_transform_with_state",
+    "agg_transpose_matrix",
+    "udtf_python_lateral",
+    "sort_limit_offset",
 ]
 
 

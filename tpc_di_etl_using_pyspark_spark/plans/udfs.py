@@ -315,3 +315,33 @@ def udtf_sql_table_fn(spark: SparkSession, d: str) -> DataFrame:
            SELECT 'mid', o_orderkey, o_totalprice
            FROM price_band(300000.0, 350000.0)"""
     )
+
+
+@_op(
+    "udtf_python_lateral",
+    """SELECT p_partkey, word, CAST(strlen(word) AS INTEGER) AS n
+       FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+             FROM part)""",
+)
+def udtf_python_lateral(spark: SparkSession, d: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4 @udtf class API) applied per input row
+    via SQL LATERAL: a generator class whose eval() yields a variable
+    number of typed rows — the Python analog of a flatMap table
+    function with full SQL composability. Kept off hot paths by
+    policy (the same expansion is expressible with split+explode,
+    see str_split_explode); this op certifies the API surface. The
+    oracle is the relational unnest rewrite."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n int")
+    class TypeWords:
+        def eval(self, text: str):  # noqa: D401
+            for w in text.split(" "):
+                yield (w, len(w))
+
+    spark.udtf.register("type_words", TypeWords)
+    t(spark, d, "part").createOrReplaceTempView("udtf_part")
+    return spark.sql(
+        """SELECT p_partkey, s.word, s.n
+           FROM udtf_part, LATERAL type_words(p_type) s"""
+    )
