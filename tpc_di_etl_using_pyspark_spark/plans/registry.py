@@ -114,6 +114,7 @@ _PRIORITY = [
     "agg_transpose_matrix",
     "udtf_python_lateral",
     "sort_limit_offset",
+    "json_variant_explode",
 ]
 
 

@@ -900,3 +900,29 @@ def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
         parsed["seg"].alias("seg"),
         parsed["nat"].alias("nat"),
     )
+
+
+@_op(
+    "json_variant_explode",
+    """SELECT event_id, CAST(0 AS INTEGER) AS pos, event_id % 7 AS elem FROM events
+       UNION ALL
+       SELECT event_id, CAST(1 AS INTEGER), event_id % 11 FROM events
+       UNION ALL
+       SELECT event_id, CAST(2 AS INTEGER), event_id % 13 FROM events""",
+)
+def json_variant_explode(spark: SparkSession, d: str) -> DataFrame:
+    """VARIANT array expansion via the variant_explode table function
+    (Spark 4) [EXT: semi-structured arrays without a declared schema]:
+    a JSON array assembled in-plan parses to VARIANT and laterally
+    explodes to (pos, value) rows with open typing — the
+    schema-on-read complement to from_json+explode for arrays whose
+    shape isn't known at compile time. The oracle reproduces the
+    positions and values relationally."""
+    t(spark, d, "events").createOrReplaceTempView("vexp_events")
+    return spark.sql(
+        """SELECT event_id, v.pos, CAST(v.value AS BIGINT) AS elem
+           FROM vexp_events,
+                LATERAL variant_explode(parse_json(
+                  concat('[', event_id % 7, ',', event_id % 11, ',',
+                         event_id % 13, ']'))) v"""
+    )
