@@ -307,3 +307,12 @@ def test_python_datasource_parallelizes_per_file(spark, sf_dir):
     the read must not collapse to a single task."""
     df = all_queries()["scan_python_datasource"](spark, sf_dir)
     assert df.rdd.getNumPartitions() >= 2
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """The runtime bloom filter must appear as a might_contain()
+    predicate on the probe side, fed by bloom_filter_agg on the
+    filtered build side."""
+    plan = _plan(all_queries()["join_bloom_runtime_filter"](spark, sf_dir))
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan

@@ -989,3 +989,58 @@ def sort_limit_offset(spark: SparkSession, d: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@_op(
+    "join_bloom_runtime_filter",
+    """SELECT l_orderkey, l_quantity, o_totalprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 400000""",
+)
+def join_bloom_runtime_filter(spark: SparkSession, d: str) -> DataFrame:
+    """Runtime bloom-filter pushdown (SPARK-32268): with a selective
+    filter on the build side of a shuffle join, the optimizer injects
+    bloom_filter_agg on the build keys and a might_contain() predicate
+    on the probe-side SCAN — probe rows that can't join are dropped
+    before the shuffle. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling only the ~matching
+    slice. The injection confs are scoped to this op: set, plan pinned
+    eagerly (QueryExecution caches the optimized plan), then restored
+    so the driver's other queries see an untouched session. Correctness
+    is plan-independent — the oracle is the plain join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture-sized probe side would never cross the 10GB default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # the rule skips joins whose build side is broadcastable by
+        # size — at fixture scale everything is, so disable broadcast
+        # within this op's planning window (restored below; at real
+        # scale the filtered build side exceeds the threshold on its
+        # own and none of these overrides are needed)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = t(spark, d, "lineitem")
+        o = (
+            t(spark, d, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .hint("shuffle_hash")  # bloom targets shuffle joins, not broadcast
+        )
+        df = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        df._jdf.queryExecution().optimizedPlan()  # pin bloom-injected plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

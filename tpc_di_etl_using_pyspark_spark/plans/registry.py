@@ -115,6 +115,7 @@ _PRIORITY = [
     "udtf_python_lateral",
     "sort_limit_offset",
     "json_variant_explode",
+    "join_bloom_runtime_filter",
 ]
 
 
