@@ -316,3 +316,11 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
     plan = _plan(all_queries()["join_bloom_runtime_filter"](spark, sf_dir))
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The year-partitioned fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — runtime partition skipping
+    driven by the dim join, not a static literal."""
+    plan = _plan(all_queries()["join_dpp_partitioned"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()

@@ -474,3 +474,34 @@ def scan_python_datasource(spark: SparkSession, d: str) -> DataFrame:
         F.col("cik").cast("bigint").alias("cik"),
         "pts",
     )
+
+
+@_op(
+    "join_dpp_partitioned",
+    """SELECT o_orderkey, o_totalprice, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y
+       FROM orders WHERE EXTRACT(year FROM o_orderdate) % 3 = 1""",
+)
+def join_dpp_partitioned(spark: SparkSession, d: str) -> DataFrame:
+    """Dynamic partition pruning [PK: SPARK-11150]: a year-partitioned
+    fact joined to a dimension filtered on a NON-partition attribute —
+    the partition list is only known at runtime, so the optimizer
+    plants a dynamicpruning subquery in the fact scan's
+    PartitionFilters and reuses the dim's broadcast to skip whole
+    partitions at execution. At 100 TB this skips entire directory
+    subtrees, the same lever as scan_partition_pruned but driven by
+    join results instead of a literal predicate. Asserted in
+    tests/test_plans.py."""
+    path = _scratch(d, "orders_by_year_dpp")
+    o = t(spark, d, "orders").withColumn("y", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("y").parquet(path)
+    fact = spark.read.parquet(path)
+    # dim: one row per year with a derived attribute; the filter is on
+    # the attribute, so static pruning can't see the year list
+    dim = spark.range(1990, 2010).select(
+        F.col("id").cast("int").alias("dim_y"), (F.col("id") % 3).alias("attr")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["y"] == dim["dim_y"])
+        .filter(F.col("attr") == 1)
+        .select("o_orderkey", "o_totalprice", "y")
+    )

@@ -116,6 +116,7 @@ _PRIORITY = [
     "sort_limit_offset",
     "json_variant_explode",
     "join_bloom_runtime_filter",
+    "join_dpp_partitioned",
 ]
 
 
