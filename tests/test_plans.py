@@ -324,3 +324,10 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     driven by the dim join, not a static literal."""
     plan = _plan(all_queries()["join_dpp_partitioned"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_hybrid_scd_single_exchange(spark, sf_dir):
+    """Type-2 versioning and the Type-1 last_value backfill share one
+    (key, eff, tiebreak) partitioning — exactly one shuffle."""
+    plan = _plan(all_queries()["tpcdi_scd2_hybrid_type1"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 1

@@ -505,3 +505,18 @@ def join_dpp_partitioned(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("attr") == 1)
         .select("o_orderkey", "o_totalprice", "y")
     )
+
+
+@_op("scan_csv_multichar_delim", "SELECT * FROM nation")
+def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-character delimiter CSV (Spark 3.0+/4, SPARK-24540): real
+    exports often use '||' to dodge in-field pipes. Lines are
+    assembled in-plan and read back with sep='||' + explicit schema;
+    round trip must equal the parquet table exactly."""
+    path = _scratch(d, "nation_dpipe")
+    n = t(spark, d, "nation")
+    line = F.concat_ws(
+        "||", *[F.col(f.name).cast("string") for f in n.schema.fields]
+    )
+    n.select(line.alias("value")).write.mode("overwrite").text(path)
+    return spark.read.csv(path, sep="||", header=False, schema=schemas.NATION)

@@ -117,6 +117,8 @@ _PRIORITY = [
     "json_variant_explode",
     "join_bloom_runtime_filter",
     "join_dpp_partitioned",
+    "tpcdi_scd2_hybrid_type1",
+    "scan_csv_multichar_delim",
 ]
 
 

@@ -1152,3 +1152,49 @@ def tpcdi_reference_dims(spark: SparkSession, d: str) -> DataFrame:
                   CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
            FROM st LEFT JOIN m ON st.st_id = m.st_id"""
     )
+
+
+@_op(
+    "tpcdi_scd2_hybrid_type1",
+    """SELECT CAST(o_custkey AS VARCHAR) || '-' || CAST(
+                ROW_NUMBER() OVER w AS VARCHAR) AS sk,
+              CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+              o_custkey, o_orderstatus,
+              LAST_VALUE(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS current_priority,
+              CAST(o_orderdate AS DATE) AS effective_date,
+              COALESCE(LEAD(CAST(o_orderdate AS DATE)) OVER w,
+                       DATE '9999-12-31') AS end_date,
+              (LEAD(CAST(o_orderdate AS DATE)) OVER w IS NULL) AS is_current
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""",
+)
+def tpcdi_scd2_hybrid_type1(spark: SparkSession, d: str) -> DataFrame:
+    """Hybrid SCD dimension [EXT: the common Type-1/Type-2 mix the pure
+    TPC-DI Type-2 spec doesn't exercise]: o_orderstatus versions as
+    Type 2 (one row per change, dated intervals), while
+    o_orderpriority is Type 1 — the latest value overwrites EVERY
+    version of the key, so history never shows a stale value of a
+    non-tracked attribute. Both behaviors come from the same
+    (natural_key, eff, tiebreak) window partitioning: the Type-1
+    backfill is last_value over the unbounded frame — one shuffle+sort
+    serves the versioning, the interval math, and the overwrite."""
+    o = t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ver = F.row_number().over(w)
+    nxt = F.lead(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        F.concat(F.col("o_custkey").cast("string"), F.lit("-"), ver.cast("string")).alias("sk"),
+        ver.alias("version"),
+        "o_custkey",
+        "o_orderstatus",
+        F.last("o_orderpriority").over(wall).alias("current_priority"),
+        F.col("o_orderdate").cast("date").alias("effective_date"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("end_date"),
+        nxt.isNull().alias("is_current"),
+    )
