@@ -2109,3 +2109,78 @@ def vec_kmeans_refine(spark: SparkSession, d: str) -> DataFrame:
         F.col("cell").alias("cluster"),
         F.col("dd").cast("double").alias("dist_sq"),
     )
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+
+@_op(
+    "multimodal_image_resize",
+    """WITH g AS (
+         SELECT doc_id,
+                CAST(strlen(text) % 256 + 1 AS INTEGER) AS src_w,
+                CAST((strlen(text) // 256) % 256 + 1 AS INTEGER) AS src_h
+         FROM documents),
+       r AS (
+         SELECT doc_id, src_w, src_h,
+                CASE WHEN src_w >= src_h THEN 64
+                     ELSE CAST(src_w * 64 // src_h AS INTEGER) END AS dst_w,
+                CASE WHEN src_w >= src_h THEN CAST(src_h * 64 // src_w AS INTEGER)
+                     ELSE 64 END AS dst_h
+         FROM g)
+       SELECT doc_id, src_w, src_h, dst_w, dst_h,
+              sha256(CAST(doc_id AS VARCHAR) || 'x' || CAST(dst_w AS VARCHAR)
+                     || 'x' || CAST(dst_h AS VARCHAR)) AS resized_sha
+       FROM r""",
+)
+def multimodal_image_resize(spark: SparkSession, d: str) -> DataFrame:
+    """Aspect-preserving image resize over an opaque binary column via
+    mapInPandas — completes the decode / feature-extract / resize /
+    frame-sample multimodal set. The pixel decoder is a deterministic
+    fake (geometry derived from byte length — image libs absent
+    offline), but every piece of engine surface a real resizer needs
+    is exercised: binary in, Arrow-batched partition-parallel Python,
+    integer box-fit arithmetic (exact in both engines), bytes-shaped
+    output keyed by a verifiable digest. Swap `_fake_decode` for a
+    real imaging library and nothing else changes."""
+    doc = t(spark, d, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].map(len).astype("int64")
+            # _fake_decode: geometry from byte length (no pixel libs here)
+            src_w = (n % 256 + 1).astype("int64")
+            src_h = ((n // 256) % 256 + 1).astype("int64")
+            wide = src_w >= src_h
+            dst_w = (src_w * 64 // src_h).where(~wide, 64).astype("int32")
+            dst_h = (src_h * 64 // src_w).where(wide, 64).astype("int32")
+            key = (
+                pdf["doc_id"].astype(str)
+                + "x" + pd.Series(dst_w).astype(str)
+                + "x" + pd.Series(dst_h).astype(str)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w.astype("int32"),
+                    "src_h": src_h.astype("int32"),
+                    "dst_w": dst_w,
+                    "dst_h": dst_h,
+                    "resized_sha": key.map(
+                        lambda s: hashlib.sha256(s.encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return doc.mapInPandas(resize, schema=_RESIZE_SCHEMA)

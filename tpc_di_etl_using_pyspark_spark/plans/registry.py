@@ -119,6 +119,7 @@ _PRIORITY = [
     "join_dpp_partitioned",
     "tpcdi_scd2_hybrid_type1",
     "scan_csv_multichar_delim",
+    "multimodal_image_resize",
 ]
 
 
