@@ -2184,3 +2184,73 @@ def multimodal_image_resize(spark: SparkSession, d: str) -> DataFrame:
             )
 
     return doc.mapInPandas(resize, schema=_RESIZE_SCHEMA)
+
+
+@_op(
+    "text_bigram_logprob",
+    f"""WITH d2 AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS ws
+         FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+       pairs AS (
+         SELECT doc_id, ws[i - 1] AS prev, ws[i] AS cur
+         FROM (SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i
+               FROM d2)),
+       allw AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents),
+       tot AS (SELECT COUNT(*) AS total FROM allw),
+       uni AS (SELECT word, COUNT(*) AS c_uni FROM allw GROUP BY word),
+       bi AS (SELECT prev, cur, COUNT(*) AS c_bi FROM pairs GROUP BY prev, cur),
+       ctx AS (SELECT prev, COUNT(*) AS c_ctx FROM pairs GROUP BY prev)
+       SELECT p.doc_id,
+              {sql_davg(
+                  '-ln(0.75 * bi.c_bi / ctx.c_ctx '
+                  '+ 0.25 * uni.c_uni / CAST(tot.total AS DOUBLE))',
+                  'avg_nll')}
+       FROM pairs p
+       JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+       JOIN ctx ON ctx.prev = p.prev
+       JOIN uni ON uni.word = p.cur
+       CROSS JOIN tot
+       GROUP BY p.doc_id""",
+)
+def text_bigram_logprob(spark: SparkSession, d: str) -> DataFrame:
+    """Interpolated-bigram pseudo-perplexity [EXT: the LM-quality
+    scorer one rung above text_unigram_logprob]: per-doc mean negative
+    log of 0.75·p(cur|prev) + 0.25·p(cur), with bigram/context/unigram
+    counts all taken from the corpus itself. Every probability is a
+    ratio of exact integer counts (identical doubles in both engines);
+    the davg decimal routing quantizes each ln term at 1e-6 before the
+    sum, absorbing any cross-engine libm ulp. Count relations are
+    vocabulary-sized — joins stay unhinted for AQE (the text_tfidf
+    posture); only the 1-row total broadcasts."""
+    doc = t(spark, d, "documents")
+    ws = F.split(F.lower("text"), " ")
+    d2 = doc.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = d2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ws")),
+                lambda i: F.struct(
+                    F.element_at("ws", i - 1).alias("prev"),
+                    F.element_at("ws", i).alias("cur"),
+                ),
+            )
+        ).alias("pq"),
+    ).select("doc_id", "pq.prev", "pq.cur")
+    allw = doc.select(F.explode(ws).alias("word"))
+    tot = allw.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    uni = allw.groupBy("word").agg(F.count(F.lit(1)).alias("c_uni"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    p_interp = 0.75 * F.col("c_bi") / F.col("c_ctx") + 0.25 * F.col("c_uni") / F.col(
+        "total"
+    )
+    return (
+        pairs.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, pairs["cur"] == uni["word"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(davg(-F.log(p_interp), "avg_nll"))
+    )

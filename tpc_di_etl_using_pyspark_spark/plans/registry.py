@@ -120,6 +120,7 @@ _PRIORITY = [
     "tpcdi_scd2_hybrid_type1",
     "scan_csv_multichar_delim",
     "multimodal_image_resize",
+    "text_bigram_logprob",
 ]
 
 
