@@ -331,3 +331,14 @@ def test_hybrid_scd_single_exchange(spark, sf_dir):
     (key, eff, tiebreak) partitioning — exactly one shuffle."""
     plan = _plan(all_queries()["tpcdi_scd2_hybrid_type1"](spark, sf_dir))
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE posture evidence: after execution, the aggregation's shuffle
+    read must be an AQEShuffleRead (coalesced to the real data size,
+    not the static spark.sql.shuffle.partitions)."""
+    df = all_queries()["agg_groupby_basic"](spark, sf_dir)
+    df.collect()  # the write path spawns its own QueryExecution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "AQEShuffleRead" in executed

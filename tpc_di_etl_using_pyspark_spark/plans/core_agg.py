@@ -801,3 +801,25 @@ def agg_transpose_matrix(spark: SparkSession, d: str) -> DataFrame:
         dsum("o_totalprice", "revenue"),
     )
     return src.transpose()
+
+
+@_op(
+    "sql_groupby_all",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def sql_groupby_all(spark: SparkSession, d: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+, SQL:2023-adjacent sugar): every
+    non-aggregate select item becomes a grouping key — eliminates the
+    classic silently-wrong-rollup bug when a dimension is added to the
+    select list but not the GROUP BY. Resolves at analysis time to the
+    identical aggregation plan; oracle is the explicit form."""
+    t(spark, d, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+                  COUNT(*) AS n
+           FROM gba_lineitem GROUP BY ALL"""
+    )

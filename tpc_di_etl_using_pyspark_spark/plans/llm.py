@@ -2254,3 +2254,99 @@ def text_bigram_logprob(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(davg(-F.log(p_interp), "avg_nll"))
     )
+
+
+@_op(
+    "vec_quantize_pq",
+    """WITH comps AS (
+         SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+         FROM embeddings, range(64) t(j)),
+       cent AS (
+         SELECT id // 32 AS s, (id // 8) % 4 AS c, id % 8 AS jl,
+                (id // 32) * 8 + id % 8 AS j,
+                (((id // 32) * 5 + ((id // 8) % 4) * 3 + (id % 8) * 7) % 9 - 4)
+                  / 4.0 AS m
+         FROM range(256) t(id)),
+       dists AS (
+         SELECT vec_id, s, c, SUM(CAST((x - m) * (x - m) AS DECIMAL(25,6))) AS dd
+         FROM comps JOIN cent USING (j) GROUP BY vec_id, s, c),
+       codes AS (
+         SELECT vec_id, s, c FROM dists
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, c) = 1),
+       qtab AS (
+         SELECT s, c,
+                SUM(CAST(((((j * 37) % 19 - 9) / 9.0 - m)
+                          * (((j * 37) % 19 - 9) / 9.0 - m)) AS DECIMAL(25,6)))
+                  AS dq
+         FROM cent GROUP BY s, c)
+       SELECT vec_id,
+              string_agg(CAST(codes.c AS VARCHAR), '' ORDER BY codes.s) AS codes,
+              CAST(SUM(dq) AS DOUBLE) AS adist_sq
+       FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.c = codes.c
+       GROUP BY vec_id""",
+)
+def vec_quantize_pq(spark: SparkSession, d: str) -> DataFrame:
+    """Product quantization [EXT: the PQ index that makes
+    billion-vector ANN fit in RAM]: 64 dims split into 8 subspaces of
+    8; each subvector snaps to the nearest of 4 deterministic
+    sub-centroids (exact DECIMAL distance folds, tie-broken by code),
+    giving an 8-symbol code per vector; the approximate distance to
+    the fixed query vector is then a pure TABLE LOOKUP — the
+    per-(subspace, code) partial distances are precomputed once
+    (32-row relation, broadcast) and summed per vector.
+
+    Scale shape: encoding is posexplode + broadcast centroid join +
+    one (vec, subspace, code) partial-aggregated shuffle; query-time
+    scoring touches only codes and the 32-row lookup table — the
+    original vectors never reload. Certified end-to-end by a SQL
+    oracle running the identical arithmetic."""
+    e = t(spark, d, "embeddings")
+    comps = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select("vec_id", F.col("pos").alias("j"), F.col("col").alias("x"))
+
+    idc = F.col("id")
+    cent = spark.range(256).select(
+        (idc / 32).cast("long").alias("s"),
+        ((idc / 8).cast("long") % 4).alias("c"),
+        ((idc / 32).cast("long") * 8 + idc % 8).alias("j"),
+        (
+            (((idc / 32).cast("long") * 5 + ((idc / 8).cast("long") % 4) * 3
+              + (idc % 8) * 7) % 9 - 4) / 4.0
+        ).alias("m"),
+    )
+
+    diff = F.col("x") - F.col("m")
+    dists = (
+        comps.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "s", "c")
+        .agg(F.sum((diff * diff).cast(DEC)).alias("dd"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dd", "c")
+    codes = (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "s", "c")
+    )
+
+    qj = ((F.col("j") * 37) % 19 - 9) / 9.0
+    qdiff = qj - F.col("m")
+    qtab = cent.groupBy("s", "c").agg(F.sum((qdiff * qdiff).cast(DEC)).alias("dq"))
+
+    return (
+        codes.join(F.broadcast(qtab), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("s"), F.col("c").cast("string").alias("cs")))
+                    ),
+                    lambda r: r["cs"],
+                ),
+            ).alias("codes"),
+            F.sum("dq").cast("double").alias("adist_sq"),
+        )
+    )

@@ -121,6 +121,9 @@ _PRIORITY = [
     "scan_csv_multichar_delim",
     "multimodal_image_resize",
     "text_bigram_logprob",
+    "sql_groupby_all",
+    "str_regexp_extract_all",
+    "vec_quantize_pq",
 ]
 
 

@@ -926,3 +926,24 @@ def json_variant_explode(spark: SparkSession, d: str) -> DataFrame:
                   concat('[', event_id % 7, ',', event_id % 11, ',',
                          event_id % 13, ']'))) v"""
     )
+
+
+@_op(
+    "str_regexp_extract_all",
+    """SELECT p_partkey,
+              COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{6,}'),
+                                       ','), '') AS long_words,
+              len(regexp_extract_all(p_name, '[a-z]{6,}')) AS n_long
+       FROM part""",
+)
+def str_regexp_extract_all(spark: SparkSession, d: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (left-to-right
+    order is deterministic in both engines), joined to a string plus a
+    match count [REF*: cleansing/tokenization]."""
+    p = t(spark, d, "part")
+    matches = F.regexp_extract_all("p_name", F.lit("[a-z]{6,}"), 0)
+    return p.select(
+        "p_partkey",
+        F.array_join(matches, ",").alias("long_words"),
+        F.size(matches).cast("bigint").alias("n_long"),
+    )
