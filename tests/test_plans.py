@@ -342,3 +342,13 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "AQEShuffleRead" in executed
+
+
+def test_scalar_subquery_decorrelates_to_one_agg_join(spark, sf_dir):
+    """Both correlated scalar subqueries (select list + predicate,
+    same correlation key) must decorrelate to grouped aggregation(s)
+    joined back — never a per-outer-row re-execution (no nested loop
+    over customer)."""
+    plan = _plan(all_queries()["sql_scalar_subquery_corr"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "HashAggregate") >= 2  # partial+final of the avg

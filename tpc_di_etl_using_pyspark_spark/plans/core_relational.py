@@ -1044,3 +1044,38 @@ def join_bloom_runtime_filter(spark: SparkSession, d: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@_op(
+    "sql_scalar_subquery_corr",
+    """SELECT c_custkey, c_acctbal,
+              (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*)
+               FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+                AS nation_avg
+       FROM customer c
+       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(25,6)))
+                                      AS DOUBLE) / COUNT(*)
+                          FROM customer c3
+                          WHERE c3.c_nationkey = c.c_nationkey)""",
+)
+def sql_scalar_subquery_corr(spark: SparkSession, d: str) -> DataFrame:
+    """Correlated SCALAR subqueries (select-list + predicate): Catalyst
+    decorrelates the per-nation average into ONE grouped aggregation
+    joined back on the correlation key — not a re-executed subquery per
+    outer row (SURVEY §4.2 subquery decorrelation). The exact-decimal
+    average keeps the threshold comparison bit-identical across
+    engines."""
+    t(spark, d, "customer").createOrReplaceTempView("sclr_customer")
+    return spark.sql(
+        """SELECT c_custkey, c_acctbal,
+                  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM sclr_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+                    AS nation_avg
+           FROM sclr_customer c
+           WHERE c_acctbal > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(25,6)))
+                                          AS DOUBLE) / COUNT(*)
+                              FROM sclr_customer c3
+                              WHERE c3.c_nationkey = c.c_nationkey)"""
+    )

@@ -520,3 +520,23 @@ def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
     )
     n.select(line.alias("value")).write.mode("overwrite").text(path)
     return spark.read.csv(path, sep="||", header=False, schema=schemas.NATION)
+
+
+@_op(
+    "sink_csv_quoted",
+    """SELECT n_nationkey, n_name || '|x"y' AS tricky FROM nation""",
+)
+def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
+    """CSV quoting round trip: fields containing the delimiter AND the
+    quote character must survive write → read with Spark's quoting
+    (quote-wrap + escape) — the classic silent-corruption source in
+    hand-rolled exporters. Oracle constructs the same adversarial
+    values relationally."""
+    path = _scratch(d, "nation_quoted")
+    n = t(spark, d, "nation").select(
+        "n_nationkey", F.concat("n_name", F.lit('|x"y')).alias("tricky")
+    )
+    n.write.mode("overwrite").csv(path, sep="|", header=True)
+    return spark.read.csv(
+        path, sep="|", header=True, schema="n_nationkey long, tricky string"
+    )

@@ -124,6 +124,8 @@ _PRIORITY = [
     "sql_groupby_all",
     "str_regexp_extract_all",
     "vec_quantize_pq",
+    "sql_scalar_subquery_corr",
+    "sink_csv_quoted",
 ]
 
 
