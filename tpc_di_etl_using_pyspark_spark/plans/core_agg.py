@@ -823,3 +823,53 @@ def sql_groupby_all(spark: SparkSession, d: str) -> DataFrame:
                   COUNT(*) AS n
            FROM gba_lineitem GROUP BY ALL"""
     )
+
+
+@_op(
+    "agg_moments_exact",
+    """WITH s AS (
+         SELECT o_orderstatus,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(25,6)))
+                     AS DOUBLE) AS s2,
+                CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
+                              AS DECIMAL(25,6))) AS DOUBLE) AS s3
+         FROM orders GROUP BY o_orderstatus)
+       SELECT o_orderstatus,
+              s1 / n AS mean,
+              CAST(ROUND(CAST(sqrt(s2 / n - (s1 / n) * (s1 / n))
+                              AS DECIMAL(25,6)), 6) AS DOUBLE) AS stddev_pop,
+              CAST(ROUND(CAST(
+                (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
+                AS DECIMAL(25,6)), 6) AS DOUBLE) AS skewness_pop
+       FROM s""",
+)
+def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
+    """Population stddev + skewness from exact DECIMAL raw-moment sums
+    [EXT: distribution-shape monitors over training-data stats]. The
+    builtin skewness() accumulates doubles in shuffle order (not
+    reproducible across engines); here m1..m3 are order-independent
+    decimal sums and the closed-form moments are identical IEEE
+    expressions, rounded at 1e-6 only where pow/sqrt ulp could differ.
+    One map-side-combined aggregation — same cost as a SUM at any
+    scale."""
+    o = t(spark, d, "orders")
+    tp = F.col("o_totalprice")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(tp.cast(DEC)).cast("double").alias("s1"),
+        F.sum((tp * tp).cast(DEC)).cast("double").alias("s2"),
+        F.sum((tp * tp * tp).cast(DEC)).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = (F.col(c) for c in ("n", "s1", "s2", "s3"))
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    return s.select(
+        "o_orderstatus",
+        mean.alias("mean"),
+        dround(F.sqrt(var), 6).alias("stddev_pop"),
+        dround(skew, 6).alias("skewness_pop"),
+    )

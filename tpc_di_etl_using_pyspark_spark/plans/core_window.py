@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import DEC, t
 
 QUERIES = {}
 ORACLES = {}
@@ -666,3 +666,67 @@ def win_interpolate_linear(spark: SparkSession, d: str) -> DataFrame:
     return f.select(
         "event_id", "user_id", "ts_s", "event_type", interp.alias("interp_value")
     )
+
+
+@_op(
+    "win_slope_rolling",
+    """WITH x AS (
+         SELECT l_partkey, CAST(l_shipdate AS DATE) AS sd, l_orderkey,
+                l_linenumber,
+                CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) / 86400.0 AS xd,
+                l_extendedprice AS y
+         FROM lineitem),
+       m AS (
+         SELECT l_partkey, sd, l_orderkey, l_linenumber,
+                CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                CAST(SUM(CAST(xd AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sy,
+                CAST(SUM(CAST(xd * y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(xd * xd AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sxx
+         FROM x
+         WINDOW w AS (PARTITION BY l_partkey ORDER BY sd, l_orderkey, l_linenumber
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       SELECT l_partkey, sd, l_orderkey, l_linenumber,
+              CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope5
+       FROM m""",
+)
+def win_slope_rolling(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling regression slope (trailing-5-row price trend per part)
+    [EXT: drift/trend detection per entity — the windowed sibling of
+    agg_regression_exact]. All four moment sums run as DECIMAL(25,6)
+    window aggregates over one (key, date, tiebreak) frame — exact in
+    any order, so the closed-form slope is the identical IEEE
+    expression in both engines with no rounding mask; degenerate
+    frames (n<3 or zero variance) yield NULL. One shuffle+sort
+    computes all moments."""
+    li = t(spark, d, "lineitem")
+    x = li.select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+        (F.unix_timestamp("l_shipdate") / 86400.0).alias("xd"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("sd", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, 0)
+    )
+    m = x.select(
+        "l_partkey",
+        "sd",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(F.col("xd").cast(DEC)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).over(w).cast("double").alias("sy"),
+        F.sum((F.col("xd") * F.col("y")).cast(DEC)).over(w).cast("double").alias("sxy"),
+        F.sum((F.col("xd") * F.col("xd")).cast(DEC)).over(w).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = F.when(
+        (n >= 3) & (n * sxx - sx * sx != 0), (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    )
+    return m.select("l_partkey", "sd", "l_orderkey", "l_linenumber", slope.alias("slope5"))

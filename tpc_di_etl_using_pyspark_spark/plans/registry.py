@@ -126,6 +126,8 @@ _PRIORITY = [
     "vec_quantize_pq",
     "sql_scalar_subquery_corr",
     "sink_csv_quoted",
+    "win_slope_rolling",
+    "agg_moments_exact",
 ]
 
 
