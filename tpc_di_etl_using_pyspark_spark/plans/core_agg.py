@@ -873,3 +873,32 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
         dround(F.sqrt(var), 6).alias("stddev_pop"),
         dround(skew, 6).alias("skewness_pop"),
     )
+
+
+@_op(
+    "agg_filter_clause",
+    """SELECT o_orderstatus,
+              COUNT(*) AS n_all,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                AS urgent_total
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_filter_clause(spark: SparkSession, d: str) -> DataFrame:
+    """SQL:2003 FILTER clause on aggregates — the standard form of the
+    SUM(CASE WHEN...) conditional-aggregation idiom (agg_conditional):
+    each aggregate sees only its predicate's rows, all still computed
+    in ONE grouped pass. Catalyst lowers FILTER to the same
+    conditional-input aggregation, so the cost is identical; decimal
+    routing keeps the filtered sum exact."""
+    t(spark, d, "orders").createOrReplaceTempView("fltr_orders")
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  COUNT(*) AS n_all,
+                  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                    AS urgent_total
+           FROM fltr_orders GROUP BY o_orderstatus"""
+    )

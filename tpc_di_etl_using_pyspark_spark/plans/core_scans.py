@@ -540,3 +540,27 @@ def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.csv(
         path, sep="|", header=True, schema="n_nationkey long, tricky string"
     )
+
+
+@_op(
+    "scan_recursive_glob",
+    """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 0
+       UNION ALL
+       SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 1""",
+)
+def scan_recursive_glob(spark: SparkSession, d: str) -> DataFrame:
+    """Nested data-lake layout ingestion: batches land under arbitrary
+    subdirectories (batch=.../shard=...) and recursiveFileLookup=true
+    discovers every file without partition-column inference — the
+    read-everything posture for layouts that are NOT hive-partitioned.
+    Two disjoint slices written two levels deep must union back to the
+    full table."""
+    base = _scratch(d, "nation_nested")
+    n = t(spark, d, "nation").select("n_nationkey", "n_name")
+    n.filter(F.col("n_nationkey") % 2 == 0).write.mode("overwrite").parquet(
+        f"{base}/batch=1/shard=a"
+    )
+    n.filter(F.col("n_nationkey") % 2 == 1).write.mode("overwrite").parquet(
+        f"{base}/batch=2/shard=b"
+    )
+    return spark.read.option("recursiveFileLookup", "true").parquet(base)

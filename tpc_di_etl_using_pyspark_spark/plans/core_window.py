@@ -730,3 +730,35 @@ def win_slope_rolling(spark: SparkSession, d: str) -> DataFrame:
         (n >= 3) & (n * sxx - sx * sx != 0), (n * sxy - sx * sy) / (n * sxx - sx * sx)
     )
     return m.select("l_partkey", "sd", "l_orderkey", "l_linenumber", slope.alias("slope5"))
+
+
+@_op(
+    "win_median_rolling",
+    """SELECT l_partkey, CAST(l_shipdate AS DATE) AS sd, l_orderkey, l_linenumber,
+              quantile_cont(l_extendedprice, 0.5) OVER (
+                PARTITION BY l_partkey
+                ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+       FROM lineitem""",
+)
+def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling median (trailing-5-row order statistic per part) [EXT:
+    robust trend smoothing — the outlier-immune sibling of
+    win_moving_avg]. Spark's exact percentile over a rows frame is
+    bit-identical to DuckDB's quantile_cont (both linear-interpolate
+    between the two middle order statistics), so no rounding mask is
+    needed. One shuffle+sort; the frame sort is reused from the window
+    ordering."""
+    li = t(spark, d, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(F.col("l_shipdate").cast("date"), "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, 0)
+    )
+    return li.select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        "l_orderkey",
+        "l_linenumber",
+        F.percentile("l_extendedprice", F.lit(0.5)).over(w).alias("med5"),
+    )

@@ -128,6 +128,9 @@ _PRIORITY = [
     "sink_csv_quoted",
     "win_slope_rolling",
     "agg_moments_exact",
+    "win_median_rolling",
+    "agg_filter_clause",
+    "scan_recursive_glob",
 ]
 
 
