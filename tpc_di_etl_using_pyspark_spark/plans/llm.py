@@ -2350,3 +2350,38 @@ def vec_quantize_pq(spark: SparkSession, d: str) -> DataFrame:
             F.sum("dq").cast("double").alias("adist_sq"),
         )
     )
+
+
+@_op(
+    "events_active_users_rolling",
+    """WITH days AS (
+         SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+         FROM events),
+       exp AS (
+         SELECT day + k AS wday, user_id
+         FROM days CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k)),
+       dau AS (SELECT day, COUNT(*) AS dau FROM days GROUP BY day),
+       wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM exp GROUP BY wday)
+       SELECT day, dau, wau
+       FROM dau JOIN wau ON wau.wday = dau.day""",
+)
+def events_active_users_rolling(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling active users (DAU + trailing-7-day WAU) [EXT: the
+    product-analytics staple]. COUNT(DISTINCT) over a sliding range
+    window isn't window-able (sets don't subtract), so the scale-sane
+    rewrite is grid expansion: each distinct (user, day) activity row
+    contributes to the 7 window-end days it can be seen from, then one
+    keyed distinct-count per window-end — a bounded 7× expansion of
+    the deduplicated activity relation, never a per-window rescan of
+    raw events. Same decomposition trick as join_interval_overlap."""
+    e = t(spark, d, "events")
+    days = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = days.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
+        "user_id",
+    )
+    wau = expanded.groupBy("wday").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, dau["day"] == wau["wday"]).select("day", "dau", "wau")

@@ -131,6 +131,8 @@ _PRIORITY = [
     "win_median_rolling",
     "agg_filter_clause",
     "scan_recursive_glob",
+    "events_active_users_rolling",
+    "tpcdi_holdings_pnl",
 ]
 
 

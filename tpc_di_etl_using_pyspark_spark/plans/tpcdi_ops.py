@@ -22,7 +22,7 @@ from ..tpcdi.pipeline import (
     surrogate_lookup,
 )
 from .core_scans import _scratch
-from ._util import epoch_s, sql_epoch_s, t
+from ._util import DEC, dround, epoch_s, sql_epoch_s, t
 
 QUERIES = {}
 ORACLES = {}
@@ -1197,4 +1197,86 @@ def tpcdi_scd2_hybrid_type1(spark: SparkSession, d: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("effective_date"),
         F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("end_date"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@_op(
+    "tpcdi_holdings_pnl",
+    """WITH pos AS (
+         SELECT l_suppkey AS account_id, l_partkey AS security_id,
+                CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                                   ELSE l_quantity END AS DECIMAL(25,6)))
+                     AS DOUBLE) AS net_qty,
+                CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+                                   ELSE l_extendedprice END AS DECIMAL(25,6)))
+                     AS DOUBLE) AS net_cost
+         FROM lineitem GROUP BY 1, 2),
+       lastp AS (
+         SELECT l_partkey AS security_id,
+                CAST(FLOOR(l_extendedprice * 1000000 / l_quantity) AS BIGINT)
+                  AS last_price_micro
+         FROM lineitem
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC,
+                    l_linenumber DESC) = 1)
+       SELECT account_id, pos.security_id, net_qty, net_cost, last_price_micro,
+              CAST(ROUND(CAST(net_qty * last_price_micro / 1000000.0
+                              AS DECIMAL(25,6)), 2) AS DOUBLE) AS mkt_value,
+              CAST(ROUND(CAST(net_qty * last_price_micro / 1000000.0 - net_cost
+                              AS DECIMAL(25,6)), 2) AS DOUBLE) AS unreal_pnl
+       FROM pos JOIN lastp ON lastp.security_id = pos.security_id""",
+)
+def tpcdi_holdings_pnl(spark: SparkSession, d: str) -> DataFrame:
+    """Unrealized P&L per (account, security) [SPEC-adjacent: the
+    mark-to-market report FactHoldings exists to serve]: exact-decimal
+    net position and cost basis per holding, marked at each security's
+    as-of-latest trade price (deterministic latest-wins window). Two
+    keyed aggregations + one security-keyed join; the per-security
+    price relation is securities-sized — broadcastable at any fact
+    volume."""
+    li = t(spark, d, "lineitem")
+    signed_q = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
+        F.col("l_quantity")
+    )
+    signed_c = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_extendedprice")
+    ).otherwise(F.col("l_extendedprice"))
+    pos = li.groupBy(
+        F.col("l_suppkey").alias("account_id"),
+        F.col("l_partkey").alias("security_id"),
+    ).agg(
+        F.sum(signed_q.cast(DEC)).cast("double").alias("net_qty"),
+        F.sum(signed_c.cast(DEC)).cast("double").alias("net_cost"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_shipdate").cast("date").desc(),
+        F.col("l_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+    )
+    lastp = (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("l_partkey").alias("security_id"),
+            # integer micro-units: extprice/qty can land exactly on a
+            # .xxxxxx5 midpoint (power-of-two qty), where the engines'
+            # double->decimal casts round apart; floor is exact
+            F.floor(F.col("l_extendedprice") * 1000000 / F.col("l_quantity"))
+            .cast("long")
+            .alias("last_price_micro"),
+        )
+    )
+    mv = F.col("net_qty") * F.col("last_price_micro") / 1000000.0
+    return (
+        pos.join(lastp, "security_id")
+        .select(
+            "account_id",
+            "security_id",
+            "net_qty",
+            "net_cost",
+            "last_price_micro",
+            dround(mv, 2).alias("mkt_value"),
+            dround(mv - F.col("net_cost"), 2).alias("unreal_pnl"),
+        )
     )
