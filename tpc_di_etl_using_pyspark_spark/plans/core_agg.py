@@ -902,3 +902,49 @@ def agg_filter_clause(spark: SparkSession, d: str) -> DataFrame:
                     AS urgent_total
            FROM fltr_orders GROUP BY o_orderstatus"""
     )
+
+
+@_op(
+    "agg_bitmap_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_bitmap_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Exact distinct counting via roaring-style bitmaps (Spark 3.5+
+    bitmap_construct_agg / bitmap_count) [EXT: the exact, mergeable
+    alternative to HLL]: keys bucket by bitmap_bucket_number, each
+    bucket aggregates to a fixed-size bitmap, and the distinct count
+    is the SUM of per-bucket bit counts. Like sketch_hll_partition
+    _merge the partials are small and unionable — incremental rollups
+    reuse stored bitmaps — but the answer is exact. The oracle is the
+    plain COUNT(DISTINCT)."""
+    t(spark, d, "orders").createOrReplaceTempView("bmp_orders")
+    return spark.sql(
+        """WITH per AS (
+             SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS b,
+                    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+             FROM bmp_orders GROUP BY 1, 2)
+           SELECT o_orderstatus, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_customers
+           FROM per GROUP BY o_orderstatus"""
+    )
+
+
+@_op(
+    "agg_count_distinct_multi",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT (l_linestatus, l_partkey % 100)) AS n_combos,
+              COUNT(DISTINCT l_suppkey) AS n_supps
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_count_distinct_multi(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT a, b) alongside a single-column
+    distinct in the same grouped pass — Spark expands multiple
+    distinct aggregates with one grouping-sets style rewrite rather
+    than two scans."""
+    li = t(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_linestatus"), F.col("l_partkey") % 100).alias(
+            "n_combos"
+        ),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )

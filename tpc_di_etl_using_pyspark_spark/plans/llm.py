@@ -2385,3 +2385,51 @@ def events_active_users_rolling(spark: SparkSession, d: str) -> DataFrame:
     )
     wau = expanded.groupBy("wday").agg(F.count_distinct("user_id").alias("wau"))
     return dau.join(wau, dau["day"] == wau["wday"]).select("day", "dau", "wau")
+
+
+@_op(
+    "sample_negative_pairs",
+    """WITH e AS (SELECT vec_id, label, vec_id % 50 AS bucket FROM embeddings),
+       cand AS (
+         SELECT a.vec_id, b.vec_id AS neg_id,
+                (1103515245 * (a.vec_id * 1000 + b.vec_id) + 12345)
+                  % 2147483648 AS h
+         FROM e a JOIN e b
+           ON a.bucket = b.bucket AND a.label <> b.label)
+       SELECT vec_id, neg_id, CAST(rnk AS INTEGER) AS rnk FROM (
+         SELECT vec_id, neg_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY h, neg_id) AS rnk
+         FROM cand)
+       WHERE rnk <= 3""",
+)
+def sample_negative_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training [EXT]:
+    each vector draws 3 pseudo-random different-label negatives,
+    ranked by an LCG hash of the pair — reproducible across runs and
+    engines (no rand()). The candidate join is blocked on a hash
+    bucket (vec_id % 50), bounding it to ~n/50 candidates per anchor
+    instead of all-pairs; at corpus scale the bucket count grows with
+    the corpus so the per-anchor pool stays constant."""
+    e = t(spark, d, "embeddings").select(
+        "vec_id", "label", (F.col("vec_id") % 50).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id"), F.col("label").alias("la"), F.col("bucket")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("lb"),
+        F.col("bucket"),
+    )
+    h = (
+        F.lit(1103515245).cast("long") * (F.col("vec_id") * 1000 + F.col("neg_id"))
+        + 12345
+    ) % 2147483648
+    w = Window.partitionBy("vec_id").orderBy("h", "neg_id")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("la") != F.col("lb"))
+        .select("vec_id", "neg_id", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "neg_id", F.col("rnk").cast("int").alias("rnk"))
+    )

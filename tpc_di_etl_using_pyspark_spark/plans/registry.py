@@ -133,6 +133,9 @@ _PRIORITY = [
     "scan_recursive_glob",
     "events_active_users_rolling",
     "tpcdi_holdings_pnl",
+    "agg_bitmap_distinct",
+    "agg_count_distinct_multi",
+    "sample_negative_pairs",
 ]
 
 
