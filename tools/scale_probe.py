@@ -68,6 +68,9 @@ PROBE = [
     "sim_rp_lsh_cosine",
     "pipeline_incremental_dedup",
     "vec_kmeans_refine",
+    "vec_quantize_pq",
+    "events_active_users_rolling",
+    "tpcdi_holdings_pnl",
 ]
 
 
