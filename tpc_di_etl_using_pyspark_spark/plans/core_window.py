@@ -762,3 +762,42 @@ def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
         "l_linenumber",
         F.percentile("l_extendedprice", F.lit(0.5)).over(w).alias("med5"),
     )
+
+
+@_op(
+    "win_percent_of_parent",
+    """WITH y AS (
+         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1, 2)
+       SELECT yr, o_orderstatus, rev,
+              CAST(ROUND(CAST(rev / SUM(rev) OVER (PARTITION BY yr)
+                              AS DECIMAL(25,6)), 6) AS DOUBLE) AS pct_of_year,
+              CAST(ROUND(CAST(SUM(rev) OVER (PARTITION BY yr) / SUM(rev) OVER ()
+                              AS DECIMAL(25,6)), 6) AS DOUBLE) AS year_pct_of_total
+       FROM y""",
+)
+def win_percent_of_parent(spark: SparkSession, d: str) -> DataFrame:
+    """Share-of-parent at two hierarchy levels (status within year,
+    year within grand total) — the drill-down report staple. The base
+    aggregate is decimal-exact, and both level totals are unframed
+    window sums over it (the windowed relation is years×statuses-sized,
+    so the unpartitioned total window costs nothing); ratios of
+    identical doubles round identically at 1e-6."""
+    o = t(spark, d, "orders")
+    y = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderstatus"
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    from ._util import dround
+
+    wy = Window.partitionBy("yr")
+    wall = Window.partitionBy()
+    return y.select(
+        "yr",
+        "o_orderstatus",
+        "rev",
+        dround(F.col("rev") / F.sum("rev").over(wy), 6).alias("pct_of_year"),
+        dround(F.sum("rev").over(wy) / F.sum("rev").over(wall), 6).alias(
+            "year_pct_of_total"
+        ),
+    )

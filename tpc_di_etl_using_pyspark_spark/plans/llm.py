@@ -2433,3 +2433,69 @@ def sample_negative_pairs(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_id", "neg_id", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@_op(
+    "text_js_divergence_sources",
+    """WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+       csw AS (SELECT source, word, COUNT(*) AS c_sw FROM w GROUP BY 1, 2),
+       ns AS (SELECT source, COUNT(*) AS n_s FROM w GROUP BY 1),
+       cw AS (SELECT word, COUNT(*) AS c_w FROM w GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_tot FROM w),
+       grid AS (
+         SELECT ns.source, cw.word, ns.n_s, cw.c_w, n.n_tot,
+                COALESCE(csw.c_sw, 0) AS c_sw
+         FROM ns CROSS JOIN cw CROSS JOIN n
+         LEFT JOIN csw ON csw.source = ns.source AND csw.word = cw.word),
+       terms AS (
+         SELECT source,
+                CAST(c_sw AS DOUBLE) / n_s AS p,
+                CAST(c_w AS DOUBLE) / n_tot AS q
+         FROM grid)
+       SELECT source,
+              CAST(SUM(CAST(0.5 * (
+                CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                + q * ln(q / ((p + q) / 2))) AS DECIMAL(25,6)))
+                AS DOUBLE) AS js_to_corpus
+       FROM terms GROUP BY source""",
+)
+def text_js_divergence_sources(spark: SparkSession, d: str) -> DataFrame:
+    """Per-source distribution drift [EXT: mixture monitoring — which
+    source's unigram distribution diverges from the corpus]: exact
+    Jensen-Shannon divergence between each source's word distribution
+    and the corpus distribution over the full vocabulary grid
+    (source-absent words contribute the q-side term only). All
+    probabilities are ratios of exact integer counts (identical
+    doubles both engines); each JS term is DECIMAL-quantized at 1e-6
+    before summing, absorbing libm ulp. The grid is sources ×
+    vocabulary — bounded by the vocabulary, never by the corpus."""
+    doc = t(spark, d, "documents")
+    w = doc.select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    csw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    ns = w.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    cw = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n = w.agg(F.count(F.lit(1)).alias("n_tot"))
+    grid = (
+        ns.crossJoin(cw)
+        .crossJoin(F.broadcast(n))
+        .join(csw, ["source", "word"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("c_sw"), F.lit(0)).cast("double") / F.col("n_s")).alias("p"),
+            (F.col("c_w").cast("double") / F.col("n_tot")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2
+    # the 0.5 halving happens INSIDE each term, before the quantizing
+    # decimal cast: halving an already-quantized sum with an odd last
+    # digit lands exactly on a .5e-7 midpoint, where the engines'
+    # decimal/double rounding paths disagree
+    term = (
+        0.5
+        * (F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + q * F.log(q / m))
+    ).cast(DEC)
+    return grid.groupBy("source").agg(
+        F.sum(term).cast("double").alias("js_to_corpus")
+    )

@@ -136,6 +136,8 @@ _PRIORITY = [
     "agg_bitmap_distinct",
     "agg_count_distinct_multi",
     "sample_negative_pairs",
+    "win_percent_of_parent",
+    "text_js_divergence_sources",
 ]
 
 
