@@ -68,6 +68,10 @@ def main() -> None:
             if i > 0:
                 runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # ops that cache intermediates (minhash, incremental dedup,
+        # kmeans) would otherwise leak cached RDDs into the long-lived
+        # session and skew the queries that follow
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

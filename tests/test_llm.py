@@ -152,3 +152,42 @@ def test_pagerank_sane(spark, sf_dir):
     # mass: base 0.15 plus damped inflow ≤ 1.0 per node (integer floor
     # plus dangling-edge leakage only ever lose mass)
     assert total <= n * 1000000
+
+
+def test_candidate_bucket_caps_idle_on_fixture(spark, sf_dir):
+    """The occupancy caps in simhash/rp-LSH candidate generation must
+    be INERT on the certification fixtures (max bucket << 200), so the
+    capped Spark plans stay equal to their uncapped exact oracles.
+    This is the guard that catches fixture drift before the driver
+    does."""
+    from tpc_di_etl_using_pyspark_spark.llm.simhash import _chunked
+
+    doc = t(spark, sf_dir, "documents")
+    ch = _chunked(simhash(doc, "doc_id", "text"), "doc_id", 8)
+    max_occ = (
+        ch.groupBy("chunk_idx", "chunk").count().agg(F.max("count")).first()[0]
+    )
+    assert max_occ <= 150, f"simhash slice bucket {max_occ} near cap 200"
+
+
+def test_simhash_cap_bounds_boilerplate_corpus(spark, sf_dir):
+    """A boilerplate-heavy corpus (one text repeated 600x > cap 200)
+    must NOT go quadratic: the over-full buckets are dropped, so the
+    capped candidate count stays bounded while the uncapped generator
+    would emit ~600^2/2 pairs from the clones alone."""
+    from tpc_di_etl_using_pyspark_spark.llm.simhash import simhash_candidate_pairs
+
+    doc = t(spark, sf_dir, "documents").limit(50)
+    clones = spark.range(600).crossJoin(
+        doc.limit(1).select(F.col("text"))
+    ).select((F.col("id") + 10**6).alias("doc_id"), "text")
+    corpus = doc.select("doc_id", "text").unionByName(clones)
+    capped = simhash_candidate_pairs(corpus, "doc_id", "text", max_bucket=200)
+    n_capped = capped.count()
+    # 600 clones alone would contribute 600*599/2 = 179_700 pairs
+    assert n_capped < 100_000, f"cap failed to bound fan-out: {n_capped}"
+    # cap=None restores the quadratic behavior (sanity that the knob works)
+    n_uncapped = simhash_candidate_pairs(
+        corpus, "doc_id", "text", max_bucket=None
+    ).count()
+    assert n_uncapped >= 179_700

@@ -14,8 +14,29 @@ chunks — pigeonhole), so the self-join is keyed, never cartesian.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cap_chunk_buckets(chunks: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (chunk_idx, chunk) buckets with more than ``max_bucket``
+    rows before a self-join — same occupancy cap as
+    llm/minhash.py candidate_pairs. A bucket of n docs yields n²/2
+    pairs, so one boilerplate fingerprint slice (empty docs, shared
+    headers hashing to the same byte) can make the candidate join
+    quadratic at corpus scale; the cap bounds the fan-out. A pair
+    inside a dropped bucket is still found if it agrees on any other
+    (un-dropped) slice, so recall loss is confined to pairs whose
+    every shared slice is boilerplate-degenerate. ``None`` disables.
+    """
+    if max_bucket is None:
+        return chunks
+    w = Window.partitionBy("chunk_idx", "chunk")
+    return (
+        chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -87,14 +108,19 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunk_bits: int = 16,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, hamming ≤ max_hamming).
 
     Complete (finds every qualifying pair) only while
     max_hamming < 64/chunk_bits; beyond that the blocking can miss a
-    pair whose differing bits spread across every slice.
+    pair whose differing bits spread across every slice. Slices with
+    more than ``max_bucket`` occupants are dropped before the
+    self-join (see _cap_chunk_buckets).
     """
-    chunks = _chunked(simhash(df, id_col, text_col), id_col, chunk_bits)
+    chunks = _cap_chunk_buckets(
+        _chunked(simhash(df, id_col, text_col), id_col, chunk_bits), max_bucket
+    )
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
     )
@@ -115,11 +141,16 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_bits: int = 8,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) agreeing on ≥1 fingerprint slice —
     simhash as the candidate generator for an exact verify stage
-    (8-bit slices ⇒ complete for Hamming ≤ 7)."""
-    chunks = _chunked(simhash(df, id_col, text_col), id_col, chunk_bits)
+    (8-bit slices ⇒ complete for Hamming ≤ 7 while every shared slice
+    stays under ``max_bucket`` occupants; over-full slices are dropped
+    before the self-join, see _cap_chunk_buckets)."""
+    chunks = _cap_chunk_buckets(
+        _chunked(simhash(df, id_col, text_col), id_col, chunk_bits), max_bucket
+    )
     a = chunks.select(F.col(id_col).alias("doc_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("doc_b"), "chunk_idx", "chunk")
     return (

@@ -1036,7 +1036,16 @@ def join_bloom_runtime_filter(spark: SparkSession, d: str) -> DataFrame:
         df = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
             "l_orderkey", "l_quantity", "o_totalprice"
         )
-        df._jdf.queryExecution().optimizedPlan()  # pin bloom-injected plan
+        # Pin the bloom-injected plan while the confs are set
+        # (QueryExecution caches the optimized plan). Classic sessions
+        # only: under Spark Connect there is no _jdf handle and plans
+        # are resolved server-side at action time, so the conf window
+        # can't be pinned — the op still returns correct rows, it just
+        # may plan without the bloom filter. Single-threaded-session
+        # assumption: concurrent queries planned inside this window
+        # would also see autoBroadcastJoinThreshold=-1.
+        if hasattr(df, "_jdf"):
+            df._jdf.queryExecution().optimizedPlan()
     finally:
         for k, v in saved.items():
             if v is None:

@@ -1959,6 +1959,22 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         )
     )
 
+    # bucket-occupancy cap (mirrors llm/minhash.py candidate_pairs):
+    # a degenerate corpus — heavy exact duplicates, all-zero vectors —
+    # lands every copy in the same 8-bit band bucket, making the
+    # self-join quadratic in that bucket. Buckets over max_bucket are
+    # dropped before the join; a qualifying pair is still found via
+    # its other band unless every shared band is over-full. Fixture
+    # occupancy is asserted far below the cap in tests/test_llm.py, so
+    # the capped plan stays equal to the uncapped oracle.
+    max_bucket = 200
+    wb = Window.partitionBy("band_idx", "band_key")
+    sigs = (
+        sigs.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
     emb_d = e.select("vec_id", as_double("embedding").alias("emb"))
     cand = (
         sigs.alias("a")
@@ -2076,9 +2092,17 @@ def vec_kmeans_refine(spark: SparkSession, d: str) -> DataFrame:
     what lets an iterative ML-style algorithm be certified by a SQL
     oracle with two unrolled iterations."""
     e = t(spark, d, "embeddings")
-    comps = e.select(
-        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
-    ).withColumnsRenamed({"pos": "pos", "col": "x"})
+    # cache: comps feeds assign(c1), the centroid update, and
+    # assign(c2) — uncached it is re-scanned and re-exploded 3×
+    # (the minhash cache pattern; measured ~2× on this op). The bench
+    # harness clears the cache between ops.
+    comps = (
+        e.select(
+            "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        )
+        .withColumnsRenamed({"pos": "pos", "col": "x"})
+        .cache()
+    )
 
     cells = spark.range(8).select(F.col("id").cast("int").alias("cell"))
     poss = spark.range(64).select(F.col("id").cast("int").alias("pos"))
@@ -2392,8 +2416,8 @@ def events_active_users_rolling(spark: SparkSession, d: str) -> DataFrame:
     """WITH e AS (SELECT vec_id, label, vec_id % 50 AS bucket FROM embeddings),
        cand AS (
          SELECT a.vec_id, b.vec_id AS neg_id,
-                (1103515245 * (a.vec_id * 1000 + b.vec_id) + 12345)
-                  % 2147483648 AS h
+                (1103515245 * ((a.vec_id * 1000 + b.vec_id) % 2147483648)
+                 + 12345) % 2147483648 AS h
          FROM e a JOIN e b
            ON a.bucket = b.bucket AND a.label <> b.label)
        SELECT vec_id, neg_id, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -2420,10 +2444,13 @@ def sample_negative_pairs(spark: SparkSession, d: str) -> DataFrame:
         F.col("vec_id").alias("neg_id"), F.col("label").alias("lb"),
         F.col("bucket"),
     )
-    h = (
-        F.lit(1103515245).cast("long") * (F.col("vec_id") * 1000 + F.col("neg_id"))
-        + 12345
-    ) % 2147483648
+    # pair key reduced mod 2^31 BEFORE the LCG multiply: the raw key
+    # grows with vec_id, and 1103515245 * key overflows BIGINT once
+    # vec_id ~8.3e6 (Spark wraps silently, DuckDB errors) — the
+    # pre-reduction keeps the product < 2^62 at any corpus size and is
+    # a no-op at fixture ids (key < 2^31).
+    pair_key = (F.col("vec_id") * 1000 + F.col("neg_id")) % 2147483648
+    h = (F.lit(1103515245).cast("long") * pair_key + 12345) % 2147483648
     w = Window.partitionBy("vec_id").orderBy("h", "neg_id")
     return (
         a.join(b, "bucket")

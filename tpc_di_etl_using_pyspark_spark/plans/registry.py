@@ -25,71 +25,22 @@ _MODULES = [
 ]
 
 # Certification window rotation: the external driver checks the first
-# ~50 registry entries per round, so the ops most in need of fresh
-# correctness evidence are listed first — everything else follows in
-# module order. Round 2: the round-1 type-bug fixes, the restructured
-# formerly-rows-only ops, the new FINWIRE warehouse tables, all window
-# functions, the TPC-DI family, and the headline LLM-pipeline ops.
-# (Rotate this list next round: scalars → streaming → udfs → core.)
+# ~50 registry entries per round. Round 3 leads with ops whose code or
+# oracle changed this round, then the never-certified backlog ordered
+# per VERDICT r2 item 1 (TPC-DI remainder, late-round-2 surfaces, the
+# twice-queued scalar family, canonical aggregates). 98 ops certified
+# in r1+r2 sit after every never-certified op.
 _PRIORITY = [
-    # round-1 red/unchecked aggregates, now type-fixed / self-verifying
-    "agg_conditional",
-    "agg_pivot",
-    "agg_bool",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    # formerly rows-only, now exactly SQL-oracled
-    "map_ops",
-    "dedup_minhash_lsh",
+    # --- round-3 certification window (first ~50) ---
+    # new or code-changed this round — need a (re)certification row
+    "tpcdi_batch_e2e",
     "dedup_simhash",
-    "sim_ivf_topk",
-    "sim_ivf_index_partitioned",
-    # new FINWIRE / warehouse tables (round 2)
-    "tpcdi_dim_company",
-    "tpcdi_dim_security",
-    "tpcdi_financial",
-    "tpcdi_dim_broker",
-    "tpcdi_fact_watches",
-    "tpcdi_scd2_dimaccount",
-    "tpcdi_audit_reconciliation",
-    # window family (never driver-checked in round 1)
-    "win_row_number",
-    "win_rank_dense",
-    "win_lead_scd2",
-    "win_lag_change",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_52wk",
-    "win_first_last_value",
-    "win_ntile_pct",
-    "win_cume_dist",
-    "win_forward_fill",
-    "win_ratio_total",
-    "win_nth_value",
-    "win_streaks",
-    # headline LLM-pipeline ops
-    "text_tfidf",
-    "sim_cosine_topk",
-    "dedup_cluster_cc",
-    "pipeline_corpus_curation",
-    "text_label_quality",
-    "dedup_exact_hash",
-    # round-2 new surfaces
-    "stream_stream_join",
-    "udtf_map_in_arrow",
-    "graph_pagerank",
-    "text_unigram_logprob",
-    "pack_sequences_greedy",
-    "sample_stratified_exact",
-    "win_running_distinct",
-    "win_pattern_vshape",
-    # TPC-DI family, heaviest first (rest follow in module order and
-    # rotate into the round-3 window)
-    "tpcdi_scd2_dimcustomer",
-    "tpcdi_scd2_incremental",
-    "tpcdi_fact_cash_balances",
-    "tpcdi_fact_market_history",
-    "tpcdi_fact_holdings",
+    "sim_rp_lsh_cosine",
+    "vec_kmeans_refine",
+    "sample_negative_pairs",
+    "join_bloom_runtime_filter",
+    "pipeline_incremental_dedup",
+    # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
     "tpcdi_marketing_nameplate",
     "tpcdi_prospect_match",
@@ -97,33 +48,57 @@ _PRIORITY = [
     "tpcdi_dim_time",
     "tpcdi_dim_trade",
     "tpcdi_dimessages",
-    # late-round-2 additions (outside this round's 50-op window;
-    # first in line when the round-3 rotation rewrites this list)
-    "sim_rp_lsh_cosine",
+    # late-round-2 surfaces, never driver-checked
     "json_variant_extract",
-    "math_try_overflow",
-    "str_collate_ci",
-    "xml_roundtrip_builtin",
+    "json_variant_explode",
     "sql_pipe_syntax",
     "udf_sql_declarative",
     "udtf_sql_table_fn",
-    "pipeline_incremental_dedup",
-    "vec_kmeans_refine",
+    "udtf_python_lateral",
     "scan_python_datasource",
     "stream_transform_with_state",
-    "agg_transpose_matrix",
-    "udtf_python_lateral",
-    "sort_limit_offset",
-    "json_variant_explode",
-    "join_bloom_runtime_filter",
+    "multimodal_image_resize",
     "join_dpp_partitioned",
+    "vec_quantize_pq",
+    # §2.H scalar family (queued since round 1)
+    "str_concat_phone",
+    "str_substr_trim",
+    "str_case_match",
+    "str_pad_format",
+    "str_regexp",
+    "str_split_explode",
+    "date_parse",
+    "date_arith",
+    "date_extract",
+    "date_trunc_bucket",
+    "math_round_money",
+    "math_ratio_guard",
+    "cond_case_when",
+    "null_coalesce",
+    "cast_types",
+    "json_extract",
+    "array_ops",
+    "array_fold_dot",
+    "hash_checksum",
+    "math_try_overflow",
+    # §2.D canonical aggregate rows still local-green only
+    "agg_first_last",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    # --- beyond the window: every remaining op without a driver
+    # CORRECTNESS row, queued for rounds 4+ (rotate to the front then);
+    # already-certified ops follow in module order via _collect() ---
+    "str_collate_ci",
+    "xml_roundtrip_builtin",
+    "agg_transpose_matrix",
+    "sort_limit_offset",
     "tpcdi_scd2_hybrid_type1",
     "scan_csv_multichar_delim",
-    "multimodal_image_resize",
     "text_bigram_logprob",
     "sql_groupby_all",
     "str_regexp_extract_all",
-    "vec_quantize_pq",
     "sql_scalar_subquery_corr",
     "sink_csv_quoted",
     "win_slope_rolling",
@@ -135,9 +110,89 @@ _PRIORITY = [
     "tpcdi_holdings_pnl",
     "agg_bitmap_distinct",
     "agg_count_distinct_multi",
-    "sample_negative_pairs",
     "win_percent_of_parent",
     "text_js_divergence_sources",
+    "scan_schema_evolution",
+    "sink_sorted_clustered",
+    "scan_binaryfile",
+    "scan_partition_pruned",
+    "sql_lateral_topk",
+    "join_asof_tolerance",
+    "sql_recursive_hierarchy",
+    "join_null_safe",
+    "join_interval_overlap",
+    "agg_percentile",
+    "agg_unpivot",
+    "agg_collect_sorted",
+    "agg_string_concat_group",
+    "agg_weighted_avg",
+    "agg_pivot_dynamic",
+    "agg_median_mode",
+    "agg_regression_exact",
+    "sketch_hll_partition_merge",
+    "sketch_approx_topk",
+    "agg_histogram_fixed",
+    "win_zscore_anomaly",
+    "win_sessionize_gap",
+    "win_range_time_interval",
+    "win_interpolate_linear",
+    "str_levenshtein_link",
+    "date_boundaries",
+    "array_posexplode",
+    "math_functions",
+    "str_encode_b64_hex",
+    "str_url_parse",
+    "bit_ops",
+    "math_trig",
+    "date_spine_gapfill",
+    "array_exists_forall",
+    "json_nested_roundtrip",
+    "stream_tumbling_count",
+    "stream_sliding_sum",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_totals",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "udf_arrow_scalar",
+    "text_tokenize_counts",
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "sim_knn_join",
+    "sim_embedding_neardup",
+    "dedup_semantic_cluster",
+    "multimodal_join",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "sample_split_assign",
+    "text_pii_redact",
+    "text_normalize_unicode",
+    "vec_quantize_int8",
+    "sim_quantized_topk",
+    "text_length_histogram",
+    "text_contamination_ngram",
+    "text_repetition_score",
+    "vec_l2_normalize",
+    "text_ngram_topk",
+    "text_quality_linear",
+    "graph_triangle_count",
+    "dedup_chunk_level",
+    "sample_temperature_mixture",
+    "vec_centroid_per_label",
+    "text_bpe_pair_count",
+    "events_funnel",
+    "events_retention",
+    "tpcdi_reference_dims",
 ]
 
 

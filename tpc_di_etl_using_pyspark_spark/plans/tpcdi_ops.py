@@ -19,6 +19,7 @@ from ..tpcdi.pipeline import (
     scd2_apply_incremental,
     scd2_build,
     scd2_change_filter,
+    scd2_validate,
     surrogate_lookup,
 )
 from .core_scans import _scratch
@@ -1279,4 +1280,172 @@ def tpcdi_holdings_pnl(spark: SparkSession, d: str) -> DataFrame:
             dround(mv, 2).alias("mkt_value"),
             dround(mv - F.col("net_cost"), 2).alias("unreal_pnl"),
         )
+    )
+
+
+@_op(
+    "tpcdi_batch_e2e",
+    f"""WITH {_COMPANY_CTES},
+cust_actions AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+         CASE WHEN o_orderstatus = 'O' THEN CAST(o_orderdate AS DATE) + 4000
+              ELSE CAST(o_orderdate AS DATE) END AS eff
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+dim_customer AS (
+  SELECT CAST(o_custkey AS VARCHAR) || '-' ||
+           CAST(ROW_NUMBER() OVER w AS VARCHAR) AS sk,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+         o_custkey, eff AS effective_date,
+         COALESCE(LEAD(eff) OVER w, DATE '9999-12-31') AS end_date,
+         (LEAD(eff) OVER w IS NULL) AS is_current
+  FROM cust_actions
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)),
+daily AS (
+  SELECT o_custkey AS account_id, CAST(date_trunc('day', eff) AS DATE) AS day
+  FROM cust_actions GROUP BY 1, 2),
+fact_sk AS (
+  SELECT f.account_id, f.day, dc.sk
+  FROM daily f LEFT JOIN dim_customer dc
+    ON f.account_id = dc.o_custkey AND f.day >= dc.effective_date
+   AND (f.day < dc.end_date OR dc.is_current)),
+chain AS (
+  SELECT o_custkey,
+         LEAD(effective_date) OVER (PARTITION BY o_custkey
+                                    ORDER BY version) AS nxt,
+         end_date, is_current
+  FROM dim_customer),
+violations AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT 1 AS v FROM chain
+    WHERE (nxt IS NOT NULL AND end_date != nxt)
+       OR (nxt IS NULL AND NOT is_current)
+    UNION ALL
+    SELECT 1 FROM (SELECT o_custkey FROM dim_customer WHERE is_current
+                   GROUP BY 1 HAVING COUNT(*) > 1)))
+SELECT CAST(2 AS INTEGER) AS batch_id, 'dim_company' AS message_source,
+       'Row count' AS message_type,
+       CAST((SELECT COUNT(*) FROM dim_company) AS VARCHAR) AS message_text
+UNION ALL
+SELECT 2, 'dim_customer', 'Row count',
+       CAST((SELECT COUNT(*) FROM dim_customer) AS VARCHAR)
+UNION ALL
+SELECT 2, 'fact_cash_balances', 'Row count',
+       CAST((SELECT COUNT(*) FROM fact_sk) AS VARCHAR)
+UNION ALL
+SELECT 2, 'dim_company', 'Audit current rows',
+       CASE WHEN (SELECT COUNT(*) FROM dim_company WHERE is_current)
+               = (SELECT COUNT(*) FROM supplier) THEN 'true' ELSE 'false' END
+UNION ALL
+SELECT 2, 'dim_customer', 'Audit current rows',
+       CASE WHEN (SELECT COUNT(*) FROM dim_customer WHERE is_current)
+               = (SELECT COUNT(DISTINCT o_custkey) FROM cust_actions)
+            THEN 'true' ELSE 'false' END
+UNION ALL
+SELECT 2, 'dim_customer', 'Audit SCD2 violations',
+       CAST((SELECT n FROM violations) AS VARCHAR)
+UNION ALL
+SELECT 2, 'fact_cash_balances', 'Audit unresolved SK',
+       CAST((SELECT COUNT(*) FROM fact_sk WHERE sk IS NULL) AS VARCHAR)""",
+)
+def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end multi-batch warehouse program [SPEC: Historical Load →
+    Batch2 incremental → audit phases], the composition a reference
+    user runs as one dataflow rather than as separately certified ops:
+
+    1. Batch1 historical load: FINWIRE file-fixture scan → DimCompany
+       SCD2 (file → fixed-width slice → history), plus the customer
+       action stream ('F' orders) → DimCustomer SCD2 via scd2_build.
+    2. Batch2 incremental: the 'O' orders (dates shifted past the
+       history) applied with scd2_apply_incremental — touched current
+       rows closed, versions continue; the maintained dimension equals
+       a full rebuild over the combined actions (the invariant the
+       oracle states directly).
+    3. Facts with SK resolution: daily cash grain over the combined
+       stream, each row resolved to its SCD2 surrogate key via
+       surrogate_lookup (equi join + date-range residual).
+    4. Audit: DImessages row counts for the three warehouse tables plus
+       reconciliation rows — current-row counts vs source, SCD2
+       chain/multi-current violations (scd2_validate), unresolved SKs.
+
+    Scale shape: each phase keeps its own stage shape (one keyed window
+    shuffle per dimension, one grouped shuffle + one window for the
+    fact, single-aggregate audit probes); composing them adds no new
+    shuffle — phase boundaries in production are parquet sinks, here
+    the plan flows straight through. Output: (batch_id,
+    message_source, message_type, message_text) — counts as text,
+    audit booleans as 'true'/'false'."""
+    # --- Batch1: historical load -----------------------------------
+    frames = _finwire_frames(spark, d)
+    dim_company = _company_dim_from(frames["CMP"])
+    v = t(spark, d, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("eff"),
+    )
+    hist = v.filter(F.col("o_orderstatus") == "F")
+    dim_customer = scd2_build(
+        hist, "o_custkey", "eff", ["o_orderstatus", "o_orderpriority"], "o_orderkey"
+    )
+
+    # --- Batch2: incremental apply ---------------------------------
+    batch2 = v.filter(F.col("o_orderstatus") == "O").withColumn(
+        "eff", F.date_add("eff", 4000)
+    )
+    dim_customer = scd2_apply_incremental(
+        dim_customer, batch2, "o_custkey", "eff",
+        ["o_orderstatus", "o_orderpriority"], "o_orderkey",
+    )
+
+    # --- Facts with surrogate-key resolution -----------------------
+    stream = hist.unionByName(batch2)
+    fact = fact_cash_balances(stream, "o_custkey", "eff", "o_totalprice")
+    fact_sk = surrogate_lookup(
+        fact, dim_customer, "account_id", "day", dim_key="o_custkey"
+    )
+
+    # --- Audit: DImessages + reconciliation ------------------------
+    msgs = batch_validation(
+        {
+            "dim_company": dim_company,
+            "dim_customer": dim_customer,
+            "fact_cash_balances": fact_sk,
+        },
+        batch_id=2,
+    )
+
+    def audit(source: str, mtype: str, text_df: DataFrame) -> DataFrame:
+        return text_df.select(
+            F.lit(2).alias("batch_id"),
+            F.lit(source).alias("message_source"),
+            F.lit(mtype).alias("message_type"),
+            F.col("message_text"),
+        )
+
+    ok = lambda a, e: F.when(F.col(a) == F.col(e), "true").otherwise("false")  # noqa: E731
+    comp_cur = (
+        dim_company.filter("is_current")
+        .agg(F.count(F.lit(1)).alias("_a"))
+        .crossJoin(t(spark, d, "supplier").agg(F.count(F.lit(1)).alias("_e")))
+        .select(ok("_a", "_e").alias("message_text"))
+    )
+    cust_cur = (
+        dim_customer.filter("is_current")
+        .agg(F.count(F.lit(1)).alias("_a"))
+        .crossJoin(stream.agg(F.countDistinct("o_custkey").alias("_e")))
+        .select(ok("_a", "_e").alias("message_text"))
+    )
+    chain_bad = scd2_validate(dim_customer, "o_custkey").agg(
+        F.count(F.lit(1)).cast("string").alias("message_text")
+    )
+    unresolved = fact_sk.filter(F.col("sk").isNull()).agg(
+        F.count(F.lit(1)).cast("string").alias("message_text")
+    )
+    return (
+        msgs.unionByName(audit("dim_company", "Audit current rows", comp_cur))
+        .unionByName(audit("dim_customer", "Audit current rows", cust_cur))
+        .unionByName(audit("dim_customer", "Audit SCD2 violations", chain_bad))
+        .unionByName(audit("fact_cash_balances", "Audit unresolved SK", unresolved))
     )

@@ -48,8 +48,18 @@ class FinwireCmpReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         # one partition per data file (spark text sinks write part-*);
-        # a byte-range split per file would go here for huge files
+        # a byte-range split per file would go here for huge files.
+        # Directories not written by a Spark sink have no part-* files
+        # — fall back to every non-hidden regular file rather than
+        # silently yielding zero rows.
         files = sorted(glob.glob(os.path.join(self._path, "part-*")))
+        if not files:
+            files = sorted(
+                f
+                for f in glob.glob(os.path.join(self._path, "*"))
+                if os.path.isfile(f)
+                and not os.path.basename(f).startswith((".", "_"))
+            )
         return [InputPartition(f) for f in files] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
