@@ -15,7 +15,24 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# transformWithStateInPandas needs google.protobuf in the python
+# WORKERS (the TWS state-server client). This container has no
+# protobuf wheel; tools/pb_shim/sitecustomize.py exposes the
+# google-cloud-sdk's bundled pure-python runtime instead. PYTHONPATH
+# must carry the shim dir BEFORE the JVM starts so forked workers
+# auto-run it; activate() covers this (driver) process.
+_PB_SHIM = os.path.join(_REPO, "tools", "pb_shim")
+if _PB_SHIM not in sys.path:
+    sys.path.insert(0, _PB_SHIM)
+import sitecustomize as _pb_shim  # noqa: E402
+
+if _pb_shim.activate():
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in [_PB_SHIM, os.environ.get("PYTHONPATH", "")] if p
+    )
 
 from tpc_di_etl_using_pyspark_spark.plans._util import TABLES  # noqa: E402
 from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
