@@ -341,3 +341,43 @@ def test_fact_watches_and_dimaccount_semantics(spark, sf_dir):
         F.col("_p").isNotNull()
         & (F.struct("status", "tax_status") == F.col("_p"))
     ).count() == 0
+
+
+def test_batch_e2e_composition_and_plan(spark, sf_dir):
+    """tpcdi_batch_e2e must (a) report every audit check clean on the
+    fixtures and (b) add no shuffles beyond the sum of its stages:
+    composing historical load + incremental apply + SK lookup + audit
+    into one dataflow is free — phase boundaries are not barriers."""
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import (
+        QUERIES,
+        tpcdi_batch_e2e,
+        tpcdi_scd2_incremental,
+    )
+
+    out = tpcdi_batch_e2e(spark, sf_dir)
+    # plan BEFORE the action: post-collect explain shows the AQE final
+    # plan with per-stage reprints that inflate string counts
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    rows = {
+        (r.message_source, r.message_type): r.message_text for r in out.collect()
+    }
+    assert rows[("dim_company", "Audit current rows")] == "true"
+    assert rows[("dim_customer", "Audit current rows")] == "true"
+    assert rows[("dim_customer", "Audit SCD2 violations")] == "0"
+    assert rows[("fact_cash_balances", "Audit unresolved SK")] == "0"
+    assert int(rows[("dim_customer", "Row count")]) > 0
+
+    # phase boundaries: the three warehouse tables must be cached (the
+    # local stand-in for the production parquet sink between batch
+    # phases) so the audit phase's references execute each build ONCE.
+    # Uncached, the same plan showed 86 exchanges with the dim SCD2
+    # build re-run per audit reference; cached it shows ≤60 displayed
+    # (each InMemoryRelation prints its child plan per reference but
+    # executes once) — the assertion catches the uncached regression.
+    assert plan.count("InMemoryRelation") >= 3
+    assert plan.count("Exchange") <= 70, plan.count("Exchange")
+    out.sparkSession.catalog.clearCache()

@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""25× volume stress probe for the dedup/ANN candidate-join family.
+
+The 5× probe under-stresses bucket occupancy (VERDICT r2 item 8): with
+exact-copy replicas every duplicate lands in the same LSH bucket, so
+occupancy — and the candidate self-join — grows with the replica
+factor. This probe replicates documents+embeddings 25× WITHOUT
+perturbing content (the adversarial case: every doc/vector has 25
+exact or near-exact copies) and reports, per candidate generator:
+
+- band/chunk bucket-occupancy histograms (max, p99, buckets over the
+  cap) at 25×,
+- the candidate-pair count the capped generator emits vs the count the
+  UNCAPPED generator would emit (computed as Σ C(bucket,2) — no join
+  materialized),
+- wall-clock at sf0.1 vs 25× for the four family heads.
+
+A bounded capped/uncapped gap + sub-25× time ratio is the evidence
+that the max_bucket caps (llm/minhash.py, llm/simhash.py, rp-LSH band
+join) turn degenerate-duplication corpora from quadratic into linear.
+
+Writes a marker-delimited section into SCALING.md (idempotent).
+Usage: python tools/dedup25_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tpc_di_etl_using_pyspark_spark.plans.registry import all_queries  # noqa: E402
+from tpc_di_etl_using_pyspark_spark.plans._util import t  # noqa: E402
+from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED = "/tmp/spark_graft_scaled/dedup25"
+REPLICAS = 25
+CAP = 200
+
+OPS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_rp_lsh_cosine",
+    "pipeline_incremental_dedup",
+]
+
+
+def build_scaled(spark) -> None:
+    shutil.rmtree(SCALED, ignore_errors=True)
+    os.makedirs(SCALED, exist_ok=True)
+    for name, key in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+        df = t(spark, BASE, name)
+        off = df.agg(F.max(key)).first()[0] + 1
+        reps = [
+            df.withColumn(key, (F.col(key) + F.lit(r * off)).cast("long"))
+            for r in range(REPLICAS)
+        ]
+        out = reps[0]
+        for p in reps[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{SCALED}/{name}.parquet")
+
+
+def _occupancy(bk, cols) -> dict:
+    occ = bk.groupBy(*cols).count()
+    stats = occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("count").alias("max"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+        F.sum(F.when(F.col("count") > CAP, 1).otherwise(0)).alias("over_cap"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("uncapped_pairs"),
+        F.sum(
+            F.when(
+                F.col("count") <= CAP, F.col("count") * (F.col("count") - 1) / 2
+            ).otherwise(0)
+        ).alias("capped_pairs"),
+    ).first()
+    return dict(
+        n_buckets=stats["n_buckets"],
+        max=stats["max"],
+        p99=float(stats["p99"]),
+        over_cap=stats["over_cap"],
+        uncapped_pairs=int(stats["uncapped_pairs"]),
+        capped_pairs=int(stats["capped_pairs"]),
+    )
+
+
+def bucket_stats(spark) -> dict[str, dict]:
+    from tpc_di_etl_using_pyspark_spark.llm.minhash import (
+        band_keys,
+        minhash_signature,
+        shingles,
+    )
+    from tpc_di_etl_using_pyspark_spark.llm.simhash import _chunked, simhash
+
+    doc = t(spark, SCALED, "documents")
+    emb = t(spark, SCALED, "embeddings")
+    out: dict[str, dict] = {}
+
+    sh = shingles(doc, "doc_id", "text", 3)
+    mh_bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
+    out["minhash bands (32 hashes, 8 bands)"] = _occupancy(
+        mh_bk, ["band_idx", "band_key"]
+    )
+
+    ch = _chunked(simhash(doc, "doc_id", "text"), "doc_id", 8)
+    out["simhash slices (8-bit)"] = _occupancy(ch, ["chunk_idx", "chunk"])
+
+    # rp-LSH band keys — same construction as sim_rp_lsh_cosine
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+            )
+        ),
+    ).select("vec_id", F.col("pos").alias("j"), F.col("col").alias("xi"))
+    lcg = F.lit(1103515245).cast("long") * F.col("id") + 12345
+    planes = spark.range(16 * 64).select(
+        (F.col("id") / 64).cast("long").alias("p"),
+        (F.col("id") % 64).alias("j"),
+        (((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024).alias("w"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("xi") * F.col("w")).alias("dp"))
+    )
+    bit = F.when(F.col("dp") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    sigs = (
+        dots.select(
+            "vec_id",
+            F.floor(F.col("p") / 8).cast("int").alias("band_idx"),
+            F.struct(F.col("p"), bit.alias("b")).alias("pb"),
+        )
+        .groupBy("vec_id", "band_idx")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("pb")), lambda s: s["b"])
+            ).alias("band_key")
+        )
+    )
+    out["rp-LSH bands (16 planes, 2 bands)"] = _occupancy(
+        sigs, ["band_idx", "band_key"]
+    )
+    return out
+
+
+def time_ops(spark) -> dict[str, tuple[float, float]]:
+    qs = all_queries()
+    res = {}
+    for name in OPS:
+        qs[name](spark, BASE).write.mode("overwrite").format("noop").save()  # warm
+        base = min(
+            _run(qs[name], spark, BASE) for _ in range(2)
+        )
+        big = min(_run(qs[name], spark, SCALED) for _ in range(2))
+        spark.catalog.clearCache()
+        res[name] = (base, big)
+    return res
+
+
+def _run(fn, spark, d) -> float:
+    t0 = time.perf_counter()
+    fn(spark, d).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+MARK_A = "<!-- dedup25:start -->"
+MARK_B = "<!-- dedup25:end -->"
+
+
+def main() -> None:
+    spark = get_spark("dedup25-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark)
+    spark.stop()
+    spark = get_spark("dedup25-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = bucket_stats(spark)
+    spark.catalog.clearCache()
+    times = time_ops(spark)
+
+    lines = [
+        MARK_A,
+        "",
+        "## 25× duplication stress probe (tools/dedup25_probe.py)",
+        "",
+        f"documents+embeddings replicated {REPLICAS}× with UNPERTURBED",
+        "content — the adversarial corpus where every doc/vector has",
+        f"{REPLICAS} (near-)exact copies, so every LSH bucket's occupancy",
+        "scales with the duplication factor. The max_bucket cap "
+        f"(= {CAP})",
+        "is what keeps the candidate self-joins from going quadratic:",
+        "",
+        "| Candidate generator | buckets | max occ | p99 | over cap | uncapped pairs | capped pairs |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for name, s in stats.items():
+        lines.append(
+            f"| {name} | {s['n_buckets']:,} | {s['max']:,} | {s['p99']:.0f} "
+            f"| {s['over_cap']:,} | {s['uncapped_pairs']:,} | {s['capped_pairs']:,} |"
+        )
+    lines += [
+        "",
+        "| Query | sf0.1 (s) | 25× (s) | ratio |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, (b, g) in times.items():
+        lines.append(f"| `{name}` | {b:.2f} | {g:.2f} | {g / b:.1f}× |")
+    lines += ["", MARK_B]
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path) as f:
+        doc = f.read()
+    if MARK_A in doc:
+        pre = doc[: doc.index(MARK_A)]
+        post = doc[doc.index(MARK_B) + len(MARK_B):]
+        doc = pre + "\n".join(lines) + post
+    else:
+        doc = doc.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1375,8 +1375,13 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     message_source, message_type, message_text) — counts as text,
     audit booleans as 'true'/'false'."""
     # --- Batch1: historical load -----------------------------------
+    # Phase outputs are cache()d: in production each batch phase SINKS
+    # its warehouse tables to parquet and the next phase re-scans them;
+    # cache is the local stand-in for that boundary. Without it the
+    # audit phase's four references to dim_customer re-run the whole
+    # SCD2 build per reference (measured 86 exchanges vs 30 cached).
     frames = _finwire_frames(spark, d)
-    dim_company = _company_dim_from(frames["CMP"])
+    dim_company = _company_dim_from(frames["CMP"]).cache()
     v = t(spark, d, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -1397,14 +1402,14 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     dim_customer = scd2_apply_incremental(
         dim_customer, batch2, "o_custkey", "eff",
         ["o_orderstatus", "o_orderpriority"], "o_orderkey",
-    )
+    ).cache()
 
     # --- Facts with surrogate-key resolution -----------------------
     stream = hist.unionByName(batch2)
     fact = fact_cash_balances(stream, "o_custkey", "eff", "o_totalprice")
     fact_sk = surrogate_lookup(
         fact, dim_customer, "account_id", "day", dim_key="o_custkey"
-    )
+    ).cache()
 
     # --- Audit: DImessages + reconciliation ------------------------
     msgs = batch_validation(
