@@ -28,9 +28,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_groupby_basic(spark, "/root/testdata/sf0.001")
 
 
+def _cache_scoped(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Drop caches leaked by previously-run ops at the next op's build.
+
+    Some ops cache() intermediates reused within their own plan
+    (minhash shingles, kmeans components, the batch-e2e phase
+    boundaries). The driver materializes ops sequentially in one
+    session, so without this each op's cache would accumulate for the
+    rest of the run."""
+
+    def wrapped(spark: SparkSession, d: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, d)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _registry.all_queries()
+    return {k: _cache_scoped(v) for k, v in _registry.all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

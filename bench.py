@@ -26,7 +26,8 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # dedup, top-k, tf-idf fan-out, LSH dedup, sessionization, running
 # balance, vector top-k, trade-stream holdings, iterative connected
 # components, end-to-end corpus curation, FINWIRE SCD2 warehouse build,
-# hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine).
+# hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine,
+# end-to-end multi-batch warehouse program).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -46,6 +47,7 @@ HEADLINE = [
     "sim_rp_lsh_cosine",
     "pipeline_incremental_dedup",
     "vec_kmeans_refine",
+    "tpcdi_batch_e2e",
 ]
 
 RUNS = 3

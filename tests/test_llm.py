@@ -168,6 +168,23 @@ def test_candidate_bucket_caps_idle_on_fixture(spark, sf_dir):
         ch.groupBy("chunk_idx", "chunk").count().agg(F.max("count")).first()[0]
     )
     assert max_occ <= 150, f"simhash slice bucket {max_occ} near cap 200"
+    # minhash band buckets guard BOTH dedup_minhash_lsh and the
+    # corpus-side cap in pipeline_incremental_dedup
+    from tpc_di_etl_using_pyspark_spark.llm.minhash import (
+        band_keys,
+        minhash_signature,
+    )
+
+    bk = band_keys(
+        minhash_signature(shingles(doc, "doc_id", "text", 3), "doc_id", 32),
+        "doc_id",
+        32,
+        8,
+    )
+    mh_occ = (
+        bk.groupBy("band_idx", "band_key").count().agg(F.max("count")).first()[0]
+    )
+    assert mh_occ <= 150, f"minhash band bucket {mh_occ} near cap 200"
 
 
 def test_simhash_cap_bounds_boilerplate_corpus(spark, sf_dir):

