@@ -801,3 +801,56 @@ def win_percent_of_parent(spark: SparkSession, d: str) -> DataFrame:
             "year_pct_of_total"
         ),
     )
+
+
+@_op(
+    "win_time_weighted_avg",
+    """WITH o AS (
+         SELECT user_id, value, epoch_us(ts) AS tus,
+                LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+         FROM events)
+       SELECT user_id,
+              CAST(ROUND(CAST(
+                CAST(SUM(CAST(value * (nxt - tus) AS DECIMAL(25,6))) AS DOUBLE)
+                  / SUM(nxt - tus) AS DECIMAL(25,6)), 6) AS DOUBLE) AS twap
+       FROM o WHERE nxt IS NOT NULL
+       GROUP BY user_id HAVING SUM(nxt - tus) > 0""",
+)
+def win_time_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user [EXT: the market-data /
+    metering staple — each observation holds until the next one, so its
+    weight is the interval it was live, not 1].  LEAD supplies the
+    interval end; the last observation per key carries no interval and
+    is excluded, matching the half-open [ts, next_ts) convention.
+
+    Cross-engine exactness: intervals are integer microseconds
+    (epoch_us ↔ unix_micros over the NTZ fixture timestamp cast to UTC
+    — the session pins spark.sql.session.timeZone=UTC, so the cast is
+    the same wall-clock-as-UTC reading DuckDB's naive epoch_us uses;
+    only differences matter anyway), each value×interval product
+    is one IEEE double multiply (bit-identical in both engines) frozen
+    to DECIMAL(25,6) before the order-insensitive exact decimal SUM;
+    the final division is one double op rounded at 1e-6.  Scale: one
+    window shuffle on user_id (same key reused by the aggregation —
+    no second shuffle), no driver state."""
+    from ._util import dround
+
+    e = t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("tus")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.sum((F.col("value") * dt).cast(DEC)).cast("double").alias("_wsum"),
+            F.sum(dt).alias("_dtsum"),
+        )
+        .filter(F.col("_dtsum") > 0)
+        .select("user_id", dround(F.col("_wsum") / F.col("_dtsum"), 6).alias("twap"))
+    )

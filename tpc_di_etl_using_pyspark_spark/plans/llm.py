@@ -2550,3 +2550,251 @@ def text_js_divergence_sources(spark: SparkSession, d: str) -> DataFrame:
     return grid.groupBy("source").agg(
         F.sum(term).cast("double").alias("js_to_corpus")
     )
+
+
+def _ann_recall_sql(n_cells: int = 8, dim: int = 64, k: int = 10, n_queries: int = 20) -> str:
+    """Oracle for the IVF recall evaluation: replays the deterministic
+    cell assignment (same first-max-wins CASE chain as _ivf_probe_sql)
+    for every vector, takes the first ``n_queries`` vectors as probe
+    queries, and computes exact-top-k vs in-cell-top-k overlap with the
+    shared rounded-cosine + id-tiebreak ranking contract."""
+    from ..llm.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_cells, dim)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    dot_cols = ",\n       ".join(
+        f"list_dot_product(v, {lit(cents[c])}) AS d{c}" for c in range(n_cells)
+    )
+    cases = "\n            ".join(
+        "WHEN "
+        + " AND ".join(f"d{c} >= d{o}" for o in range(n_cells) if o != c)
+        + f" THEN {c}"
+        for c in range(n_cells)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v,
+       {dot_cols}
+      FROM v),
+a AS (SELECT vec_id, v, CASE {cases} END AS cell FROM d),
+q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM a
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.q_id, a.vec_id, (a.cell = q.q_cell) AS in_cell,
+         CAST(ROUND(CAST({_sql_cos('a.v', 'q.qv')} AS DECIMAL(25,6)), 6)
+              AS DOUBLE) AS cos_sim
+  FROM a JOIN q ON a.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, vec_id, in_cell, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS exact_rk,
+         ROW_NUMBER() OVER (PARTITION BY q_id, in_cell
+                            ORDER BY cos_sim DESC, vec_id) AS ivf_rk
+  FROM scored)
+SELECT q_id,
+       CAST(SUM(CASE WHEN exact_rk <= {k} AND in_cell AND ivf_rk <= {k}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN exact_rk <= {k} AND in_cell AND ivf_rk <= {k}
+                     THEN 1 ELSE 0 END) / {k}.0 AS DOUBLE) AS recall_at_{k}
+FROM ranked GROUP BY q_id
+"""
+
+
+@_op("sim_ann_recall_eval", _ann_recall_sql())
+def sim_ann_recall_eval(spark: SparkSession, d: str) -> DataFrame:
+    """ANN quality harness [EXT: an index you can't measure is an index
+    you can't trust]: per probe query (the first 20 corpus vectors),
+    recall@10 of the single-probe IVF search against the exact
+    brute-force top-10. Both rankings come from one scored relation —
+    cosine vs each query, rounded at 1e-6 with id tiebreak — windowed
+    twice: globally per query (exact) and within the query's centroid
+    cell (IVF).
+
+    Scale shape: queries are a broadcast ~constant-size relation, so
+    the scored relation is a narrow map over the corpus (no shuffle);
+    the two rankings reuse one q_id-keyed sort. The evaluation itself
+    is what a 100 TB pipeline runs on a sampled probe set to pick
+    n_cells/n_probe — the measurement is first-class, not a test-only
+    artifact."""
+    from ..llm.similarity import as_double, cosine, ivf_centroids
+
+    n_cells, k, n_queries = 8, 10, 20
+    e = t(spark, d, "embeddings")
+    cents = ivf_centroids(n_cells, 64)
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    v = as_double("embedding")
+
+    from ..llm.similarity import dot as _dot
+
+    def best_cell(vec):
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        return F.aggregate(
+            idx,
+            F.struct(F.lit(-1).alias("cell"), F.lit(float("-inf")).alias("score")),
+            lambda acc, i: F.when(
+                _dot(F.element_at(cent_arr, i + 1), vec) > acc["score"],
+                F.struct(
+                    i.cast("int").alias("cell"),
+                    _dot(F.element_at(cent_arr, i + 1), vec).alias("score"),
+                ),
+            ).otherwise(acc),
+        )["cell"]
+
+    a = e.select("vec_id", v.alias("v"), best_cell(v).alias("cell"))
+    q = a.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = (
+        a.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("cell") == F.col("q_cell")).alias("in_cell"),
+            dround(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    w_ivf = Window.partitionBy("q_id", "in_cell").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    hit = (
+        (F.col("exact_rk") <= k)
+        & F.col("in_cell")
+        & (F.col("ivf_rk") <= k)
+    ).cast("int")
+    return (
+        scored.withColumn("exact_rk", F.row_number().over(w_exact))
+        .withColumn("ivf_rk", F.row_number().over(w_ivf))
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            (F.sum(hit) / F.lit(float(k))).cast("double").alias(f"recall_at_{k}"),
+        )
+    )
+
+
+_PRETRAIN_E2E_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(lower(text), ' ')) AS n_words
+  FROM documents),
+gated AS (SELECT * FROM sized WHERE lang = 'en' AND n_words BETWEEN 20 AND 70),
+exact AS (
+  SELECT doc_id, source, text, n_words FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+corpus AS (SELECT * FROM exact WHERE source <> 'src0'),
+w3 AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM corpus),
+g3 AS (SELECT DISTINCT doc_id,
+              words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+       FROM (SELECT doc_id, words,
+                    unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+             FROM w3)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM g3 a JOIN g3 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+nd_drop AS (SELECT DISTINCT doc_b AS doc_id
+            FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                       JOIN sz sb ON sb.doc_id = doc_b
+            WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+survivors AS (SELECT * FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+w5c AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM survivors),
+g5c AS (SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+               words[i+3] || ' ' || words[i+4] AS gram
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i
+              FROM w5c)),
+w5b AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+        FROM documents WHERE source = 'src0'),
+g5b AS (SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+               words[i+3] || ' ' || words[i+4] AS gram
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i
+              FROM w5b)),
+hits AS (SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         FROM g5c c JOIN g5b b ON c.gram = b.gram
+         GROUP BY 1, 2),
+contam AS (SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 3)
+SELECT doc_id, n_words, {{split_case}} AS split
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+@_op(
+    "pipeline_pretrain_e2e",
+    _PRETRAIN_E2E_SQL.format(split_case=_SPLIT_CASE_SQL),
+)
+def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
+    """The full pretraining-corpus build in one dataflow [EXT: the
+    composition a 100 TB data pipeline actually ships]: quality gate
+    (language + length band) → exact dedup (keep lowest id per text) →
+    MinHash-LSH near-dup removal (banded candidates, capped buckets,
+    exact Jaccard ≥ 0.5 verify; the higher id of each verified pair is
+    dropped — pairwise keep-lowest, deterministic and closed-form in
+    SQL, unlike greedy chain resolution) → benchmark decontamination
+    (drop survivors sharing ≥3 distinct 5-grams with any 'src0'
+    benchmark doc) → deterministic train/val/test split.
+
+    Each stage is an individually certified registry op
+    (pipeline_corpus_curation, dedup_minhash_lsh,
+    text_contamination_ngram); this op certifies their COMPOSITION —
+    filters feed the dedup, the dedup feeds the screen, one dataflow,
+    no driver round-trips. Scale: the near-dup stage inherits
+    minhash's capped-bucket candidate bound on the (already gated and
+    exact-deduped) corpus; the contamination join is keyed on the
+    gram with the benchmark side small-by-construction."""
+    from ..llm.minhash import minhash_near_dups, shingles
+
+    doc = t(spark, d, "documents")
+    sized = doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split(F.lower("text"), " ")).alias("n_words"),
+    )
+    gated = sized.filter(
+        (F.col("lang") == "en") & F.col("n_words").between(20, 70)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "lang")
+    )
+    corpus = exact.filter(F.col("source") != "src0")
+    nd_pairs = minhash_near_dups(
+        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    nd_drop = nd_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = corpus.join(nd_drop, "doc_id", "left_anti")
+    g5c = shingles(survivors, "doc_id", "text", k=5).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    g5b = (
+        shingles(doc.filter(F.col("source") == "src0"), "doc_id", "text", k=5)
+        .dropDuplicates(["doc_id", "shingle"])
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    contam = (
+        g5c.join(g5b, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+        .distinct()
+    )
+    return survivors.join(contam, "doc_id", "left_anti").select(
+        "doc_id", "n_words", _split_label(F.col("doc_id")).alias("split")
+    )

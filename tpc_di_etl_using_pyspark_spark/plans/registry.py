@@ -40,6 +40,9 @@ _PRIORITY = [
     "sample_negative_pairs",
     "join_bloom_runtime_filter",
     "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    "sim_ann_recall_eval",
+    "win_time_weighted_avg",
     # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
     "tpcdi_marketing_nameplate",
