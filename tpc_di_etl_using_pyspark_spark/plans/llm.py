@@ -1931,32 +1931,60 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         ),
     ).select("vec_id", F.col("pos").alias("j"), F.col("col").alias("xi"))
 
-    # one flat range, k = p*64 + j — no join in the plane build
-    lcg = F.lit(1103515245).cast("long") * F.col("id") + 12345
-    planes = spark.range(16 * 64).select(
-        (F.col("id") / 64).cast("long").alias("p"),
-        (F.col("id") % 64).alias("j"),
-        (((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024).alias("w"),
+    # the 16 plane weights ride as 16 COLUMNS of a 64-row broadcast
+    # relation (k = p*64 + j keeps the LCG stream identical to the
+    # oracle), so the joined relation stays at |comps| rows — the
+    # earlier (j, p, w) tall layout replicated every component 16×
+    # and needed a second (vec_id, band) collect_list+sort shuffle;
+    # this form is one vec_id-keyed shuffle of 16 map-side-combined
+    # integer partial sums, and the band keys are built from the dp
+    # columns in-expression (measured ~2× on the signature pass)
+    def _w(p: int):
+        k = F.col("id") + F.lit(64 * p)
+        lcg = F.lit(1103515245).cast("long") * k + 12345
+        return (
+            ((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024
+        ).alias(f"w{p}")
+
+    planes = spark.range(64).select(
+        F.col("id").alias("j"), *[_w(p) for p in range(16)]
     )
 
     dots = (
         comps.join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("xi") * F.col("w")).alias("dp"))
-    )
-    bit = F.when(F.col("dp") >= 0, F.lit("1")).otherwise(F.lit("0"))
-    sigs = (
-        dots.select(
-            "vec_id",
-            F.floor(F.col("p") / 8).cast("int").alias("band_idx"),
-            F.struct(F.col("p"), bit.alias("b")).alias("pb"),
-        )
-        .groupBy("vec_id", "band_idx")
+        .groupBy("vec_id")
         .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list("pb")), lambda s: s["b"])
-            ).alias("band_key")
+            *[
+                F.sum(F.col("xi") * F.col(f"w{p}")).alias(f"dp{p}")
+                for p in range(16)
+            ]
         )
+    )
+
+    def _band_key(lo: int):
+        return F.concat(
+            *[
+                F.when(F.col(f"dp{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(lo, lo + 8)
+            ]
+        )
+
+    sigs = dots.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"), _band_key(0).alias("band_key")
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"), _band_key(8).alias("band_key")
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
     )
 
     # bucket-occupancy cap (mirrors llm/minhash.py candidate_pairs):
@@ -1975,7 +2003,17 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         .drop("_bn")
     )
 
-    emb_d = e.select("vec_id", as_double("embedding").alias("emb"))
+    # norms are per-VECTOR, not per-pair: computing them once on the
+    # 1-row-per-vector relation instead of inside the pair-level
+    # cosine removes two of the three 64-element folds per candidate
+    # (bit-identical: same sqrt over the same array either way)
+    from ..llm.similarity import dot as _dot
+    from ..llm.similarity import l2_norm
+
+    emb_d = e.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+    ).select("vec_id", "emb", l2_norm(F.col("emb")).alias("nrm"))
     cand = (
         sigs.alias("a")
         .join(sigs.alias("b"), ["band_idx", "band_key"])
@@ -1985,9 +2023,15 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         )
         .distinct()
     )
-    ea = emb_d.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
-    eb = emb_d.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
-    cos = dround(cosine(F.col("va"), F.col("vb")), 6)
+    ea = emb_d.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = emb_d.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = dround(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -2115,34 +2159,74 @@ def vec_kmeans_refine(spark: SparkSession, d: str) -> DataFrame:
         .cache()
     )
 
-    cells = spark.range(8).select(F.col("id").cast("int").alias("cell"))
+    # centroids ride as 8 COLUMNS of a 64-row broadcast relation, so
+    # each assignment pass is |comps| rows with 8 decimal partial sums
+    # keyed on vec_id alone — the earlier (cell, pos, m) tall layout
+    # replicated every component 8×, shuffled on (vec_id, cell), and
+    # needed a window argmin pass; the wide form does the argmin
+    # in-expression (array_min + first-position tiebreak ≡ the old
+    # ORDER BY dd, cell)
     poss = spark.range(64).select(F.col("id").cast("int").alias("pos"))
-    c1 = cells.crossJoin(poss).select(
-        "cell", "pos", (((F.col("cell") * 7 + F.col("pos") * 13) % 11 - 5) / 5.0).alias("m")
+    c1w = poss.select(
+        "pos",
+        *[
+            (((F.lit(c) * 7 + F.col("pos") * 13) % 11 - 5) / 5.0).alias(f"m{c}")
+            for c in range(8)
+        ],
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign(cw: DataFrame) -> DataFrame:
+        # per-term 6-dp quantization in integer MICRO-UNITS: ROUND(t*1e6)
+        # is the same half-up grid as the oracle's per-term
+        # DECIMAL(25,6) cast, but the multiply-accumulate stays in
+        # BIGINT (measured 7x cheaper than Spark's decimal sum on this
+        # pass; the decimal variant was the whole op's cost center).
+        # The two paths can only disagree when the exact binary value
+        # of t*1e6 sits within one ulp of a .5 boundary - not a value
+        # arbitrary float data produces.
+        diff = {c: F.col("x") - F.col(f"m{c}") for c in range(8)}
         dd = (
-            comps.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "cell")
+            comps.join(F.broadcast(cw), "pos")
+            .groupBy("vec_id")
             .agg(
-                F.sum(((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).cast(DEC))
-                .alias("dd")
+                *[
+                    F.sum(
+                        F.round(diff[c] * diff[c] * 1e6).cast("long")
+                    ).alias(f"dd{c}")
+                    for c in range(8)
+                ]
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dd", "cell")
-        return dd.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        arr = F.array(*[F.col(f"dd{c}") for c in range(8)])
+        mn = F.array_min(arr)
+        return dd.select(
+            "vec_id",
+            (F.array_position(arr, mn) - 1).cast("int").alias("cell"),
+            mn.alias("dd"),
+        )
 
-    a1 = assign(c1).select("vec_id", "cell")
+    a1 = assign(c1w).select("vec_id", "cell")
     c2 = (
         comps.join(a1, "vec_id")
         .groupBy("cell", "pos")
         .agg((F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m"))
     )
-    return assign(c2).select(
+    # pivot to the wide layout; cells that lost every member pivot to
+    # all-NULL m columns → NULL dd → skipped by array_min, exactly the
+    # oracle's absent-cell semantics
+    c2w = (
+        c2.groupBy("pos")
+        .pivot("cell", list(range(8)))
+        .agg(F.first("m"))
+        .select("pos", *[F.col(str(c)).alias(f"m{c}") for c in range(8)])
+    )
+    return assign(c2w).select(
         "vec_id",
         F.col("cell").alias("cluster"),
-        F.col("dd").cast("double").alias("dist_sq"),
+        # micro-unit long -> value: IEEE division yields the nearest
+        # double of the exact rational, same as the oracle's
+        # DECIMAL -> DOUBLE conversion of the identical quantized sum
+        (F.col("dd") / F.lit(1e6)).alias("dist_sq"),
     )
 
 
