@@ -352,3 +352,43 @@ def test_scalar_subquery_decorrelates_to_one_agg_join(spark, sf_dir):
     plan = _plan(all_queries()["sql_scalar_subquery_corr"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "HashAggregate") >= 2  # partial+final of the avg
+
+
+def test_ann_recall_scored_relation_broadcasts_queries(spark, sf_dir):
+    """The probe-query relation must broadcast (constant-size), so the
+    corpus side is never shuffled for the scoring pass."""
+    plan = _plan(all_queries()["sim_ann_recall_eval"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_twap_reuses_window_partitioning_for_agg(spark, sf_dir):
+    """One user_id exchange total: the LEAD window and the grouped
+    aggregation share the same key, so the groupBy must reuse the
+    window's shuffle instead of adding its own."""
+    plan = _plan(all_queries()["win_time_weighted_avg"](spark, sf_dir))
+    import re
+
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+
+
+def test_pretrain_e2e_no_cartesian_no_python(spark, sf_dir):
+    """The composed corpus build stays expression-only (no Python
+    workers) and never degenerates to an unkeyed join."""
+    plan = _plan(all_queries()["pipeline_pretrain_e2e"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_single_vecid_shuffle(spark, sf_dir):
+    """The wide-layout assignment must shuffle on vec_id alone (8
+    distance sums as columns), never on (vec_id, cell) — the tall
+    layout's 8x row replication is the thing this guards against."""
+    plan = _plan(all_queries()["vec_kmeans_refine"](spark, sf_dir))
+    assert "hashpartitioning(vec_id" in plan
+    assert "hashpartitioning(vec_id#" in plan  # key is vec_id alone
+    import re
+
+    assert not re.search(r"hashpartitioning\(vec_id#\d+L?, cell", plan)
