@@ -283,3 +283,19 @@ def test_twap_matches_manual_per_user(spark, sf_dir):
             den += dt
         if den > 0:
             assert abs(got[uid] - num / den) < 1e-4
+
+
+def test_ivf_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Probing 2 cells searches a strict superset of 1 cell, so the
+    multiprobe top-10 must be pointwise at least as similar as the
+    single-probe top-10."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import (
+        sim_ivf_multiprobe_topk,
+        sim_ivf_topk,
+    )
+
+    one = [r.cos_sim for r in sim_ivf_topk(spark, sf_dir).collect()]
+    two = [r.cos_sim for r in sim_ivf_multiprobe_topk(spark, sf_dir).collect()]
+    assert len(two) == len(one)
+    for a, b in zip(two, one):
+        assert a >= b

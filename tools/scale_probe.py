@@ -71,6 +71,10 @@ PROBE = [
     "vec_quantize_pq",
     "events_active_users_rolling",
     "tpcdi_holdings_pnl",
+    "dedup_simhash",
+    "win_time_weighted_avg",
+    "sim_ann_recall_eval",
+    "pipeline_pretrain_e2e",
 ]
 
 

@@ -142,3 +142,51 @@ def ivf_topk(
         F.round(cosine(F.col("v"), q).cast("decimal(25,6)"), 6).cast("double").alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_multiprobe_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN probing the query's ``n_probe`` nearest cells — the
+    standard recall/cost knob (n_probe=1 ≡ ivf_topk; n_probe=n_cells ≡
+    brute force). The probe-cell list is driver-side constant folding
+    of the deterministic centroids against the fixed query vector, so
+    the filter is still a static IN over the cell column — partition
+    pruning applies when the index is laid out cell-partitioned."""
+    cents = ivf_centroids(n_cells, len(qvec))
+    v = as_double(vec_col)
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+
+    def best_cell(vec):
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        return F.aggregate(
+            idx,
+            F.struct(F.lit(-1).alias("cell"), F.lit(float("-inf")).alias("score")),
+            lambda acc, i: F.when(
+                dot(F.element_at(cent_arr, i + 1), vec) > acc["score"],
+                F.struct(
+                    i.cast("int").alias("cell"),
+                    dot(F.element_at(cent_arr, i + 1), vec).alias("score"),
+                ),
+            ).otherwise(acc),
+        )["cell"]
+
+    qcells = sorted(
+        range(n_cells),
+        key=lambda c: (-sum(x * y for x, y in zip(cents[c], qvec)), c),
+    )[:n_probe]
+    q = F.array(*[F.lit(x) for x in qvec])
+    assigned = df.select(F.col(id_col), v.alias("v"), best_cell(v).alias("cell"))
+    probe = assigned.filter(F.col("cell").isin(qcells))
+    scored = probe.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cosine(F.col("v"), q).cast("decimal(25,6)"), 6).cast("double").alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -29,6 +29,7 @@ from ..llm.minhash import minhash_near_dups, shingles
 from ..llm.simhash import simhash_near_dups
 from ..llm.similarity import (
     brute_force_topk,
+    ivf_multiprobe_topk,
     ivf_topk,
     knn_join_blocked,
     query_vector,
@@ -524,7 +525,9 @@ def _sql_cos(vec_expr: str, q_expr: str) -> str:
     )
 
 
-def _ivf_probe_sql(n_cells: int = 8, dim: int = 64, k: int = 10) -> str:
+def _ivf_probe_sql(
+    n_cells: int = 8, dim: int = 64, k: int = 10, n_probe: int = 1
+) -> str:
     """Oracle for the IVF probe: the pseudo-centroids are deterministic
     rational constants, so the oracle replays the exact same cell
     assignment (argmax of dot vs each centroid, first-max-wins like the
@@ -535,7 +538,10 @@ def _ivf_probe_sql(n_cells: int = 8, dim: int = 64, k: int = 10) -> str:
 
     cents = ivf_centroids(n_cells, dim)
     qvec = query_vector(dim)
-    qcell = max(range(n_cells), key=lambda c: sum(x * y for x, y in zip(cents[c], qvec)))
+    qcells = sorted(
+        range(n_cells),
+        key=lambda c: (-sum(x * y for x, y in zip(cents[c], qvec)), c),
+    )[:n_probe]
 
     def lit(vec: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in vec) + "]"
@@ -560,7 +566,7 @@ a AS (SELECT vec_id, v,
 SELECT vec_id, CAST(cell AS INTEGER) AS cell,
        CAST(ROUND(CAST({_sql_cos('v', lit(qvec))} AS DECIMAL(25,6)), 6) AS DOUBLE)
          AS cos_sim
-FROM a WHERE cell = {qcell}
+FROM a WHERE cell IN ({", ".join(str(c) for c in qcells)})
 ORDER BY cos_sim DESC, vec_id LIMIT {k}
 """
 
@@ -672,6 +678,19 @@ def dedup_semantic_cluster(spark: SparkSession, d: str) -> DataFrame:
     return e.select("vec_id").join(
         cc, F.col("vec_id") == cc.node, "left"
     ).select("vec_id", F.coalesce("component", "vec_id").alias("component"))
+
+
+@_op("sim_ivf_multiprobe_topk", _ivf_probe_sql(n_probe=2))
+def sim_ivf_multiprobe_topk(spark: SparkSession, d: str) -> DataFrame:
+    """IVF ANN probing the 2 nearest centroid cells [EXT: the n_probe
+    recall/cost knob every IVF deployment tunes — measured against
+    n_probe=1 by sim_ann_recall_eval's harness]. The probe-cell list
+    is constant-folded on the driver (deterministic centroids x fixed
+    query), so the plan is a static IN filter over the cell column —
+    partition pruning applies when the index is cell-partitioned
+    (sim_ivf_index_partitioned)."""
+    e = t(spark, d, "embeddings")
+    return ivf_multiprobe_topk(e, query_vector(64), k=10, n_cells=8, n_probe=2)
 
 
 @_op("sim_ivf_topk", _ivf_probe_sql())

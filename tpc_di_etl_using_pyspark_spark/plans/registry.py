@@ -42,6 +42,7 @@ _PRIORITY = [
     "pipeline_incremental_dedup",
     "pipeline_pretrain_e2e",
     "sim_ann_recall_eval",
+    "sim_ivf_multiprobe_topk",
     "win_time_weighted_avg",
     # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
