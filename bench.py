@@ -27,7 +27,8 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # balance, vector top-k, trade-stream holdings, iterative connected
 # components, end-to-end corpus curation, FINWIRE SCD2 warehouse build,
 # hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine,
-# end-to-end multi-batch warehouse program).
+# end-to-end multi-batch warehouse program, end-to-end pretraining
+# corpus build).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -48,6 +49,7 @@ HEADLINE = [
     "pipeline_incremental_dedup",
     "vec_kmeans_refine",
     "tpcdi_batch_e2e",
+    "pipeline_pretrain_e2e",
 ]
 
 RUNS = 3

@@ -2876,6 +2876,12 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "lang")
     )
+    # NOT cached, deliberately: the gated+deduped corpus is consumed by
+    # three branches, but it is one narrow scan + one window — measured
+    # 4.1 s uncached vs 6.3 s with a cache() boundary at sf0.1 (the
+    # eager materialization breaks branch pipelining for a relation
+    # cheaper to recompute; contrast tpcdi_batch_e2e, where the phase
+    # outputs ARE windows over multi-join dataflows and caching wins)
     corpus = exact.filter(F.col("source") != "src0")
     nd_pairs = minhash_near_dups(
         corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
