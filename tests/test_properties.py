@@ -133,3 +133,62 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+_docs = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny vocab → dense Jaccard ties
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(_docs)
+def test_jaccard_verify_equals_bruteforce_with_all_pairs(spark, texts):
+    """jaccard_verify fed EVERY pair must reproduce the brute-force
+    exact Jaccard≥t set — this is what makes the size-ratio prefilter
+    lossless by construction, and it must hold on degenerate shapes
+    the fixtures don't have (empty-ish docs, identical docs, single
+    shared word, whitespace runs)."""
+    from tpc_di_etl_using_pyspark_spark.llm.minhash import (
+        jaccard_verify,
+        shingles,
+    )
+
+    rows = [(i, t if t.strip() else "x") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df, "doc_id", "text", k=2)
+    ids = [r[0] for r in rows]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verify(all_pairs, sh, "doc_id", 0.5).collect()
+    }
+
+    # reference: python brute force with the same shingling
+    import re
+
+    def sh_set(t):
+        words = re.split(r"\s+", t.lower())
+        n = max(len(words) - 1, 1)
+        return {" ".join(words[i : i + 2]) for i in range(n)}
+
+    expect = {}
+    by_id = {i: sh_set(t) for i, t in rows}
+    for a in ids:
+        for b in ids:
+            if a < b:
+                inter = len(by_id[a] & by_id[b])
+                union = len(by_id[a] | by_id[b])
+                j = inter / union if union else 0.0
+                if j >= 0.5:
+                    expect[(a, b)] = j
+    assert set(got) == set(expect), (set(got) ^ set(expect), rows)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9

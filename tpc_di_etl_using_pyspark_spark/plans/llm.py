@@ -772,6 +772,53 @@ def multimodal_binary_features(spark: SparkSession, d: str) -> DataFrame:
     return doc.mapInPandas(extract, schema=_MM_SCHEMA)
 
 
+@_op(
+    "multimodal_dedup_sha",
+    """WITH h AS (SELECT doc_id, sha256(text) AS content_sha,
+                    strlen(text) AS n_bytes
+             FROM documents),
+       r AS (SELECT doc_id, content_sha, n_bytes,
+                    ROW_NUMBER() OVER (PARTITION BY content_sha
+                                       ORDER BY doc_id) AS rn,
+                    COUNT(*) OVER (PARTITION BY content_sha) AS n_copies
+             FROM h)
+       SELECT doc_id, content_sha, n_bytes,
+              CAST(n_copies AS BIGINT) AS n_copies
+       FROM r WHERE rn = 1""",
+)
+def multimodal_dedup_sha(spark: SparkSession, d: str) -> DataFrame:
+    """Content-addressable exact dedup over an opaque BINARY column
+    [EXT: the first stage of every multimodal ingest — identical
+    image/audio payloads collapse to one copy before any decode]:
+    sha2 digest per blob, keep the lowest id per digest, count copies.
+    Digesting happens where the bytes live (no normalization pass
+    ships the blobs anywhere); the only shuffle carries (id, 64-char
+    digest, length) — never the payload. The blob is the utf-8
+    encoding of the text column (the repo's standing stand-in for
+    binary media; the plumbing — binary column in, digest dedup out —
+    is the real surface)."""
+    doc = t(spark, d, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    h = doc.select(
+        "doc_id",
+        F.sha2("content", 256).alias("content_sha"),
+        F.octet_length("content").alias("n_bytes"),
+    )
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("content_sha")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "content_sha",
+            "n_bytes",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
 _FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -43,6 +43,7 @@ _PRIORITY = [
     "pipeline_pretrain_e2e",
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
+    "multimodal_dedup_sha",
     "win_time_weighted_avg",
     # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
