@@ -392,3 +392,29 @@ def test_kmeans_assignment_is_single_vecid_shuffle(spark, sf_dir):
     import re
 
     assert not re.search(r"hashpartitioning\(vec_id#\d+L?, cell", plan)
+
+
+def test_pyds_sink_manifest_is_commit_point(spark, sf_dir):
+    """The jsonl_manifest sink's manifest must account for every shard
+    row and be published only at commit (shards listed = shards on
+    disk; totals = relation count)."""
+    import glob
+    import json
+    import os
+
+    from tpc_di_etl_using_pyspark_spark.plans.core_scans import (
+        _scratch,
+        sink_python_datasource,
+    )
+
+    df = sink_python_datasource(spark, sf_dir)
+    n = df.count()
+    path = _scratch(sf_dir, "jsonl_manifest_sink")
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["n_total"] == n
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "shard-*"))
+    )
+    assert [s["shard"] for s in man["shards"]] == on_disk
+    assert sum(s["n_rows"] for s in man["shards"]) == n

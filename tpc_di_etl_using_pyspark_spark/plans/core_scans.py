@@ -564,3 +564,45 @@ def scan_recursive_glob(spark: SparkSession, d: str) -> DataFrame:
         f"{base}/batch=2/shard=b"
     )
     return spark.read.option("recursiveFileLookup", "true").parquet(base)
+
+
+@_op(
+    "sink_python_datasource",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+       FROM orders WHERE o_orderkey % 7 = 0""",
+)
+def sink_python_datasource(spark: SparkSession, d: str) -> DataFrame:
+    """User-defined Python DataSource WRITER (Spark 4 connector API,
+    sources/pyds_jsonl_sink.py): an orders slice written through
+    ``df.write.format("jsonl_manifest")`` — per-partition shards on
+    executors, per-task WriterCommitMessages, manifest published
+    atomically at commit — then read back via spark.read.json with an
+    explicit schema and verified against the manifest row count. The
+    write-side complement of scan_python_datasource's reader; doubles
+    survive the JSON hop exactly (shortest-roundtrip repr both ways).
+    """
+    import json as _json
+    import shutil as _shutil
+
+    from ..sources.pyds_jsonl_sink import JsonlManifestDataSource
+
+    path = _scratch(d, "jsonl_manifest_sink")
+    _shutil.rmtree(path, ignore_errors=True)
+    sel = (
+        t(spark, d, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    spark.dataSource.register(JsonlManifestDataSource)
+    sel.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    with open(f"{path}/_MANIFEST.json", encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(f"{path}/shard-*.jsonl")
+    # the manifest is the commit point: a partial write would show here
+    if manifest["n_total"] != back.count():
+        raise ValueError(
+            f"manifest/readback mismatch: {manifest['n_total']} vs read"
+        )
+    return back

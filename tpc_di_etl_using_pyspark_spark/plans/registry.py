@@ -61,6 +61,7 @@ _PRIORITY = [
     "udtf_sql_table_fn",
     "udtf_python_lateral",
     "scan_python_datasource",
+    "sink_python_datasource",
     "stream_transform_with_state",
     "multimodal_image_resize",
     "join_dpp_partitioned",
