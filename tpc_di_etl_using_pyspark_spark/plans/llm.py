@@ -2954,3 +2954,89 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
     return survivors.join(contam, "doc_id", "left_anti").select(
         "doc_id", "n_words", _split_label(F.col("doc_id")).alias("split")
     )
+
+
+@_op(
+    "graph_label_propagation",
+    """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+edges0 AS (SELECT id AS src, ((id * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
+           FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) u),
+e0 AS (SELECT src, dst FROM edges0 JOIN nodes ON dst = id WHERE src <> dst),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+l0 AS (SELECT id, id % 10 AS lbl FROM nodes),
+c1 AS (SELECT e.dst AS id, l0.lbl AS lbl, COUNT(*) AS c
+       FROM e JOIN l0 ON l0.id = e.src GROUP BY 1, 2),
+b1 AS (SELECT id, lbl,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+       FROM c1),
+l1 AS (SELECT nodes.id, COALESCE(w.lbl, l0.lbl) AS lbl
+       FROM nodes JOIN l0 ON l0.id = nodes.id
+       LEFT JOIN (SELECT id, lbl FROM b1 WHERE rn = 1) w ON w.id = nodes.id),
+c2 AS (SELECT e.dst AS id, l1.lbl AS lbl, COUNT(*) AS c
+       FROM e JOIN l1 ON l1.id = e.src GROUP BY 1, 2),
+b2 AS (SELECT id, lbl,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+       FROM c2),
+l2 AS (SELECT nodes.id, COALESCE(w.lbl, l1.lbl) AS lbl
+       FROM nodes JOIN l1 ON l1.id = nodes.id
+       LEFT JOIN (SELECT id, lbl FROM b2 WHERE rn = 1) w ON w.id = nodes.id)
+SELECT id AS c_custkey, CAST(lbl AS BIGINT) AS community FROM l2""",
+)
+def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
+    """Label propagation (2 synchronous supersteps) over the same
+    deterministic 3-out graph as graph_pagerank, undirected [EXT:
+    community detection — iterative-algorithm exemplar #3 beside
+    connected components and PageRank]. Init label = id % 10; each
+    superstep every node adopts its neighbors' modal label (tie →
+    smallest label; isolated nodes keep theirs). The update is a
+    (node, label) counted aggregation + per-node window argmax — both
+    deterministic integers, so the unrolled SQL oracle replays the
+    fixpoint exactly. Per superstep: one keyed shuffle for the count,
+    one for the argmax window, one node-keyed join — linear in edges
+    at any scale (checkpoint per superstep at high iteration counts,
+    as llm/components.py does)."""
+    cust = t(spark, d, "customer")
+    nodes = cust.select(F.col("c_custkey").alias("id"))
+    cnt = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    edges0 = (
+        nodes.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
+        )
+    )
+    e0 = (
+        edges0.join(nodes.select(F.col("id").alias("dst")), "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    def superstep(lbls: DataFrame) -> DataFrame:
+        c = (
+            e.join(lbls.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(), "lbl")
+        win = (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        return (
+            nodes.join(lbls, "id")
+            .join(win, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+
+    l0 = nodes.select("id", (F.col("id") % 10).alias("lbl"))
+    l2 = superstep(superstep(l0))
+    return l2.select(
+        F.col("id").alias("c_custkey"), F.col("lbl").cast("bigint").alias("community")
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
     "multimodal_dedup_sha",
+    "graph_label_propagation",
     "win_time_weighted_avg",
     # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
