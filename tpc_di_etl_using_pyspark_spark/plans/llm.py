@@ -2930,8 +2930,14 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
     # cheaper to recompute; contrast tpcdi_batch_e2e, where the phase
     # outputs ARE windows over multi-join dataflows and caching wins)
     corpus = exact.filter(F.col("source") != "src0")
+    # checkpoint=False for the same reason: the gated corpus is ~1/5 of
+    # the table, so recomputing its shingles lazily beats an eager
+    # cache materialization (measured ~3.5 s vs 4.2-6.4 s at sf0.1);
+    # standalone dedup_minhash_lsh keeps the cache — there the shingle
+    # relation covers the FULL corpus and feeds two heavy passes
     nd_pairs = minhash_near_dups(
-        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5,
+        checkpoint=False,
     )
     nd_drop = nd_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = corpus.join(nd_drop, "doc_id", "left_anti")
