@@ -3046,3 +3046,97 @@ def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
     return l2.select(
         F.col("id").alias("c_custkey"), F.col("lbl").cast("bigint").alias("community")
     )
+
+
+_MM_E2E_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+
+@_op(
+    "pipeline_multimodal_e2e",
+    """WITH h AS (SELECT doc_id, sha256(text) AS content_sha,
+                    strlen(text) AS n_bytes
+             FROM documents),
+       kept AS (SELECT doc_id, n_bytes FROM (
+           SELECT doc_id, n_bytes,
+                  ROW_NUMBER() OVER (PARTITION BY content_sha
+                                     ORDER BY doc_id) AS rn
+           FROM h) WHERE rn = 1),
+       g AS (SELECT doc_id, n_bytes,
+                    n_bytes % 256 + 1 AS src_w,
+                    (n_bytes // 256) % 256 + 1 AS src_h
+             FROM kept),
+       r AS (SELECT doc_id, n_bytes,
+                    CASE WHEN src_w >= src_h THEN 64
+                         ELSE CAST(src_w * 64 // src_h AS INTEGER) END AS dst_w,
+                    CASE WHEN src_w >= src_h
+                         THEN CAST(src_h * 64 // src_w AS INTEGER)
+                         ELSE 64 END AS dst_h
+             FROM g)
+       SELECT r.doc_id, r.n_bytes, r.dst_w, r.dst_h,
+              sha256(CAST(r.doc_id AS VARCHAR) || 'x' ||
+                     CAST(r.dst_w AS VARCHAR) || 'x' ||
+                     CAST(r.dst_h AS VARCHAR)) AS resized_sha,
+              e.label
+       FROM r JOIN embeddings e ON e.vec_id = r.doc_id""",
+)
+def pipeline_multimodal_e2e(spark: SparkSession, d: str) -> DataFrame:
+    """The multimodal ingest composition in one dataflow [EXT: what an
+    image/audio corpus build actually runs]: content-addressable exact
+    dedup of the opaque binary payloads (digest where the bytes live,
+    keep lowest id) → Arrow-batched decode/resize over the survivors
+    only (mapInPandas; deterministic fake decode — geometry from byte
+    length — with every real engine surface: binary in, partition-
+    parallel Python, typed Arrow batches out) → equi-join to the
+    vector-side metadata (label). Deduping BEFORE the Python stage is
+    the load-bearing order at 100 TB: the expensive per-blob work runs
+    once per distinct payload, and only (id, digest, length) ever
+    shuffles — never the blob."""
+    doc = t(spark, d, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    kept = (
+        doc.select("doc_id", "content", F.sha2("content", 256).alias("content_sha"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].map(len).astype("int64")
+            src_w = (n % 256 + 1).astype("int64")
+            src_h = ((n // 256) % 256 + 1).astype("int64")
+            wide = src_w >= src_h
+            dst_w = (src_w * 64 // src_h).where(~wide, 64).astype("int32")
+            dst_h = (src_h * 64 // src_w).where(wide, 64).astype("int32")
+            key = (
+                pdf["doc_id"].astype(str)
+                + "x" + pd.Series(dst_w).astype(str)
+                + "x" + pd.Series(dst_h).astype(str)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "dst_w": dst_w,
+                    "dst_h": dst_h,
+                    "resized_sha": key.map(
+                        lambda s: hashlib.sha256(s.encode()).hexdigest()
+                    ),
+                }
+            )
+
+    feats = kept.mapInPandas(resize, schema=_MM_E2E_SCHEMA)
+    emb = t(spark, d, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return feats.join(emb, "doc_id")

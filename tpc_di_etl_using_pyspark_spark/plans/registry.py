@@ -45,6 +45,7 @@ _PRIORITY = [
     "sim_ivf_multiprobe_topk",
     "multimodal_dedup_sha",
     "graph_label_propagation",
+    "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     # TPC-DI remainder, never driver-checked
     "tpcdi_cdc_apply",
