@@ -62,6 +62,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Global JIT warm-up pass (round 3 protocol addition): one untimed
+    # run of every headline query before any timing. Without it the
+    # first queries in the list pay whole-session JIT compilation that
+    # later queries get for free — measured as a spurious +27% on
+    # join_broadcast at position 2 in round 2 (BASELINE.md round-3
+    # row); per-query warm-ups alone don't remove the position effect.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

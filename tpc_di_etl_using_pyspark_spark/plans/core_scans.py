@@ -33,8 +33,12 @@ def _op(name, oracle=None):
 
 
 def _scratch(d: str, op: str) -> str:
+    # pid-scoped: two engine processes on one machine (e.g. a bench run
+    # next to a pytest run) must not overwrite each other's write-then-
+    # read-back fixtures mid-read. On a cluster this path would be a
+    # per-application object-store prefix; the pid plays that role here.
     tag = os.path.basename(os.path.normpath(d)) or "sf"
-    path = f"/tmp/spark_graft_scratch/{tag}/{op}"
+    path = f"/tmp/spark_graft_scratch/p{os.getpid()}/{tag}/{op}"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
 

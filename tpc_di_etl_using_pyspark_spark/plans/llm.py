@@ -1159,7 +1159,9 @@ def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
         )["cell"]
 
     tag = _os.path.basename(_os.path.normpath(d)) or "sf"
-    path = f"/tmp/spark_graft_scratch/{tag}/ivf_index"
+    # pid-scoped like plans/core_scans._scratch: concurrent engine
+    # processes must not clobber each other's index between write & probe
+    path = f"/tmp/spark_graft_scratch/p{_os.getpid()}/{tag}/ivf_index"
     _os.makedirs(_os.path.dirname(path), exist_ok=True)
     (
         e.select("vec_id", v.alias("v"), best_cell(v).alias("cell"))
