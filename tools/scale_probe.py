@@ -75,6 +75,12 @@ PROBE = [
     "win_time_weighted_avg",
     "sim_ann_recall_eval",
     "pipeline_pretrain_e2e",
+    "tpcdi_batch_e2e",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "multimodal_dedup_sha",
+    "pipeline_multimodal_e2e",
+    "sim_ivf_multiprobe_topk",
 ]
 
 
