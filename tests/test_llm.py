@@ -155,19 +155,14 @@ def test_pagerank_sane(spark, sf_dir):
 
 
 def test_candidate_bucket_caps_idle_on_fixture(spark, sf_dir):
-    """The occupancy caps in simhash/rp-LSH candidate generation must
+    """Occupancy caps in candidate generators certified against the
+    brute-force oracle (minhash banding; simhash's cap is exempt — its
+    oracle replays the cap, see plans/llm.py _SIMHASH_MIRROR_SQL) must
     be INERT on the certification fixtures (max bucket << 200), so the
     capped Spark plans stay equal to their uncapped exact oracles.
     This is the guard that catches fixture drift before the driver
     does."""
-    from tpc_di_etl_using_pyspark_spark.llm.simhash import _chunked
-
     doc = t(spark, sf_dir, "documents")
-    ch = _chunked(simhash(doc, "doc_id", "text"), "doc_id", 8)
-    max_occ = (
-        ch.groupBy("chunk_idx", "chunk").count().agg(F.max("count")).first()[0]
-    )
-    assert max_occ <= 150, f"simhash slice bucket {max_occ} near cap 200"
     # minhash band buckets guard BOTH dedup_minhash_lsh and the
     # corpus-side cap in pipeline_incremental_dedup
     from tpc_di_etl_using_pyspark_spark.llm.minhash import (
@@ -185,6 +180,47 @@ def test_candidate_bucket_caps_idle_on_fixture(spark, sf_dir):
         bk.groupBy("band_idx", "band_key").count().agg(F.max("count")).first()[0]
     )
     assert mh_occ <= 150, f"minhash band bucket {mh_occ} near cap 200"
+
+
+def test_simhash_mirror_oracle_with_cap_active(spark, sf_dir):
+    """dedup_simhash's oracle replays the WHOLE capped pipeline, so
+    Spark must equal DuckDB even on a corpus where the occupancy cap
+    actually drops buckets — the case a cap-inert fixture never
+    exercises (this divergence was only caught at sf0.1 in round 3)."""
+    import duckdb
+    import pandas as pd
+
+    from tpc_di_etl_using_pyspark_spark.plans.llm import _SIMHASH_MIRROR_SQL
+    from tpc_di_etl_using_pyspark_spark.llm.minhash import jaccard_verify, shingles
+    from tpc_di_etl_using_pyspark_spark.llm.simhash import simhash_candidate_pairs
+
+    base = (
+        t(spark, sf_dir, "documents").select("doc_id", "text").limit(40).toPandas()
+    )
+    # 250 clones of one text (> cap 200): every slice bucket they share
+    # is overfull and must be dropped identically by both engines
+    clones = pd.DataFrame(
+        {"doc_id": [10**6 + i for i in range(250)], "text": [base.text.iloc[0]] * 250}
+    )
+    pdf = pd.concat([base, clones], ignore_index=True)
+
+    doc = spark.createDataFrame(pdf)
+    cand = simhash_candidate_pairs(doc, "doc_id", "text")
+    sh = shingles(doc, "doc_id", "text", k=3)
+    got = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in jaccard_verify(cand, sh, "doc_id", threshold=0.5).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (a, b, round(float(j), 6)) for a, b, j in con.sql(_SIMHASH_MIRROR_SQL).fetchall()
+    )
+    assert got == want
+    # sanity: the cap actually fired (clone pairs were suppressed;
+    # uncapped, 250 clones alone would emit 250*249/2 ≈ 31k pairs)
+    assert len(want) < 5_000
 
 
 def test_simhash_cap_bounds_boilerplate_corpus(spark, sf_dir):

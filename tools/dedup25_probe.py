@@ -109,8 +109,8 @@ def bucket_stats(spark) -> dict[str, dict]:
         mh_bk, ["band_idx", "band_key"]
     )
 
-    ch = _chunked(simhash(doc, "doc_id", "text"), "doc_id", 8)
-    out["simhash slices (8-bit)"] = _occupancy(ch, ["chunk_idx", "chunk"])
+    ch = _chunked(simhash(doc, "doc_id", "text"), "doc_id", 15)
+    out["simhash slices (15-bit)"] = _occupancy(ch, ["chunk_idx", "chunk"])
 
     # rp-LSH band keys — same construction as sim_rp_lsh_cosine
     comps = emb.select(

@@ -439,21 +439,86 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
-@_op("dedup_simhash", _NEARDUP_EXACT_SQL)
+# Full-pipeline mirror oracle for dedup_simhash: DuckDB replays the
+# 60-bit md5-derived fingerprints, the 15-bit slicing, the bucket-
+# occupancy cap, AND the candidate self-join, then verifies exact
+# 3-gram Jaccard ≥ 0.5 on those candidates — certifying the capped
+# candidate generator's recall as SPECIFIED at any scale. (The
+# previous oracle was the exact brute-force answer, which silently
+# assumed full candidate recall; at sf0.1 that assumption broke two
+# ways — overfull 8-bit slices dropped 5 true Hamming-≤3 pairs, and 2
+# high-Jaccard pairs sat at Hamming 39/49, outside any slice radius.)
+_SIMHASH_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) AS b{i}"
+    for i in range(60)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60)
+)
+_SIMHASH_MIRROR_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+h AS (SELECT doc_id, cnt,
+             CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM wc),
+bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM bits),
+slices AS (SELECT doc_id, simhash, chunk_idx,
+                  ((simhash >> (chunk_idx * 15)) & 32767) AS chunk
+           FROM fp, (SELECT unnest(range(4)) AS chunk_idx)),
+capped AS (SELECT doc_id, simhash, chunk_idx, chunk
+           FROM (SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS bn
+                 FROM slices)
+           WHERE bn <= 200),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM capped a
+         JOIN capped b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                      AND a.doc_id < b.doc_id
+                      AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+wg AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM wg)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       {sql_dround('n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)', 6)} AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@_op("dedup_simhash", _SIMHASH_MIRROR_SQL)
 def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, 8-bit chunk blocking
-    (complete for Hamming ≤ 7), then exact 3-gram Jaccard ≥ 0.5 on the
-    candidates only. Same verified-candidates contract as
-    dedup_minhash_lsh, different (cheaper, denser) candidate generator."""
+    """SimHash near-dup pairs: 60-bit md5-derived fingerprints, 15-bit
+    slice blocking (complete for Hamming ≤ 3 among un-capped slices),
+    a Hamming ≤ 6 fingerprint cut inside the slice join, then exact
+    3-gram Jaccard ≥ 0.5 on the surviving candidates. Unlike
+    dedup_minhash_lsh (whose banding empirically reaches full recall,
+    so it is certified against the brute-force oracle), the simhash
+    oracle REPLAYS the whole capped+cut candidate pipeline in SQL —
+    the generator's recall is certified as specified, at any scale."""
     from ..llm.minhash import jaccard_verify, shingles
     from ..llm.simhash import simhash_candidate_pairs
 
     doc = t(spark, d, "documents")
-    cand = simhash_candidate_pairs(doc, "doc_id", "text", chunk_bits=8)
+    # candidate relation replays cheaply off the localCheckpointed
+    # chunk slices, so prune_sets' second evaluation of it is a join
+    # replay, not a fingerprint recompute
+    cand = simhash_candidate_pairs(doc, "doc_id", "text")
     sh = shingles(doc, "doc_id", "text", k=3)  # jaccard_verify set-dedups
-    return jaccard_verify(cand, sh, "doc_id", threshold=0.5).select(
-        "doc_a", "doc_b", dround("jaccard", 6).alias("jaccard")
-    )
+    return jaccard_verify(
+        cand, sh, "doc_id", threshold=0.5, prune_sets=True
+    ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
 _NGRAM_SQL = """
