@@ -26,7 +26,6 @@ from pyspark.sql.types import (
 
 from ..llm.components import connected_components
 from ..llm.minhash import minhash_near_dups, shingles
-from ..llm.simhash import simhash_near_dups
 from ..llm.similarity import (
     brute_force_topk,
     ivf_multiprobe_topk,
