@@ -63,12 +63,21 @@ def main() -> None:
         sf_dir, args = args[0], args[1:]
     only = set(args) or None
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+    # Hostile-config knobs: the driver chooses its own session, so
+    # results must be identical under any parallelism / partition
+    # count / session timezone (order-independent aggregation is a
+    # core engine claim — exercise it, don't assume it).
+    master = os.environ.get("SPARK_GRAFT_SWEEP_MASTER", "local[8]")
+    parts = os.environ.get("SPARK_GRAFT_SWEEP_PARTITIONS", "8")
+    tz = os.environ.get("SPARK_GRAFT_SWEEP_TZ")
+    b = (
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
         .appName("parity-sweep")
-        .getOrCreate()
     )
+    if tz:
+        b = b.config("spark.sql.session.timeZone", tz)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -454,7 +454,10 @@ _SIMHASH_BITSUMS = ", ".join(
 _SIMHASH_FP = " + ".join(
     f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60)
 )
-_SIMHASH_MIRROR_SQL = f"""
+# Shared CTE scaffold: fingerprints → 15-bit slices → occupancy cap.
+# Used by BOTH simhash oracles (Jaccard-verified pairs and native
+# Hamming pairs) — one definition, zero drift between them.
+_SIMHASH_CTES = f"""
 WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
            FROM documents),
 wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
@@ -469,7 +472,9 @@ slices AS (SELECT doc_id, simhash, chunk_idx,
 capped AS (SELECT doc_id, simhash, chunk_idx, chunk
            FROM (SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS bn
                  FROM slices)
-           WHERE bn <= 200),
+           WHERE bn <= 200)"""
+
+_SIMHASH_MIRROR_SQL = f"""{_SIMHASH_CTES},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM capped a
          JOIN capped b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
@@ -518,6 +523,36 @@ def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
     return jaccard_verify(
         cand, sh, "doc_id", threshold=0.5, prune_sets=True
     ).select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_HAMMING_SQL = f"""{_SIMHASH_CTES}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM capped a
+JOIN capped b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_op("dedup_simhash_hamming", _SIMHASH_HAMMING_SQL)
+def dedup_simhash_hamming(spark: SparkSession, d: str) -> DataFrame:
+    """Native simhash semantics: (doc_a, doc_b, hamming) pairs within
+    Hamming distance 3 of the 60-bit fingerprint — fingerprint
+    distance IS the near-dup test, no content verify (the production
+    shape when re-reading documents is too expensive and fingerprint
+    agreement is the SLA, e.g. crawl-time URL-content screening).
+    Complete for Hamming ≤ 3 by pigeonhole over the 4×15-bit slices,
+    minus pairs whose every shared slice bucket exceeds the occupancy
+    cap — the oracle replays fingerprints, slices, cap, and the
+    distance cut, so that exact contract is certified at any scale
+    (same mirror scaffold as dedup_simhash)."""
+    from ..llm.simhash import simhash_near_dups
+
+    doc = t(spark, d, "documents")
+    return simhash_near_dups(
+        doc, "doc_id", "text", max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 _NGRAM_SQL = """

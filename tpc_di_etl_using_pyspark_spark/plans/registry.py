@@ -35,6 +35,7 @@ _PRIORITY = [
     # new or code-changed this round — need a (re)certification row
     "tpcdi_batch_e2e",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "sim_rp_lsh_cosine",
     "vec_kmeans_refine",
     "sample_negative_pairs",
