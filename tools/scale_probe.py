@@ -72,6 +72,7 @@ PROBE = [
     "events_active_users_rolling",
     "tpcdi_holdings_pnl",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "win_time_weighted_avg",
     "sim_ann_recall_eval",
     "pipeline_pretrain_e2e",
