@@ -77,6 +77,10 @@ def main() -> None:
     )
     if tz:
         b = b.config("spark.sql.session.timeZone", tz)
+    # arbitrary extra confs, ';'-separated k=v (e.g. AQE off)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_SWEEP_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
