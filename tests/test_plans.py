@@ -45,6 +45,17 @@ def test_temporal_joins_avoid_nested_loop(spark, sf_dir):
         assert "CartesianProduct" not in plan, op
 
 
+def test_simhash_candidate_joins_are_keyed(spark, sf_dir):
+    """Both simhash ops' pair searches must be equi-joins on the
+    (chunk_idx, chunk) slice key — never a cartesian/nested-loop —
+    and the Hamming cut must sit inside the join, not after a
+    pair-materializing shuffle."""
+    for op in ("dedup_simhash", "dedup_simhash_hamming"):
+        plan = _plan(all_queries()[op](spark, sf_dir))
+        assert "CartesianProduct" not in plan, op
+        assert "BroadcastNestedLoopJoin" not in plan, op
+
+
 def test_cosine_topk_has_no_shuffle(spark, sf_dir):
     plan = _plan(all_queries()["sim_cosine_topk"](spark, sf_dir))
     # brute-force top-k = scan → project → TakeOrderedAndProject; a
