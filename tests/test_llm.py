@@ -335,3 +335,100 @@ def test_ivf_multiprobe_dominates_single_probe(spark, sf_dir):
     assert len(two) == len(one)
     for a, b in zip(two, one):
         assert a >= b
+
+
+def test_substring_windows_fractions_and_cross_doc(spark, sf_dir):
+    """dup_frac in [0,1]; duplicated windows require >= 2 DISTINCT docs
+    (a doc repeating its own text must not self-flag), and the fixture's
+    near-dup docs must surface a non-zero duplicated population."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import dedup_substring_windows
+
+    out = dedup_substring_windows(spark, sf_dir)
+    rows = out.collect()
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
+    assert all(r.n_dup_windows <= r.n_windows for r in rows)
+    assert sum(r.n_dup_windows for r in rows) > 0, (
+        "fixture near-dups share 10-token windows; none flagged"
+    )
+    # per-doc coverage: one row per document
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+
+
+def test_keyword_topk_shape(spark, sf_dir):
+    """Exactly <= 3 keywords per doc, ranks are 1..k with no gaps."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import text_keyword_topk
+
+    out = text_keyword_topk(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rnk").alias("lo"),
+        F.max("rnk").alias("hi"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 3) | (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_snapshot_novelty_first_snapshot_is_all_novel(spark, sf_dir):
+    """src0 (the earliest snapshot) is 100% novel by construction;
+    every fraction is in (0, 1]."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import text_snapshot_novelty
+
+    rows = text_snapshot_novelty(spark, sf_dir).collect()
+    by_src = {r.src_num: r for r in rows}
+    assert by_src[0].novelty_frac == 1.0
+    assert all(0.0 < r.novelty_frac <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_grams for r in rows)
+
+
+def test_phash_neardup_finds_every_recrawl_copy(spark, sf_dir):
+    """Every re-crawled blob (doc_id % 10 == 0, id + 1M) is byte-identical
+    to its original, so the pair (x, x+1M) must appear at Hamming 0 —
+    unless its every slice bucket was capped, which the fixture doesn't
+    trigger (cap-idle asserted alongside)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import multimodal_phash_neardup
+
+    out = multimodal_phash_neardup(spark, sf_dir)
+    rows = out.collect()
+    doc = t(spark, sf_dir, "documents")
+    expected = {
+        (r.doc_id, r.doc_id + 1000000)
+        for r in doc.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    got_zero = {(r.doc_a, r.doc_b) for r in rows if r.hamming == 0}
+    assert expected <= got_zero
+    assert all(r.hamming <= 6 for r in rows)
+
+
+def test_cross_source_matrix_totals_match_pair_count(spark, sf_dir):
+    """The matrix is a partition of the verified near-dup pair set:
+    sum of n_pairs == count of minhash near-dup pairs, and the matrix
+    is upper-triangular (src_lo <= src_hi)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import dedup_cross_source_matrix
+
+    doc = t(spark, sf_dir, "documents")
+    n_pairs_direct = minhash_near_dups(
+        doc, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).count()
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs_direct
+    assert all(r.src_lo <= r.src_hi for r in rows)
+    assert all(0.5 <= r.avg_jaccard <= 1.0 for r in rows)
+
+
+def test_gopher_filter_rules_consistent(spark, sf_dir):
+    """passes <=> failed_rules empty; both populations non-trivial on
+    the fixture (thresholds are calibrated to exercise every rule)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import text_quality_gopher
+
+    rows = text_quality_gopher(spark, sf_dir).collect()
+    assert all((r.failed_rules == "") == r.passes for r in rows)
+    n_pass = sum(1 for r in rows if r.passes)
+    assert 0 < n_pass < len(rows)
+    names = {
+        n for r in rows if r.failed_rules for n in r.failed_rules.split(",")
+    }
+    assert names <= {"word_count", "mean_word_length", "repetition", "stopwords"}
+    assert "word_count" in names

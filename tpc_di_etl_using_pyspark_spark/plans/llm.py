@@ -3241,3 +3241,447 @@ def pipeline_multimodal_e2e(spark: SparkSession, d: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "label"
     )
     return feats.join(emb, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Round-3 extension batch: substring-window dedup signal, per-doc keyword
+# extraction, snapshot novelty, perceptual-hash multimodal near-dup,
+# cross-source near-dup matrix, Gopher-style composite quality filter.
+# --------------------------------------------------------------------------
+
+# Exact-substring duplication signal (the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" shape): overlapping
+# 10-token windows at stride 5, a window is boilerplate when it occurs
+# in >= 2 distinct docs. Both engines hash the joined window text with
+# md5 (the cross-engine hash, cf. llm/simhash.py) so the shuffle rows
+# carry a 60-bit key, never the window text.
+_SUBSTR_W = 10
+_SUBSTR_S = 5
+
+_SUBSTR_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+win AS (SELECT doc_id,
+               CAST(concat('0x', substr(md5(
+                 array_to_string(words[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15))
+                 AS BIGINT) AS wh
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(
+                       1, greatest(len(words) - {_SUBSTR_W - 1}, 1),
+                       {_SUBSTR_S})) AS i
+              FROM w)),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+j AS (SELECT win.doc_id, win.wh,
+             CASE WHEN dup.wh IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM win LEFT JOIN dup ON win.wh = dup.wh)
+SELECT doc_id, COUNT(*) AS n_windows,
+       SUM(is_dup) AS n_dup_windows,
+       {sql_dround('SUM(is_dup) / CAST(COUNT(*) AS DOUBLE)', 6)} AS dup_frac
+FROM j GROUP BY doc_id
+"""
+
+
+@_op("dedup_substring_windows", _SUBSTR_SQL)
+def dedup_substring_windows(spark: SparkSession, d: str) -> DataFrame:
+    """Per-doc exact-substring duplication fraction: overlapping
+    10-token windows (stride 5) hashed to 60 bits; a window is
+    duplicated when >= 2 distinct docs contain it; dup_frac = share of
+    a doc's windows that are duplicated [EXT: exact-substring dedup
+    signal, Lee et al. 2021 style]. Scale shape: explode ~len/stride
+    windows per doc -> one combinable groupBy on the 60-bit hash ->
+    hash-keyed join back -> per-doc agg. No quadratic stage; the
+    60-bit key keeps shuffle rows fixed-width (text never ships)."""
+    doc = t(spark, d, "documents")
+    wd = doc.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("words") - F.lit(_SUBSTR_W - 1), F.lit(1)),
+        F.lit(_SUBSTR_S),
+    )
+    win = wd.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        "words",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("words", F.col("i"), _SUBSTR_W))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("wh"),
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("is_dup"))
+    )
+    j = win.join(dup, "wh", "left").select(
+        "doc_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").alias("n_dup_windows"),
+        dround(
+            F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+_KEYWORD_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+dl AS (SELECT doc_id, COUNT(*) AS doclen FROM w GROUP BY doc_id),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfn FROM w GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.word,
+                  {sql_dround('(tf.cnt / dl.doclen) * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfn)', 6)}
+                    AS tfidf
+           FROM tf, n
+           JOIN dl ON tf.doc_id = dl.doc_id
+           JOIN dfreq ON tf.word = dfreq.word),
+r AS (SELECT doc_id, word, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rnk
+      FROM scored)
+SELECT doc_id, word, tfidf, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
+@_op("text_keyword_topk", _KEYWORD_SQL)
+def text_keyword_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document [EXT: per-doc keyword
+    extraction for corpus tagging/routing]. Ranking runs on the
+    6-dp-rounded score (the cross-engine-stable value) with the word
+    as total-order tiebreak. Scale: the per-doc window partitions on
+    doc_id — no global sort; the doc-frequency relation is unhinted
+    (10^8+ distinct tokens at corpus scale must not broadcast)."""
+    doc = t(spark, d, "documents")
+    w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfn"))
+    n = doc.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            dround(
+                (F.col("cnt") / F.col("doclen"))
+                * F.log(F.col("n_docs") / F.col("dfn")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH w AS (SELECT doc_id, source,
+                  CAST(substr(source, 4) AS INT) AS src_num,
+                  string_split(lower(text), ' ') AS words
+           FROM documents),
+g AS (SELECT DISTINCT src_num,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT src_num, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+firstseen AS (SELECT gram, MIN(src_num) AS first_src FROM g GROUP BY gram)
+SELECT g.src_num AS src_num,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN f.first_src = g.src_num THEN 1 ELSE 0 END) AS n_novel,
+       {sql_dround('SUM(CASE WHEN f.first_src = g.src_num THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)', 6)}
+         AS novelty_frac
+FROM g JOIN firstseen f ON f.gram = g.gram
+GROUP BY g.src_num
+"""
+
+
+@_op("text_snapshot_novelty", _NOVELTY_SQL)
+def text_snapshot_novelty(spark: SparkSession, d: str) -> DataFrame:
+    """Per-snapshot novelty: treating sources src0..srcN as ordered
+    crawl snapshots, the share of a snapshot's distinct 3-grams first
+    seen in that snapshot [EXT: cross-snapshot dedup planning — how
+    much of each new crawl is genuinely new text]. The snapshot index
+    is parsed numerically (src10 > src2 — lexicographic order is a
+    trap the fixture exercises). Scale shape: distinct (snapshot,
+    gram) -> min-by-gram (combinable) -> gram-keyed join back; no
+    pairwise snapshot comparison (N snapshots would be N^2 pairs)."""
+    doc = t(spark, d, "documents")
+    src_num = F.substring("source", 4, 10).cast("int").alias("src_num")
+    g = (
+        shingles(doc, "doc_id", "text", k=3)
+        .join(doc.select("doc_id", src_num), "doc_id")
+        .select("src_num", "shingle")
+        .distinct()
+    )
+    firstseen = g.groupBy("shingle").agg(F.min("src_num").alias("first_src"))
+    novel = F.when(F.col("first_src") == F.col("src_num"), 1).otherwise(0)
+    return (
+        g.join(firstseen, "shingle")
+        .groupBy("src_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            dround(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+# Perceptual-hash near-dup over opaque binary payloads. The "decode +
+# pHash" step is the deterministic stand-in this container allows
+# (image libs absent offline): a 60-bit hash of the payload bytes,
+# computed in a REAL Arrow-batched pandas UDF — the Spark plumbing
+# (binary column in, fixed-width fingerprint out, slice-blocked
+# Hamming join) is the production surface; swapping in a true DCT
+# pHash changes one lambda. md5 is the cross-engine hash, so the
+# oracle replays payload-hash, slicing, occupancy cap, and the
+# Hamming cut exactly (same mirror design as dedup_simhash).
+_PHASH_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0),
+fp AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS phash
+       FROM corpus),
+slices AS (SELECT doc_id, phash, chunk_idx,
+                  ((phash >> (chunk_idx * 15)) & 32767) AS chunk
+           FROM fp, (SELECT unnest(range(4)) AS chunk_idx)),
+capped AS (SELECT doc_id, phash, chunk_idx, chunk
+           FROM (SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS bn
+                 FROM slices)
+           WHERE bn <= 200)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM capped a
+JOIN capped b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
+@_op("multimodal_phash_neardup", _PHASH_SQL)
+def multimodal_phash_neardup(spark: SparkSession, d: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over an opaque BINARY column
+    [EXT: image near-dedup — the step after multimodal_dedup_sha's
+    exact pass]: per-blob 60-bit fingerprint from an Arrow-batched
+    pandas UDF (the decode+pHash stand-in — deterministic md5 of the
+    payload so the DuckDB oracle replays it), then the simhash slice
+    scaffold: 4x15-bit slices, occupancy cap 200, Hamming <= 6 pairs.
+    The corpus is documents ∪ a re-crawled 10% slice (the fixture has
+    no exact blob dups), so true pairs sit at Hamming 0. Scale: the
+    UDF maps partition-wise over Arrow batches (payload never
+    shuffles); the pair join ships only (id, 60-bit fp, slice)."""
+    from ..llm.simhash import _cap_chunk_buckets, _chunked, hamming
+    from ._util import _ensure_pkg_on_executors
+
+    _ensure_pkg_on_executors(spark)
+    doc = t(spark, d, "documents").select("doc_id", "text")
+    recrawl = doc.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = doc.unionByName(recrawl).select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+    @F.pandas_udf(LongType())
+    def phash(content: pd.Series) -> pd.Series:
+        # decode-and-hash stand-in: real pHash = decode -> grayscale ->
+        # DCT -> sign bits; offline stand-in = first 60 bits of md5 of
+        # the raw payload (deterministic, oracle-replayable)
+        return content.map(
+            lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16)
+        )
+
+    fp = corpus.select("doc_id", phash("content").alias("simhash"))
+    chunks = _cap_chunk_buckets(_chunked(fp, "doc_id", 15), 200)
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ph_a"),
+        "chunk_idx", "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("ph_b"),
+        "chunk_idx", "chunk",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            hamming(F.col("ph_a"), F.col("ph_b")).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+_XSOURCE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT doc_a, doc_b,
+                 n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+srcd AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num FROM documents)
+SELECT LEAST(xa.src_num, xb.src_num) AS src_lo,
+       GREATEST(xa.src_num, xb.src_num) AS src_hi,
+       COUNT(*) AS n_pairs,
+       {sql_davg('jaccard', 'avg_jaccard')}
+FROM pairs
+JOIN srcd xa ON xa.doc_id = pairs.doc_a
+JOIN srcd xb ON xb.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""
+
+
+@_op("dedup_cross_source_matrix", _XSOURCE_SQL)
+def dedup_cross_source_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """Near-dup overlap matrix by source pair [EXT: which crawl
+    snapshots/feeds duplicate each other — the planning input for
+    source-level dedup ordering]: verified MinHash near-dup pairs
+    (Jaccard >= 0.5, same generator as dedup_minhash_lsh) aggregated
+    to (source_lo, source_hi) with pair counts and exact-decimal mean
+    Jaccard. Source index parsed numerically; pair normalized by
+    LEAST/GREATEST so the matrix is upper-triangular. Scale: adds two
+    id-keyed joins against a 2-column source map + one combinable
+    groupBy on top of the bounded LSH pipeline."""
+    doc = t(spark, d, "documents")
+    pairs = minhash_near_dups(
+        doc, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    srcd = doc.select(
+        "doc_id", F.substring("source", 4, 10).cast("int").alias("src_num")
+    )
+    xa = srcd.select(F.col("doc_id").alias("doc_a"), F.col("src_num").alias("sa"))
+    xb = srcd.select(F.col("doc_id").alias("doc_b"), F.col("src_num").alias("sb"))
+    return (
+        pairs.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg("jaccard", "avg_jaccard"),
+        )
+    )
+
+
+# Gopher-style composite quality rules (Rae et al. 2021 shape): each
+# rule named, each failure recorded; thresholds calibrated so the
+# fixture exercises both branches of every rule (word count 10-99,
+# mean word length 3.9-5.4, max-token ratio .05-.30, stopword count
+# 0+). concat_ws skips NULLs in BOTH engines, so failed_rules is a
+# stable comma-joined string without array-hash concerns.
+_GOPHER_SQL = """
+WITH w AS (SELECT doc_id, word, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+           GROUP BY doc_id, word),
+m AS (SELECT doc_id,
+             SUM(cnt) AS n_words,
+             SUM(length(word) * cnt) / CAST(SUM(cnt) AS DOUBLE) AS mean_word_len,
+             MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS max_token_ratio,
+             SUM(CASE WHEN word IN ('the','a','of','to','and','in')
+                      THEN cnt ELSE 0 END) AS n_stopwords
+      FROM w GROUP BY doc_id)
+SELECT doc_id, n_words,
+       concat_ws(',',
+         CASE WHEN n_words < 25 OR n_words > 80 THEN 'word_count' END,
+         CASE WHEN mean_word_len < 4.2 OR mean_word_len > 5.2
+              THEN 'mean_word_length' END,
+         CASE WHEN max_token_ratio > 0.125 THEN 'repetition' END,
+         CASE WHEN n_stopwords < 2 THEN 'stopwords' END) AS failed_rules,
+       (n_words BETWEEN 25 AND 80)
+         AND mean_word_len BETWEEN 4.2 AND 5.2
+         AND max_token_ratio <= 0.125
+         AND n_stopwords >= 2 AS passes
+FROM m
+"""
+
+
+@_op("text_quality_gopher", _GOPHER_SQL)
+def text_quality_gopher(spark: SparkSession, d: str) -> DataFrame:
+    """Gopher-style composite quality filter [EXT: named-rule corpus
+    gating — word-count bounds, mean word length band, max-token
+    repetition ratio, stopword floor] returning per-doc pass/fail plus
+    the comma-joined list of failed rules (concat_ws skips NULLs
+    identically in both engines). All four signals come out of ONE
+    (doc, word) aggregation — integer sums, so the derived doubles are
+    bit-identical across engines and partitionings; one combinable
+    shuffle at any corpus size."""
+    doc = t(spark, d, "documents")
+    w = (
+        doc.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = w.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        (
+            F.sum(F.length("word") * F.col("cnt"))
+            / F.sum("cnt").cast("double")
+        ).alias("mean_word_len"),
+        (F.max("cnt") / F.sum("cnt").cast("double")).alias("max_token_ratio"),
+        F.sum(
+            F.when(
+                F.col("word").isin("the", "a", "of", "to", "and", "in"),
+                F.col("cnt"),
+            ).otherwise(0)
+        ).alias("n_stopwords"),
+    )
+    fail = lambda cond, name: F.when(cond, F.lit(name))  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.concat_ws(
+            ",",
+            fail(
+                (F.col("n_words") < 25) | (F.col("n_words") > 80), "word_count"
+            ),
+            fail(
+                (F.col("mean_word_len") < 4.2) | (F.col("mean_word_len") > 5.2),
+                "mean_word_length",
+            ),
+            fail(F.col("max_token_ratio") > 0.125, "repetition"),
+            fail(F.col("n_stopwords") < 2, "stopwords"),
+        ).alias("failed_rules"),
+        (
+            F.col("n_words").between(25, 80)
+            & F.col("mean_word_len").between(4.2, 5.2)
+            & (F.col("max_token_ratio") <= 0.125)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("passes"),
+    )

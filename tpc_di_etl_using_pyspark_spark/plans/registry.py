@@ -33,6 +33,12 @@ _MODULES = [
 _PRIORITY = [
     # --- round-3 certification window (first ~50) ---
     # new or code-changed this round — need a (re)certification row
+    "dedup_substring_windows",
+    "text_keyword_topk",
+    "text_snapshot_novelty",
+    "multimodal_phash_neardup",
+    "dedup_cross_source_matrix",
+    "text_quality_gopher",
     "tpcdi_batch_e2e",
     "dedup_simhash",
     "dedup_simhash_hamming",
