@@ -432,3 +432,72 @@ def test_gopher_filter_rules_consistent(spark, sf_dir):
     }
     assert names <= {"word_count", "mean_word_length", "repetition", "stopwords"}
     assert "word_count" in names
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunks tile each doc: idx contiguous from 0, consecutive full
+    chunks share exactly the 8-token overlap, and the union of
+    [start, start+n) intervals covers 1..len(words)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import text_chunk_overlap
+
+    out = text_chunk_overlap(spark, sf_dir)
+    doc = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("len")
+    )
+    per = (
+        out.groupBy("doc_id")
+        .agg(
+            F.min("chunk_idx").alias("lo"),
+            F.max("chunk_idx").alias("hi"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("chunk_idx") * 24 + F.col("n_tokens")).alias("covered"),
+        )
+        .join(doc, "doc_id")
+    )
+    bad = per.filter(
+        (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n_chunks") - 1)
+        | (F.col("covered") < F.col("len"))
+    )
+    assert bad.count() == 0
+    assert out.filter(F.col("n_tokens") > 32).count() == 0
+
+
+def test_perplexity_buckets_are_balanced_tertiles(spark, sf_dir):
+    """NTILE(3) invariant: within each lang, bucket sizes differ by at
+    most 1 and head has the lowest NLL range."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import text_perplexity_bucket
+
+    rows = text_perplexity_bucket(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    sizes = defaultdict(lambda: defaultdict(int))
+    nlls = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        sizes[r.lang][r.ppl_bucket] += 1
+        nlls[r.lang][r.ppl_bucket].append(r.avg_nll)
+    for lang, buckets in sizes.items():
+        if sum(buckets.values()) >= 3:
+            assert max(buckets.values()) - min(buckets.values()) <= 1, lang
+            assert max(nlls[lang]["head"]) <= min(nlls[lang]["tail"]), lang
+
+
+def test_covariance_matrix_shape_and_psd_diagonal(spark, sf_dir):
+    """2080 upper-triangular entries, every n = corpus size, diagonal
+    (variance) non-negative; and the plan never shuffles on vec_id —
+    the pair products are generated map-side."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import vec_covariance_matrix
+
+    df = vec_covariance_matrix(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning(vec_id" not in plan
+    rows = df.collect()
+    assert len(rows) == 64 * 65 // 2
+    n_vecs = t(spark, sf_dir, "embeddings").count()
+    assert all(r.n == n_vecs for r in rows)
+    diag = [r.cov for r in rows if r.dim_i == r.dim_j]
+    assert len(diag) == 64 and all(v >= -1e-9 for v in diag)

@@ -3685,3 +3685,194 @@ def text_quality_gopher(spark: SparkSession, d: str) -> DataFrame:
             & (F.col("n_stopwords") >= 2)
         ).alias("passes"),
     )
+
+
+_CHUNK_C = 32  # chunk size (tokens)
+_CHUNK_O = 8   # overlap (tokens); stride = C - O
+
+_CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+starts AS (SELECT doc_id, words, i,
+                  CAST((i - 1) // {_CHUNK_C - _CHUNK_O} AS INT) AS chunk_idx
+           FROM (SELECT doc_id, words,
+                        unnest(generate_series(
+                          1, greatest(len(words) - {_CHUNK_O}, 1),
+                          {_CHUNK_C - _CHUNK_O})) AS i
+                 FROM w))
+SELECT doc_id, chunk_idx,
+       CAST(len(words[i:i+{_CHUNK_C - 1}]) AS INT) AS n_tokens,
+       array_to_string(words[i:i+{_CHUNK_C - 1}], ' ') AS chunk_text
+FROM starts
+"""
+
+
+@_op("text_chunk_overlap", _CHUNK_SQL)
+def text_chunk_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Document chunking for embedding/context windows [EXT: the
+    pre-embedding step of every RAG/similarity pipeline]: 32-token
+    chunks at stride 24 (8-token overlap), last chunk clipped; chunks
+    starting past len-overlap are suppressed (they'd be pure overlap).
+    Purely map-side — split, sequence, explode, slice; no shuffle at
+    all, so it scales with input bytes. The chunk grid is arithmetic
+    on the start offset, identical in both engines."""
+    doc = t(spark, d, "documents")
+    stride = _CHUNK_C - _CHUNK_O
+    wd = doc.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("words") - F.lit(_CHUNK_O), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        wd.select("doc_id", "words", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.size(F.slice("words", F.col("i"), _CHUNK_C)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("words", F.col("i"), _CHUNK_C)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+_PPL_BUCKET_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+n AS (SELECT COUNT(*) AS total FROM w),
+cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+nll AS (SELECT w.doc_id,
+               {sql_davg('-ln(cnt.c / CAST(n.total AS DOUBLE))', 'avg_nll')}
+        FROM w JOIN cnt ON w.word = cnt.word CROSS JOIN n
+        GROUP BY w.doc_id),
+lx AS (SELECT nll.doc_id, d.lang, nll.avg_nll,
+              NTILE(3) OVER (PARTITION BY d.lang
+                             ORDER BY nll.avg_nll, nll.doc_id) AS tert
+       FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
+SELECT doc_id, lang, avg_nll,
+       CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM lx
+"""
+
+
+@_op("text_perplexity_bucket", _PPL_BUCKET_SQL)
+def text_perplexity_bucket(spark: SparkSession, d: str) -> DataFrame:
+    """CCNet-style perplexity bucketing [EXT: Wenzek et al. 2020 —
+    split each language's docs into head/middle/tail by LM perplexity;
+    head ~ clean text, tail ~ noise]: per-doc mean unigram NLL (the
+    offline LM stand-in, same signal as text_unigram_logprob), then
+    NTILE(3) within language ordered by (avg_nll, doc_id) — the id
+    tiebreak keeps the tertile assignment total-ordered and
+    deterministic at any parallelism. The NLL is an exact-decimal
+    mean, so ordering is cross-engine stable. Scale: two combinable
+    aggs + an unhinted vocab join (AQE decides), one per-lang window."""
+    doc = t(spark, d, "documents")
+    w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nll = (
+        w.join(cnt, "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(davg(-F.log(F.col("c") / F.col("total")), "avg_nll"))
+    )
+    lx = nll.join(doc.select("doc_id", "lang"), "doc_id")
+    win = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    tert = F.ntile(3).over(win)
+    return lx.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(tert == 1, "head")
+        .when(tert == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+_COV_SQL = """
+WITH x AS (SELECT vec_id, i,
+                  CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vq
+           FROM embeddings, (SELECT unnest(range(64)) AS i)),
+p AS (SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.vq * b.vq AS DECIMAL(38,0))) AS DOUBLE) AS s_xy,
+             COUNT(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i),
+m AS (SELECT i, CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s_x FROM x
+      GROUP BY i)
+SELECT p.i AS dim_i, p.j AS dim_j, p.n AS n,
+       CAST(ROUND(CAST((s_xy / n - (mi.s_x / n) * (mj.s_x / n)) / 1000000000000
+                       AS DECIMAL(25,6)), 6) AS DOUBLE) AS cov
+FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+"""
+
+
+@_op("vec_covariance_matrix", _COV_SQL)
+def vec_covariance_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """Distributed covariance matrix of the 64-dim embedding corpus
+    [EXT: the input to offline PCA/whitening — the eigendecomposition
+    of a 64x64 matrix is a driver-side afterthought; the DISTRIBUTED
+    work is these exact sums]. Components quantized to integer
+    micro-units (floor(v*1e6) — cross-engine exact; the 6-dp grid is
+    the op's specified precision, the rp-LSH/k-means discipline), all
+    sums exact DECIMAL(38,0) integer sums (overflow-safe past 1e9
+    vectors, order-independent at any parallelism), covariance
+    assembled in double at the end. Scale shape: the pair products are
+    generated MAP-SIDE (each row explodes its own 64x64 upper
+    triangle) and partial-aggregated before the only shuffle —
+    groupBy(i, j) with exactly 2080 groups, so shuffle volume is
+    O(partitions x 2080), independent of corpus size."""
+    emb = t(spark, d, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v") * F.lit(1000000.0)).cast("long").alias("vq"),
+    )
+    # second map-side expansion: pair every (i, vq) with the row's own
+    # array again — no self-join, no vec_id shuffle
+    xi = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "vi"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    pairs = xi.select(
+        "vec_id",
+        "i",
+        F.floor(F.col("vi") * F.lit(1000000.0)).cast("long").alias("vqi"),
+        F.posexplode("e").alias("j", "vj"),
+    ).filter(F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            F.col("vqi") * F.floor(F.col("vj") * F.lit(1000000.0)).cast("long")
+        ).alias("term"),
+    )
+    p = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("term").cast("decimal(38,0)")).cast("double").alias("s_xy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = x.groupBy("i").agg(
+        F.sum(F.col("vq").cast("decimal(38,0)")).cast("double").alias("s_x")
+    )
+    mi = m.select(F.col("i").alias("_mi"), F.col("s_x").alias("sx_i"))
+    mj = m.select(F.col("i").alias("_mj"), F.col("s_x").alias("sx_j"))
+    cov = (
+        F.col("s_xy") / F.col("n")
+        - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
+    ) / F.lit(1e12)
+    return (
+        p.join(F.broadcast(mi), p["i"] == mi["_mi"])
+        .join(F.broadcast(mj), p["j"] == mj["_mj"])
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "n",
+            dround(cov, 6).alias("cov"),
+        )
+    )

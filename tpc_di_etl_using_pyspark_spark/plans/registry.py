@@ -33,6 +33,9 @@ _MODULES = [
 _PRIORITY = [
     # --- round-3 certification window (first ~50) ---
     # new or code-changed this round — need a (re)certification row
+    "text_chunk_overlap",
+    "text_perplexity_bucket",
+    "vec_covariance_matrix",
     "dedup_substring_windows",
     "text_keyword_topk",
     "text_snapshot_novelty",
