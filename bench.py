@@ -28,7 +28,7 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # components, end-to-end corpus curation, FINWIRE SCD2 warehouse build,
 # hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine,
 # end-to-end multi-batch warehouse program, end-to-end pretraining
-# corpus build).
+# corpus build, exact-substring window dedup, map-side covariance).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -50,6 +50,8 @@ HEADLINE = [
     "vec_kmeans_refine",
     "tpcdi_batch_e2e",
     "pipeline_pretrain_e2e",
+    "dedup_substring_windows",
+    "vec_covariance_matrix",
 ]
 
 RUNS = 3

@@ -501,3 +501,47 @@ def test_covariance_matrix_shape_and_psd_diagonal(spark, sf_dir):
     assert all(r.n == n_vecs for r in rows)
     diag = [r.cov for r in rows if r.dim_i == r.dim_j]
     assert len(diag) == 64 and all(v >= -1e-9 for v in diag)
+
+
+def test_rag_e2e_topk_properties(spark, sf_dir):
+    """Exactly 5 results, scores strictly ordered (position penalty
+    breaks doc-level ties), every result's chunk really comes from its
+    doc's chunk grid."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import (
+        pipeline_rag_e2e,
+        text_chunk_overlap,
+    )
+
+    rows = pipeline_rag_e2e(spark, sf_dir).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    grid = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in text_chunk_overlap(spark, sf_dir)
+        .join(
+            spark.createDataFrame(
+                [(r.doc_id,) for r in rows], "doc_id long"
+            ).distinct(),
+            "doc_id",
+        )
+        .collect()
+    }
+    for r in rows:
+        assert grid[(r.doc_id, r.chunk_idx)] == r.chunk_text
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    """Docs 0, 20, 40 (for example) share source-and-path but differ in
+    WWW/utm/fragment decoration — the canonicalizer must collapse them;
+    no canonical URL may retain utm params, fragments, or WWW."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert "utm_" not in r.canonical_url
+        assert "#" not in r.canonical_url
+        assert "www." not in r.canonical_url
+        assert r.canonical_url == r.canonical_url.lower()
+        assert r.n_docs > 1

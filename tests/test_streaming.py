@@ -192,3 +192,22 @@ def test_transform_with_state_equals_batch(spark, replay, sf_dir):
         for r in stream_transform_with_state(spark, sf_dir).collect()
     }
     assert final == batch
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir):
+    """The quality gate is stateless per doc + one agg, so an
+    availableNow replay of the documents fixture must equal the batch
+    plan exactly."""
+    from tpc_di_etl_using_pyspark_spark.streaming.ops import (
+        prepare_replay_dir,
+        quality_gate_counts,
+        read_document_stream,
+        run_available_now,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    rdir = prepare_replay_dir(spark, docs)
+    sdf = read_document_stream(spark, rdir)
+    out = run_available_now(quality_gate_counts(sdf), mode="complete")
+    cols = ["lang", "n_docs", "n_pass"]
+    assert _rows(out, cols) == _rows(quality_gate_counts(docs), cols)

@@ -82,6 +82,15 @@ PROBE = [
     "multimodal_dedup_sha",
     "pipeline_multimodal_e2e",
     "sim_ivf_multiprobe_topk",
+    "dedup_substring_windows",
+    "text_keyword_topk",
+    "text_snapshot_novelty",
+    "multimodal_phash_neardup",
+    "dedup_cross_source_matrix",
+    "text_quality_gopher",
+    "text_chunk_overlap",
+    "text_perplexity_bucket",
+    "vec_covariance_matrix",
 ]
 
 

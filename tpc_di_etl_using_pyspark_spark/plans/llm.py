@@ -3876,3 +3876,163 @@ def vec_covariance_matrix(spark: SparkSession, d: str) -> DataFrame:
             dround(cov, 6).alias("cov"),
         )
     )
+
+
+_RAG_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+chunks AS (SELECT doc_id,
+                  CAST((i - 1) // {_CHUNK_C - _CHUNK_O} AS INT) AS chunk_idx,
+                  array_to_string(words[i:i+{_CHUNK_C - 1}], ' ') AS chunk_text
+           FROM (SELECT doc_id, words,
+                        unnest(generate_series(
+                          1, greatest(len(words) - {_CHUNK_O}, 1),
+                          {_CHUNK_C - _CHUNK_O})) AS i
+                 FROM w)),
+scored AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+                  CAST(ROUND(CAST({_sql_cos('e.embedding::DOUBLE[]', _QVEC_SQL)}
+                        AS DECIMAL(25,6)), 6) AS DOUBLE)
+                    - 0.001 * c.chunk_idx AS score
+           FROM chunks c JOIN embeddings e ON e.vec_id = c.doc_id)
+SELECT doc_id, chunk_idx, chunk_text,
+       {sql_dround('score', 6)} AS score
+FROM scored
+ORDER BY score DESC, doc_id, chunk_idx LIMIT 5
+"""
+
+
+@_op("pipeline_rag_e2e", _RAG_SQL)
+def pipeline_rag_e2e(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end retrieval dataflow [EXT: the RAG serving path as one
+    plan — chunk, embed-join, score, top-k]: 32-token/8-overlap chunks
+    (text_chunk_overlap's map-side grid), each chunk keyed to its
+    parent doc's embedding (the offline stand-in for a per-chunk
+    encoder — the join/rank plumbing is the surface), cosine vs the
+    deterministic query vector with a 0.001/chunk position penalty
+    (later chunks rank below earlier ones at equal relevance), global
+    top-5. Scale: chunking never shuffles; the embedding join is
+    doc-keyed; the top-5 is per-partition top-k + single-reducer merge
+    (TakeOrderedAndProject), never a global sort."""
+    doc = t(spark, d, "documents")
+    emb = t(spark, d, "embeddings")
+    stride = _CHUNK_C - _CHUNK_O
+    wd = doc.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("words") - F.lit(_CHUNK_O), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = wd.select("doc_id", "words", F.explode(starts).alias("i")).select(
+        "doc_id",
+        ((F.col("i") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("words", F.col("i"), _CHUNK_C)).alias(
+            "chunk_text"
+        ),
+    )
+    from ..llm.similarity import as_double, cosine
+
+    q = F.array(*[F.lit(x) for x in query_vector()])
+    cos6 = F.round(
+        cosine(as_double("embedding"), q).cast("decimal(25,6)"), 6
+    ).cast("double")
+    scored = chunks.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        (cos6 - F.lit(0.001) * F.col("chunk_idx")).alias("score"),
+    )
+    return (
+        scored.select(
+            "doc_id", "chunk_idx", "chunk_text", dround("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+        .limit(5)
+    )
+
+
+# Synthetic per-doc URLs (the fixture has no URL column): host carries
+# a WWW-cased variant, 1-in-4 docs a utm tracking param, 1-in-4 a real
+# param, 1-in-5 a fragment — each a canonicalization hazard. The SAME
+# expression builds the URL in both engines, so the op under test is
+# the normalization chain, not the synthesis.
+_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+           || source || '.example.com/page/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 0
+                    THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                    WHEN doc_id % 4 = 1
+                    THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '#.*$', ''),
+               'utm_[a-z]+=[^&#]*&', ''),
+             '\\?utm_[a-z]+=[^&#]*$', ''),
+           '://www\\.', '://') AS canonical_url
+  FROM u)
+SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+"""
+
+
+@_op("dedup_url_canonical", _URL_SQL)
+def dedup_url_canonical(spark: SparkSession, d: str) -> DataFrame:
+    """URL-canonical dedup [EXT: the first dedup pass of every web
+    crawl — the same page re-crawled under case/tracking/fragment
+    variants]: lowercase, strip fragment, strip utm_* tracking params
+    (preserving real params), fold www., then group by canonical URL
+    keeping the lowest doc_id. The normalization is a pure expression
+    chain (regexp_replace, whole-stage codegen); dedup is one
+    combinable groupBy on the canonical key — the exact_hash shape,
+    scaling with input bytes. URLs are synthesized deterministically
+    from doc attrs (fixture has no URL column) by the SAME expression
+    in both engines, so the certified behavior is the normalizer."""
+    doc = t(spark, d, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, "WWW.").otherwise(""),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string")),
+        )
+        .otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                "utm_[a-z]+=[^&#]*&",
+                "",
+            ),
+            r"\?utm_[a-z]+=[^&#]*$",
+            "",
+        ),
+        r"://www\.",
+        "://",
+    )
+    return (
+        doc.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -33,6 +33,9 @@ _MODULES = [
 _PRIORITY = [
     # --- round-3 certification window (first ~50) ---
     # new or code-changed this round — need a (re)certification row
+    "stream_quality_gate",
+    "pipeline_rag_e2e",
+    "dedup_url_canonical",
     "text_chunk_overlap",
     "text_perplexity_bucket",
     "vec_covariance_matrix",

@@ -247,3 +247,34 @@ def stream_transform_with_state(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.floor(F.col("value") * 1_000_000).cast("long")).alias("max_micro"),
     )
+
+
+@_op(
+    "stream_quality_gate",
+    """WITH m AS (
+         SELECT lang,
+                len(string_split(lower(text), ' ')) AS n_words,
+                CAST(length(text) - (len(string_split(lower(text), ' ')) - 1)
+                     AS DOUBLE) / len(string_split(lower(text), ' '))
+                  AS mean_wl,
+                len(list_intersect(string_split(lower(text), ' '),
+                                   ['the','a','of','to','and','in']))
+                  AS stop_hits
+         FROM documents)
+       SELECT lang, COUNT(*) AS n_docs,
+              SUM(CASE WHEN n_words BETWEEN 25 AND 80
+                        AND mean_wl BETWEEN 4.2 AND 5.2
+                        AND stop_hits >= 2 THEN 1 ELSE 0 END) AS n_pass
+       FROM m GROUP BY lang""",
+)
+def stream_quality_gate(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming corpus quality gate [EXT: the ingest-time filter of a
+    crawl pipeline — documents flow through stateless named rules, only
+    the per-language pass counters are stateful]: word-count bounds,
+    mean word length from pure char arithmetic (no per-word shuffle —
+    a stream can't re-shard mid-flight), distinct-stopword floor via
+    array_intersect. tests/test_streaming.py replays documents through
+    a real availableNow file stream and asserts stream == batch."""
+    from ..streaming.ops import quality_gate_counts
+
+    return quality_gate_counts(t(spark, d, "documents"))

@@ -264,3 +264,51 @@ def transform_with_state_maxcount(sdf: DataFrame) -> DataFrame:
     return sdf.groupBy("user_id").transformWithStateInPandas(
         MaxCountProcessor(), TWS_MAXCOUNT_SCHEMA, "Update", "None"
     )
+
+
+def read_document_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream over a documents-shaped parquet dir."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(replay_dir)
+    )
+
+
+def quality_gate_counts(docs: DataFrame) -> DataFrame:
+    """Per-language quality-gate pass counts — valid on batch AND
+    streaming inputs (stateless per-doc rules + one aggregation, so
+    availableNow replay must equal the batch plan).
+
+    The rules are computed WITHOUT a per-word shuffle (a streaming
+    gate must stay map-side until the final agg): word count from the
+    split array's size, mean word length as (chars - spaces) / words
+    — integer arithmetic on builtin length(), no HOF — and the
+    stopword floor via a bounded array_intersect against a 6-word
+    broadcast-literal array (array_intersect over a <=100-token array
+    is whole-stage-codegen, not a Python path).
+    """
+    words = F.split(F.lower("text"), " ")
+    n_words = F.size(words)
+    mean_wl = (
+        (F.length("text") - (n_words - F.lit(1))).cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(w) for w in ("the", "a", "of", "to", "and", "in")])
+        )
+    )
+    passes = (
+        n_words.between(25, 80)
+        & mean_wl.between(4.2, 5.2)
+        & (stop_hits >= 2)
+    )
+    return (
+        docs.select("lang", passes.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("n_pass"),
+        )
+    )
