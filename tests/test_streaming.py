@@ -211,3 +211,50 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir):
     out = run_available_now(quality_gate_counts(sdf), mode="complete")
     cols = ["lang", "n_docs", "n_pass"]
     assert _rows(out, cols) == _rows(quality_gate_counts(docs), cols)
+
+
+def test_stream_incremental_dedup_microbatches_equal_batch(spark, sf_dir):
+    """Decomposability contract: probing the standing index one
+    microbatch at a time (real foreachBatch over an availableNow file
+    stream) yields exactly the pairs of one big-batch probe."""
+    from tpc_di_etl_using_pyspark_spark.streaming.ops import (
+        build_corpus_index,
+        prepare_replay_dir,
+        probe_index_with_batch,
+        read_document_stream,
+    )
+
+    doc = t(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 7 != 0)
+    arriving = doc.filter(F.col("doc_id") % 7 == 0)
+    index_bk, index_sh = build_corpus_index(corpus)
+    index_bk = index_bk.localCheckpoint()
+    index_sh = index_sh.localCheckpoint()
+
+    batch_rows = sorted(
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in probe_index_with_batch(index_bk, index_sh, arriving).collect()
+    )
+
+    rdir = prepare_replay_dir(spark, arriving.repartition(8))
+    collected: list = []
+    n_batches: list = []
+
+    def on_batch(bdf, _epoch):
+        if bdf.isEmpty():
+            return
+        n_batches.append(1)
+        collected.extend(
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in probe_index_with_batch(index_bk, index_sh, bdf).collect()
+        )
+
+    q = (
+        read_document_stream(spark, rdir)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 2, "replay must exercise multiple microbatches"
+    assert sorted(collected) == batch_rows

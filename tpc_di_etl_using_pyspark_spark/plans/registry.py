@@ -34,6 +34,7 @@ _PRIORITY = [
     # --- round-3 certification window (first ~50) ---
     # new or code-changed this round — need a (re)certification row
     "stream_quality_gate",
+    "stream_incremental_dedup",
     "pipeline_rag_e2e",
     "dedup_url_canonical",
     "text_chunk_overlap",

@@ -278,3 +278,49 @@ def stream_quality_gate(spark: SparkSession, d: str) -> DataFrame:
     from ..streaming.ops import quality_gate_counts
 
     return quality_gate_counts(t(spark, d, "documents"))
+
+
+_STREAM_INC_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                 COUNT(*) AS n_inter
+          FROM g a JOIN g b ON a.gram = b.gram
+          WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+          GROUP BY a.doc_id, b.doc_id)
+SELECT new_id, corpus_id,
+       CAST(ROUND(CAST(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+                       AS DECIMAL(25,6)), 6) AS DOUBLE) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = new_id
+           JOIN sz sb ON sb.doc_id = corpus_id
+WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@_op("stream_incremental_dedup", _STREAM_INC_DEDUP_SQL)
+def stream_incremental_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """Streaming ingest near-dup [EXT: the crawl-time operating mode —
+    documents ARRIVE as a stream and each microbatch probes the
+    standing corpus index, never corpus x corpus]. This registry entry
+    is the batch analog over the same shared probe
+    (streaming/ops.py build_corpus_index + probe_index_with_batch);
+    tests/test_streaming.py replays the arriving slice (doc_id % 7 = 0)
+    through a real availableNow file stream in multiple microbatches
+    via foreachBatch and asserts the union of per-microbatch probes
+    equals this plan. The microbatch-decomposability is the certified
+    property: probe(batch1) ∪ probe(batch2) == probe(batch1 ∪ batch2)
+    because candidate generation is per-new-doc and verification is
+    per-pair."""
+    from ..streaming.ops import build_corpus_index, probe_index_with_batch
+
+    doc = t(spark, d, "documents")
+    corpus = doc.filter(F.col("doc_id") % 7 != 0)
+    arriving = doc.filter(F.col("doc_id") % 7 == 0)
+    index_bk, index_sh = build_corpus_index(corpus)
+    return probe_index_with_batch(index_bk, index_sh, arriving)

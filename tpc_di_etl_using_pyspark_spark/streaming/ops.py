@@ -312,3 +312,58 @@ def quality_gate_counts(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("n_pass"),
         )
     )
+
+
+def build_corpus_index(corpus_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The standing near-dup index at rest: (capped band keys, shingle
+    sets) for the corpus side. In production both are written once,
+    partitioned by band, and probed by every arriving batch; here they
+    are returned as DataFrames the caller should cache/checkpoint.
+    The occupancy cap (200) is applied at BUILD time — a boilerplate
+    band bucket with k corpus members would multiply every probing
+    batch row that lands in it by k."""
+    from pyspark.sql import Window
+
+    from ..llm.minhash import band_keys, minhash_signature, shingles
+
+    sh = shingles(corpus_docs, "doc_id", "text", 3)
+    bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
+    wb = Window.partitionBy("band_idx", "band_key")
+    capped = (
+        bk.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= 200)
+        .drop("_bn")
+        .select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    )
+    return capped, sh
+
+
+def probe_index_with_batch(
+    index_bk: DataFrame, index_sh: DataFrame, batch_docs: DataFrame
+) -> DataFrame:
+    """Probe the standing index with an arriving batch: the batch
+    computes ONLY its own signatures/band keys and joins the index's
+    band buckets — new × bucket-mates, never corpus × corpus. Exact
+    Jaccard (>= 0.5) verification on candidates only. Valid on any
+    batch slice, so a streaming foreachBatch can call it per
+    microbatch and the union of outputs equals one big-batch call
+    (asserted in tests/test_streaming.py)."""
+    from ..llm.minhash import band_keys, jaccard_verify, minhash_signature, shingles
+
+    sh_new = shingles(batch_docs, "doc_id", "text", 3)
+    nb = band_keys(minhash_signature(sh_new, "doc_id", 32), "doc_id", 32, 8).select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    cand = (
+        nb.join(index_bk, ["band_idx", "band_key"])
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sh_all = sh_new.unionByName(index_sh)
+    return jaccard_verify(cand, sh_all, "doc_id", 0.5).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        F.round(F.col("jaccard").cast("decimal(25,6)"), 6)
+        .cast("double")
+        .alias("jaccard"),
+    )
