@@ -48,6 +48,8 @@ OPS = [
     "dedup_simhash",
     "sim_rp_lsh_cosine",
     "pipeline_incremental_dedup",
+    "multimodal_phash_neardup",
+    "stream_incremental_dedup",
 ]
 
 
