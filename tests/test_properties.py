@@ -192,3 +192,50 @@ def test_jaccard_verify_equals_bruteforce_with_all_pairs(spark, texts):
     assert set(got) == set(expect), (set(got) ^ set(expect), rows)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9
+
+
+_hosts = st.text(alphabet="abcdefgh", min_size=1, max_size=8)
+_paths = st.lists(
+    st.text(alphabet="abc123", min_size=1, max_size=5), min_size=0, max_size=3
+)
+
+
+@given(
+    host=_hosts,
+    path=_paths,
+    www=st.booleans(),
+    upper=st.booleans(),
+    utm=st.sampled_from([None, "utm_source=x", "utm_campaign=spring"]),
+    real_param=st.sampled_from([None, "id=7", "q=abc"]),
+    utm_last=st.booleans(),
+    frag=st.booleans(),
+)
+@SETTINGS
+def test_url_canonicalizer_invariant_under_decorations(
+    spark, host, path, www, upper, utm, real_param, utm_last, frag
+):
+    """canonicalize_url must map every decorated variant of a page to
+    the same canonical form as the bare page, while PRESERVING real
+    query params."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import canonicalize_url
+
+    base = f"https://{host}.example.com/" + "/".join(path)
+    params = [p for p in (utm, real_param) if p]
+    if utm_last:
+        params = params[::-1]  # exercise '&utm_...$' as well as '?utm_...&'
+    decorated = base
+    if www:
+        decorated = decorated.replace("https://", "https://www.")
+    if upper:
+        decorated = decorated.upper().replace("HTTPS://", "https://")
+    if params:
+        decorated += "?" + "&".join(params)
+    if frag:
+        decorated += "#section-2"
+    expected = base + (f"?{real_param}" if real_param else "")
+
+    df = spark.createDataFrame([(decorated,)], "url string").select(
+        canonicalize_url(F.col("url")).alias("c")
+    )
+    got = df.first().c
+    assert got == expected.lower(), (decorated, got, expected)

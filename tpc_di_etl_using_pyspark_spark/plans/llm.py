@@ -3974,14 +3974,34 @@ c AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(lower(url), '#.*$', ''),
-               'utm_[a-z]+=[^&#]*&', ''),
-             '\\?utm_[a-z]+=[^&#]*$', ''),
-           '://www\\.', '://') AS canonical_url
+               regexp_replace(lower(url), '#.*$', '', 'g'),
+               'utm_[a-z]+=[^&#]*&', '', 'g'),
+             '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
+           '://www\\.', '://', 'g') AS canonical_url
   FROM u)
 SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
 FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
 """
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Expression-only URL canonicalizer: lowercase, strip fragment,
+    strip utm_* tracking params (preserving real params), fold www.
+    Property-tested over randomized decorations in
+    tests/test_properties.py; the SQL oracle mirrors the chain."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                "utm_[a-z]+=[^&#]*&",
+                "",
+            ),
+            r"[?&]utm_[a-z]+=[^&#]*$",
+            "",
+        ),
+        r"://www\.",
+        "://",
+    )
 
 
 @_op("dedup_url_canonical", _URL_SQL)
@@ -4014,19 +4034,7 @@ def dedup_url_canonical(spark: SparkSession, d: str) -> DataFrame:
         .otherwise(""),
         F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
     )
-    canon = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(url), "#.*$", ""),
-                "utm_[a-z]+=[^&#]*&",
-                "",
-            ),
-            r"\?utm_[a-z]+=[^&#]*$",
-            "",
-        ),
-        r"://www\.",
-        "://",
-    )
+    canon = canonicalize_url(url)
     return (
         doc.select("doc_id", canon.alias("canonical_url"))
         .groupBy("canonical_url")

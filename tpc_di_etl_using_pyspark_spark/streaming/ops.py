@@ -326,7 +326,12 @@ def build_corpus_index(corpus_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     from ..llm.minhash import band_keys, minhash_signature, shingles
 
-    sh = shingles(corpus_docs, "doc_id", "text", 3)
+    # the shingle relation feeds BOTH the signature pass and the later
+    # verify join — cache() (lazy) reuses the one computation, the
+    # measured pattern from pipeline_incremental_dedup (localCheckpoint
+    # was tried and lost: eager materialization of the corpus-wide
+    # relation costs more than it saves per invocation)
+    sh = shingles(corpus_docs, "doc_id", "text", 3).cache()
     bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
     wb = Window.partitionBy("band_idx", "band_key")
     capped = (
@@ -350,7 +355,7 @@ def probe_index_with_batch(
     (asserted in tests/test_streaming.py)."""
     from ..llm.minhash import band_keys, jaccard_verify, minhash_signature, shingles
 
-    sh_new = shingles(batch_docs, "doc_id", "text", 3)
+    sh_new = shingles(batch_docs, "doc_id", "text", 3).cache()
     nb = band_keys(minhash_signature(sh_new, "doc_id", 32), "doc_id", 32, 8).select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
