@@ -3274,7 +3274,7 @@ j AS (SELECT win.doc_id, win.wh,
              CASE WHEN dup.wh IS NOT NULL THEN 1 ELSE 0 END AS is_dup
       FROM win LEFT JOIN dup ON win.wh = dup.wh)
 SELECT doc_id, COUNT(*) AS n_windows,
-       SUM(is_dup) AS n_dup_windows,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_windows,
        {sql_dround('SUM(is_dup) / CAST(COUNT(*) AS DOUBLE)', 6)} AS dup_frac
 FROM j GROUP BY doc_id
 """
@@ -3405,7 +3405,8 @@ g AS (SELECT DISTINCT src_num,
 firstseen AS (SELECT gram, MIN(src_num) AS first_src FROM g GROUP BY gram)
 SELECT g.src_num AS src_num,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN f.first_src = g.src_num THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_src = g.src_num THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_novel,
        {sql_dround('SUM(CASE WHEN f.first_src = g.src_num THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)', 6)}
          AS novelty_frac
 FROM g JOIN firstseen f ON f.gram = g.gram
@@ -3609,7 +3610,7 @@ WITH w AS (SELECT doc_id, word, COUNT(*) AS cnt
                  FROM documents)
            GROUP BY doc_id, word),
 m AS (SELECT doc_id,
-             SUM(cnt) AS n_words,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
              SUM(length(word) * cnt) / CAST(SUM(cnt) AS DOUBLE) AS mean_word_len,
              MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS max_token_ratio,
              SUM(CASE WHEN word IN ('the','a','of','to','and','in')

@@ -262,9 +262,10 @@ def stream_transform_with_state(spark: SparkSession, d: str) -> DataFrame:
                   AS stop_hits
          FROM documents)
        SELECT lang, COUNT(*) AS n_docs,
-              SUM(CASE WHEN n_words BETWEEN 25 AND 80
-                        AND mean_wl BETWEEN 4.2 AND 5.2
-                        AND stop_hits >= 2 THEN 1 ELSE 0 END) AS n_pass
+              CAST(SUM(CASE WHEN n_words BETWEEN 25 AND 80
+                             AND mean_wl BETWEEN 4.2 AND 5.2
+                             AND stop_hits >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass
        FROM m GROUP BY lang""",
 )
 def stream_quality_gate(spark: SparkSession, d: str) -> DataFrame:
