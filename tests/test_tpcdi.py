@@ -386,3 +386,39 @@ def test_batch_e2e_composition_and_plan(spark, sf_dir):
     assert plan.count("InMemoryRelation") >= 3
     assert plan.count("Exchange") <= 70, plan.count("Exchange")
     out.sparkSession.catalog.clearCache()
+
+
+def test_attribution_touch_precedes_purchase(spark, sf_dir):
+    """Every attributed touch strictly precedes its purchase (positive
+    micros) and really is the user's latest prior click/view."""
+    from pyspark.sql import functions as F
+
+    from tpc_di_etl_using_pyspark_spark.plans._util import t
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import (
+        events_attribution_last_touch,
+    )
+
+    out = events_attribution_last_touch(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.micros_to_convert > 0 for r in rows)
+    # spot-check 5 attributions against a python replay
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    sample = rows[:5]
+    users = {r.user_id for r in sample}
+    hist = {}
+    for ev in e.filter(F.col("user_id").isin(*users)).collect():
+        hist.setdefault(ev.user_id, []).append(ev)
+    for r in sample:
+        evs = sorted(hist[r.user_id], key=lambda x: (x.us, x.event_id))
+        purchase = next(x for x in evs if x.event_id == r.purchase_id)
+        touches = [
+            x for x in evs
+            if x.event_type in ("click", "view")
+            and (x.us, x.event_id) < (purchase.us, purchase.event_id)
+        ]
+        assert touches, r
+        assert touches[-1].event_id == r.touch_event_id

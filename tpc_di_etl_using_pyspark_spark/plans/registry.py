@@ -35,6 +35,7 @@ _PRIORITY = [
     # new or code-changed this round — need a (re)certification row
     "stream_quality_gate",
     "stream_incremental_dedup",
+    "events_attribution_last_touch",
     "pipeline_rag_e2e",
     "dedup_url_canonical",
     "text_chunk_overlap",

@@ -1454,3 +1454,56 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
         .unionByName(audit("dim_customer", "Audit SCD2 violations", chain_bad))
         .unionByName(audit("fact_cash_balances", "Audit unresolved SK", unresolved))
     )
+
+
+@_op(
+    "events_attribution_last_touch",
+    """WITH o AS (
+         SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS us,
+                MAX(CASE WHEN event_type IN ('click', 'view')
+                         THEN struct_pack(us := epoch_us(ts), eid := event_id)
+                    END) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS touch
+         FROM events)
+       SELECT event_id AS purchase_id, user_id,
+              touch.eid AS touch_event_id,
+              CAST(us - touch.us AS BIGINT) AS micros_to_convert
+       FROM o
+       WHERE event_type = 'purchase' AND touch IS NOT NULL""",
+)
+def events_attribution_last_touch(spark: SparkSession, d: str) -> DataFrame:
+    """Last-touch attribution [EXT: product-analytics staple — credit
+    each purchase to the user's most recent prior click/view]: a
+    conditional struct-max over a per-user window, ordered by the
+    (epoch_us, event_id) total order. Struct max is lexicographic in
+    BOTH engines (verify recipe), so the newest touch wins with the id
+    as tiebreak; nulls (non-touch rows) are skipped by max in both.
+    One per-user window — no self-join, no range join; scales as a
+    single keyed sort, and the conversion delta stays in exact integer
+    microseconds."""
+    e = t(spark, d, "events")
+    # events.ts is TIMESTAMP_NTZ at rest; unix_micros needs LTZ — the
+    # session TZ is pinned UTC so the cast is an exact reinterpretation
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(us.alias("us"), F.col("event_id").alias("eid")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("touch", F.max(touch).over(w))
+        .withColumn("us", us)
+        .filter((F.col("event_type") == "purchase") & F.col("touch").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("touch.eid").alias("touch_event_id"),
+            (F.col("us") - F.col("touch.us")).cast("long").alias("micros_to_convert"),
+        )
+    )
