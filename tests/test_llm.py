@@ -545,3 +545,27 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert "www." not in r.canonical_url
         assert r.canonical_url == r.canonical_url.lower()
         assert r.n_docs > 1
+
+
+def test_ccnet_e2e_accounting_consistent(spark, sf_dir):
+    """Bucket accounting must be internally consistent: n_kept <=
+    n_docs, tail buckets keep nothing, per-lang bucket doc counts are
+    NTILE-balanced, and total docs across buckets == corpus size."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import pipeline_ccnet_e2e
+
+    rows = pipeline_ccnet_e2e(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == t(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.ppl_bucket == "tail":
+            assert r.n_kept == 0 and r.kept_tokens == 0
+        if r.n_kept == 0:
+            assert r.kept_tokens == 0
+    from collections import defaultdict
+
+    per_lang = defaultdict(dict)
+    for r in rows:
+        per_lang[r.lang_pred][r.ppl_bucket] = r.n_docs
+    for lang, buckets in per_lang.items():
+        if sum(buckets.values()) >= 3:
+            assert max(buckets.values()) - min(buckets.values()) <= 1, lang

@@ -4045,3 +4045,116 @@ def dedup_url_canonical(spark: SparkSession, d: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+_CCNET_SQL = f"""
+WITH s AS (
+  SELECT doc_id, words,
+         len(list_filter(words, w -> w = 'the' OR w = 'a')) AS sc_en,
+         len(list_filter(words, w -> w = 'der' OR w = 'die')) AS sc_de,
+         len(list_filter(words, w -> w = 'le' OR w = 'la')) AS sc_fr,
+         len(list_filter(words, w -> w = 'el' OR w = 'los')) AS sc_es
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)),
+langp AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es AND sc_en > 0
+                THEN 'en'
+              WHEN sc_de >= sc_fr AND sc_de >= sc_es AND sc_de > 0 THEN 'de'
+              WHEN sc_fr >= sc_es AND sc_fr > 0 THEN 'fr'
+              WHEN sc_es > 0 THEN 'es'
+              ELSE 'unknown' END AS lang_pred
+  FROM s),
+w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+n AS (SELECT COUNT(*) AS total FROM w),
+cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+nll AS (SELECT w.doc_id,
+               {sql_davg('-ln(cnt.c / CAST(n.total AS DOUBLE))', 'avg_nll')}
+        FROM w JOIN cnt ON w.word = cnt.word CROSS JOIN n
+        GROUP BY w.doc_id),
+wd AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+win AS (SELECT doc_id,
+               CAST(concat('0x', substr(md5(
+                 array_to_string(words[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15))
+                 AS BIGINT) AS wh
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(
+                       1, greatest(len(words) - {_SUBSTR_W - 1}, 1),
+                       {_SUBSTR_S})) AS i
+              FROM wd)),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+dupfrac AS (
+  SELECT win.doc_id,
+         SUM(CASE WHEN dup.wh IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+  FROM win LEFT JOIN dup ON win.wh = dup.wh
+  GROUP BY win.doc_id),
+scored AS (
+  SELECT l.doc_id, l.lang_pred, l.n_tokens, d.dup_frac,
+         NTILE(3) OVER (PARTITION BY l.lang_pred
+                        ORDER BY nll.avg_nll, l.doc_id) AS tert
+  FROM langp l
+  JOIN nll ON nll.doc_id = l.doc_id
+  JOIN dupfrac d ON d.doc_id = l.doc_id)
+SELECT lang_pred,
+       CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN tert <= 2 AND dup_frac <= 0.5 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN tert <= 2 AND dup_frac <= 0.5 THEN n_tokens
+                     ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@_op("pipeline_ccnet_e2e", _CCNET_SQL)
+def pipeline_ccnet_e2e(spark: SparkSession, d: str) -> DataFrame:
+    """CCNet-shaped corpus curation as ONE dataflow [EXT: Wenzek et
+    al. 2020 — language-ID, LM-perplexity tertiles per language,
+    duplication gate, per-bucket accounting]: predicted language (the
+    stopword heuristic, not the metadata column — the pipeline runs on
+    raw text), unigram-NLL tertiles within each PREDICTED language,
+    and the exact-substring duplication fraction; keep = head/middle
+    tertile AND dup_frac <= 0.5; output per (lang, bucket) doc/token
+    accounting. Composition of three certified per-doc relations
+    (text_lang_id, text_perplexity_bucket's NLL, dedup_substring_
+    windows' dup fraction) joined on doc_id — three combinable agg
+    pipelines + one per-lang window; nothing quadratic anywhere."""
+    doc = t(spark, d, "documents")
+    langp = text_lang_id(spark, d).select("doc_id", "lang_pred")
+    ntok = doc.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
+    )
+    w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nll = (
+        w.join(cnt, "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(davg(-F.log(F.col("c") / F.col("total")), "avg_nll"))
+    )
+    dupf = dedup_substring_windows(spark, d).select("doc_id", "dup_frac")
+    scored = (
+        langp.join(nll, "doc_id").join(dupf, "doc_id").join(ntok, "doc_id")
+    )
+    tert = F.ntile(3).over(
+        Window.partitionBy("lang_pred").orderBy("avg_nll", "doc_id")
+    )
+    scored = scored.withColumn("tert", tert)
+    keep = (F.col("tert") <= 2) & (F.col("dup_frac") <= 0.5)
+    return scored.groupBy(
+        "lang_pred",
+        F.when(F.col("tert") == 1, "head")
+        .when(F.col("tert") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

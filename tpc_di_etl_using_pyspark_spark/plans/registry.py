@@ -37,6 +37,7 @@ _PRIORITY = [
     "stream_incremental_dedup",
     "events_attribution_last_touch",
     "audit_data_quality",
+    "pipeline_ccnet_e2e",
     "pipeline_rag_e2e",
     "dedup_url_canonical",
     "text_chunk_overlap",
