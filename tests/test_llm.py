@@ -569,3 +569,41 @@ def test_ccnet_e2e_accounting_consistent(spark, sf_dir):
     for lang, buckets in per_lang.items():
         if sum(buckets.values()) >= 3:
             assert max(buckets.values()) - min(buckets.values()) <= 1, lang
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark, sf_dir):
+    """Every epoch is a permutation of the corpus (each doc exactly
+    once per epoch), shard positions are contiguous from 1, and epochs
+    produce DIFFERENT orders (the point of reshuffling)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import sample_epoch_shuffle
+
+    out = sample_epoch_shuffle(spark, sf_dir)
+    n_docs = t(spark, sf_dir, "documents").count()
+    per_epoch = out.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("nd")
+    )
+    assert all(r.n == n_docs and r.nd == n_docs for r in per_epoch.collect())
+    shard_ok = out.groupBy("epoch", "shard").agg(
+        F.min("pos_in_shard").alias("lo"),
+        F.max("pos_in_shard").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert (
+        shard_ok.filter(
+            (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+        ).count()
+        == 0
+    )
+    # different epochs put at least one doc in different shards
+    moved = (
+        out.filter(F.col("epoch") == 0)
+        .select("doc_id", F.col("shard").alias("s0"))
+        .join(
+            out.filter(F.col("epoch") == 1).select(
+                "doc_id", F.col("shard").alias("s1")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("s0") != F.col("s1"))
+    )
+    assert moved.count() > 0

@@ -439,3 +439,28 @@ def test_data_quality_audit_fires_only_where_expected(spark, sf_dir):
     for k in firing:
         assert rows[k].n_violations > 0, k
     assert all(r.n_checked > 0 for r in rows.values())
+
+
+def test_markov_transitions_rows_and_probabilities(spark, sf_dir):
+    """Probabilities row-normalize to 1 per from_type and transition
+    counts total (events - users-with-events)."""
+    from pyspark.sql import functions as F
+
+    from tpc_di_etl_using_pyspark_spark.plans._util import t
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    nsum = 0
+    for r in rows:
+        psum[r.from_type] += r.p
+        nsum += r.n
+    assert all(abs(v - 1.0) < 1e-4 for v in psum.values()), psum
+    e = t(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert nsum == n_events - n_users

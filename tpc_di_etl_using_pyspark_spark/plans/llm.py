@@ -4158,3 +4158,60 @@ def pipeline_ccnet_e2e(spark: SparkSession, d: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+_EPOCH_SHUFFLE_SQL = """
+WITH e AS (SELECT doc_id, epoch
+           FROM documents, (SELECT unnest(range(3)) AS epoch)),
+k AS (SELECT doc_id, epoch,
+             CAST(concat('0x', substr(
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+               1, 15)) AS BIGINT) AS shuffle_key
+      FROM e)
+SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       CAST(shuffle_key % 256 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shuffle_key % 256
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM k
+"""
+
+
+@_op("sample_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def sample_epoch_shuffle(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle [EXT: the data-loader
+    primitive — every worker must agree on example order without
+    coordination]: shuffle key = md5(doc_id:epoch) (cross-engine, so
+    the oracle replays it), shard = key % 256, position WITHIN the
+    shard. Shard-local positions are the production shape — a global
+    contiguous position would be a global sort; per-(epoch, shard)
+    row_number is a keyed window whose partitions stay worker-sized at
+    any corpus scale. Epoch grid is a bounded 3x broadcast expansion."""
+    doc = t(spark, d, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = doc.crossJoin(F.broadcast(epochs)).select(
+        "doc_id", "epoch", key.alias("shuffle_key")
+    )
+    shard = (F.col("shuffle_key") % 256).cast("int")
+    w = Window.partitionBy("epoch", shard).orderBy("shuffle_key", "doc_id")
+    return k.select(
+        "doc_id",
+        "epoch",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

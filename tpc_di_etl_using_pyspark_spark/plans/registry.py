@@ -38,6 +38,8 @@ _PRIORITY = [
     "events_attribution_last_touch",
     "audit_data_quality",
     "pipeline_ccnet_e2e",
+    "sample_epoch_shuffle",
+    "events_markov_transitions",
     "pipeline_rag_e2e",
     "dedup_url_canonical",
     "text_chunk_overlap",

@@ -1626,3 +1626,48 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
     for nxt in (fk_o, pk_o, pk_li, price, disc, ship):
         out = out.unionByName(nxt)
     return out
+
+
+@_op(
+    "events_markov_transitions",
+    """WITH o AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                  AS prev_type
+         FROM events),
+       tr AS (SELECT prev_type AS from_type, event_type AS to_type,
+                     COUNT(*) AS n
+              FROM o WHERE prev_type IS NOT NULL
+              GROUP BY 1, 2),
+       tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY from_type)
+       SELECT tr.from_type, tr.to_type, tr.n,
+              CAST(ROUND(CAST(tr.n / CAST(tot.t AS DOUBLE) AS DECIMAL(25,6)),
+                         6) AS DOUBLE) AS p
+       FROM tr JOIN tot ON tot.from_type = tr.from_type""",
+)
+def events_markov_transitions(spark: SparkSession, d: str) -> DataFrame:
+    """Event-type transition matrix [EXT: sequence-model data prep —
+    first-order Markov statistics over per-user event streams]: lag
+    over the (epoch_us, event_id) total order within each user, then
+    one combinable count per (from, to) pair and row-normalized
+    probabilities (integer ratio of exact counts — deterministic
+    double). One keyed window + two small aggs; the transition matrix
+    is event-type² rows regardless of corpus size."""
+    e = t(spark, d, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = o.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return tr.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        dround(F.col("n") / F.col("t").cast("double"), 6).alias("p"),
+    )
