@@ -28,7 +28,8 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 # components, end-to-end corpus curation, FINWIRE SCD2 warehouse build,
 # hyperplane-LSH ANN, incremental cross-batch dedup, k-means refine,
 # end-to-end multi-batch warehouse program, end-to-end pretraining
-# corpus build, exact-substring window dedup, map-side covariance).
+# corpus build, exact-substring window dedup, map-side covariance,
+# RAG retrieval path, CCNet curation, multi-table quality audit).
 HEADLINE = [
     "agg_groupby_basic",
     "join_broadcast",
@@ -52,6 +53,9 @@ HEADLINE = [
     "pipeline_pretrain_e2e",
     "dedup_substring_windows",
     "vec_covariance_matrix",
+    "pipeline_rag_e2e",
+    "pipeline_ccnet_e2e",
+    "audit_data_quality",
 ]
 
 RUNS = 3

@@ -91,6 +91,15 @@ PROBE = [
     "text_chunk_overlap",
     "text_perplexity_bucket",
     "vec_covariance_matrix",
+    "pipeline_rag_e2e",
+    "dedup_url_canonical",
+    "pipeline_ccnet_e2e",
+    "events_attribution_last_touch",
+    "audit_data_quality",
+    "sample_epoch_shuffle",
+    "events_markov_transitions",
+    "stream_incremental_dedup",
+    "stream_quality_gate",
 ]
 
 
