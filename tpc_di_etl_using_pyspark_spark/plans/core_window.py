@@ -854,3 +854,69 @@ def win_time_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
         .filter(F.col("_dtsum") > 0)
         .select("user_id", dround(F.col("_wsum") / F.col("_dtsum"), 6).alias("twap"))
     )
+
+
+# --------------------------------------------------------------------------
+# Truncated exponential moving average (round-3 continuation)
+# --------------------------------------------------------------------------
+
+# alpha = 0.3, 10-term truncation. The weights 0.3*0.7^k are EXACT
+# decimals (3*7^k / 10^(k+1)), so w_k * 1e10 are exact BIGINTs and the
+# whole fold can run in scaled-integer arithmetic: value -> micro-units
+# (ROUND(value*1e6), exact — the fixture carries 2-dp values), each
+# term W10_k * micro is an exact BIGINT (max ~1.7e18, sum ~5.5e18 <
+# 2^63), and the single 6-dp HALF_UP is integer (+5e9 // 1e10). A
+# double-arithmetic first draft hit the .5e-6 midpoint hazard on
+# 3/10000 rows (exact-decimal sums land on midpoints; Spark rounds the
+# repr, DuckDB the binary); a DECIMAL draft overflowed DuckDB's
+# inferred intermediate DECIMAL(18,16). Integers have neither problem.
+_EMA_W10 = [3 * 7**k * 10 ** (9 - k) for k in range(10)]
+
+_EMA_TERMS_SQL = " + ".join(
+    f"{w} * lag(micro, {k}, 0) OVER uw" if k else f"{w} * micro"
+    for k, w in enumerate(_EMA_W10)
+)
+
+_EMA_SQL = f"""
+WITH m AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 1000000) AS BIGINT) AS micro
+           FROM events)
+SELECT event_id, user_id,
+       CAST(({_EMA_TERMS_SQL} + 5000000000) // 10000000000 AS DOUBLE)
+         / 1000000 AS ema10
+FROM m
+WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_op("win_ema_smooth", _EMA_SQL)
+def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
+    """Truncated exponential moving average per user (alpha=0.3, 10
+    terms, zero-padded head) over the event stream [EXT: metric
+    smoothing / anomaly baselines].
+
+    The textbook EMA recurrence y_i = a*x_i + (1-a)*y_{i-1} is a
+    sequential scan — the closed form y_i = sum_k a(1-a)^k * x_{i-k}
+    truncated at 10 terms re-expresses it as a bounded lag chain, so it
+    runs as ONE keyed window (shuffle on user_id only) with no
+    iteration and no driver state; the dropped tail is < (1-a)^10 ~ 2.8%
+    of total weight. Cross-engine exactness: all arithmetic is scaled
+    BIGINT (weights x1e10 are exact integers because 0.3*0.7^k is the
+    exact decimal 3*7^k/10^(k+1); values x1e6 are exact micro-units),
+    with one integer HALF_UP back to 6 dp — no float op until the final
+    exact small-integer / 1e6 (see the module comment above for the two
+    rejected float/decimal drafts and their midpoint/overflow modes)."""
+    e = t(spark, d, "events")
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    m = e.select("event_id", "user_id", "ts", micro.alias("micro"))
+    # BIGINT `div` keeps the ~5e18 scaled sum exact — a `/` would route
+    # it through a double whose ulp at that magnitude is 256
+    uw = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    terms = " + ".join(
+        f"{w} * lag(micro, {k}, 0) OVER {uw}" if k else f"{w} * micro"
+        for k, w in enumerate(_EMA_W10)
+    )
+    ema = F.expr(f"(({terms}) + 5000000000) div 10000000000")
+    return m.select(
+        "event_id", "user_id", (ema.cast("double") / 1000000).alias("ema10")
+    )

@@ -4215,3 +4215,145 @@ def sample_epoch_shuffle(spark: SparkSession, d: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval + containment near-dup (round-3 continuation)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "merge", "spark")
+_BM25_TERMS_SQL = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w
+       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY word),
+sc AS (SELECT tf.doc_id,
+              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+       CROSS JOIN stats)
+SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@_op("text_bm25_topk", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, d: str) -> DataFrame:
+    """BM25 top-10 retrieval (Robertson/Sparck-Jones; k1=1.2, b=0.75)
+    for a fixed 3-term query over the corpus [EXT: lexical retrieval —
+    the sparse half of every RAG/retrieval stack next to
+    pipeline_rag_e2e's dense half].
+
+    Scale shape: the exploded token relation is filtered to the query
+    terms BEFORE any shuffle (tf is |terms|-bounded per doc); the only
+    corpus-wide aggregations are the per-doc length pass (combinable
+    count keyed on doc_id) and the 1-row corpus stats, which ride as a
+    broadcast; df is a |terms|-row broadcast. Final top-10 is
+    TakeOrdered (no global sort). Cross-engine determinism: each
+    per-term score is one identically-written IEEE expression chain;
+    the per-doc sum across terms is frozen to DECIMAL(25,6) so
+    summation order cannot matter, and the rank orders by the quantized
+    score with doc_id as total-order tiebreak."""
+    doc = t(spark, d, "documents")
+    w = doc.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qw = w.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = qw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = idf * (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    sc = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast(DEC)).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_CONTAIN_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, source,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM (SELECT doc_id, source, words,
+                   unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+            FROM w)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
+                           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       n_inter / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+"""
+
+
+@_op("dedup_ngram_containment", _CONTAIN_SQL)
+def dedup_ngram_containment(spark: SparkSession, d: str) -> DataFrame:
+    """Asymmetric containment near-dup: C = |A∩B| / min(|A|,|B|) over
+    distinct 3-gram sets, pairs with C ≥ 0.5 [EXT: catches doc-in-doc
+    duplication — a snippet quoted inside a larger page — which
+    resemblance (Jaccard) misses because the union denominator drowns
+    the small side; Broder's containment vs resemblance distinction].
+
+    Same `source` blocking key as dedup_ngram_jaccard bounds the
+    candidate join; the shuffles are the same distinct-shingle and
+    (gram, source)-keyed joins, so the 100 TB posture is inherited
+    unchanged. Only the denominator (LEAST of the two set sizes) and
+    threshold differ — both mirrored exactly in the oracle."""
+    doc = t(spark, d, "documents")
+    g = (
+        shingles(doc, "doc_id", "text", k=3)
+        .dropDuplicates(["doc_id", "shingle"])
+        .join(doc.select("doc_id", "source"), "doc_id")
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
+    b = g.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    inter = (
+        a.join(b, ["source", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )

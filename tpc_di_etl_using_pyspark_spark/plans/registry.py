@@ -33,6 +33,9 @@ _MODULES = [
 _PRIORITY = [
     # --- round-3 certification window (first ~50) ---
     # new or code-changed this round — need a (re)certification row
+    "text_bm25_topk",
+    "dedup_ngram_containment",
+    "win_ema_smooth",
     "stream_quality_gate",
     "stream_incremental_dedup",
     "events_attribution_last_touch",
