@@ -36,12 +36,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     shuffle for nothing. Callers needing distinct shingles add their
     own dropDuplicates.
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    # materialize the split in its own projection BEFORE the transform
+    # lambda touches it: slicing an inline split expression re-runs the
+    # split once per shingle (O(words²) string work per row; same
+    # hazard text_ngram_topk documents — fixing it there measured
+    # 3.34 s → 0.48 s at sf0.1)
+    ws = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws")
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_ws") - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, k)),
+    )
+    return ws.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def minhash_signature(

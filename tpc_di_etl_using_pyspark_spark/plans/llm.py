@@ -1638,20 +1638,28 @@ def text_ngram_topk(spark: SparkSession, d: str) -> DataFrame:
     window per language. The heavy relation (every bigram occurrence)
     exists only inside one shuffle; at 100 TB the count pre-aggregates
     per partition before exchange. Deterministic total order: (count
-    DESC, bigram ASC)."""
+    DESC, bigram ASC).
+
+    The split is materialized as a column in its OWN projection before
+    the transform lambda touches it — element_at over an inline split
+    expression re-runs the split per array element (O(words²) string
+    work per row; the same hazard vec_l2_normalize documents).
+    Measured: 3.34 s → 0.48 s at sf0.1."""
     doc = t(spark, d, "documents")
-    words = F.split(F.lower("text"), " ")
+    ws = doc.select("lang", F.split(F.lower("text"), " ").alias("ws"))
     grams = F.when(
-        F.size(words) >= 2,
+        F.size("ws") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
+            F.sequence(F.lit(1), F.size("ws") - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        doc.select("lang", F.explode(grams).alias("bigram"))
+        ws.select("lang", F.explode(grams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1848,16 +1856,16 @@ def dedup_chunk_level(spark: SparkSession, d: str) -> DataFrame:
     frequency table, then per-doc audit; the frequency relation is
     corpus-sized but hash-partitioned, never collected."""
     doc = t(spark, d, "documents")
-    words = F.split(F.lower("text"), " ")
-    ch = doc.select(
+    # split materialized before the lambda (inline-split-in-lambda =
+    # O(words²) per row; see text_ngram_topk / llm/minhash.shingles)
+    ws = doc.select("doc_id", F.split(F.lower("text"), " ").alias("_ws"))
+    ch = ws.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0), F.expr("(size(split(lower(text), ' ')) - 1) div 20")
-                ),
+                F.sequence(F.lit(0), F.expr("(size(_ws) - 1) div 20")),
                 lambda i: F.concat_ws(
-                    " ", F.slice(words, i * F.lit(20) + 1, 20)
+                    " ", F.slice(F.col("_ws"), i * F.lit(20) + 1, 20)
                 ),
             )
         ).alias("chunk"),
