@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DEC, t
+from ._util import DEC, SQL_DEC, t
 
 QUERIES = {}
 ORACLES = {}
@@ -919,4 +919,94 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
     ema = F.expr(f"(({terms}) + 5000000000) div 10000000000")
     return m.select(
         "event_id", "user_id", (ema.cast("double") / 1000000).alias("ema10")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact rolling correlation (round-3 continuation)
+# --------------------------------------------------------------------------
+
+# Recenter epoch seconds to 2024-01-01 so every windowed moment stays
+# exactly representable: x <= ~2.6e6 (one month of seconds), y =
+# centi-units of the 2-dp value (<= 56021). Over a 20-row frame the
+# extreme magnitudes are n*sxx <= 2.7e15 and n*sxy <= 5.8e13 — all
+# below 2^53, so the BIGINT->DOUBLE conversions are exact and the
+# final quotient is bit-identical across engines.
+_CORR_EPOCH0 = 1704067200
+
+_CORR_SQL = f"""
+WITH m AS (SELECT event_id, user_id, ts,
+                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - {_CORR_EPOCH0} AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT event_id, user_id,
+             COUNT(*) OVER w20 AS n,
+             SUM(x) OVER w20 AS sx, SUM(y) OVER w20 AS sy,
+             SUM(x * y) OVER w20 AS sxy,
+             SUM(x * x) OVER w20 AS sxx,
+             SUM(y * y) OVER w20 AS syy
+      FROM m
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(ROUND(CAST(
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 AS {SQL_DEC}), 6) AS DOUBLE)
+            ELSE NULL END AS corr20
+FROM s
+"""
+
+
+@_op("win_rolling_corr", _CORR_SQL)
+def win_rolling_corr(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling Pearson correlation between event value and time over
+    the trailing 20 events per user [EXT: trend/drift detection —
+    corr(value, t) near ±1 flags a monotone run].
+
+    corr is assembled from five integer window moments (n, Σx, Σy,
+    Σxy, Σx², Σy²) over ONE keyed window — no second pass, no
+    mean-subtraction pass; the computational-formula numerator/
+    denominators stay exact BIGINTs (see the recentering bound note
+    above), and the single float step is one exactly-seeded quotient
+    of square roots, frozen at 6 dp. Windows with < 2 rows or zero
+    variance yield NULL in both engines. Scale: the five moments ride
+    the same user_id shuffle any rolling metric needs; nothing global,
+    no driver state."""
+    e = t(spark, d, "events")
+    m = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) - _CORR_EPOCH0).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    s = m.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w20).alias("n"),
+        F.sum("x").over(w20).alias("sx"),
+        F.sum("y").over(w20).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w20).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w20).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w20).alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.round(
+        (num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))).cast(DEC),
+        6,
+    ).cast("double")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.when((d1 > 0) & (d2 > 0), corr).otherwise(F.lit(None)).alias("corr20"),
     )

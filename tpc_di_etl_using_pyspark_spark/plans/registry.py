@@ -36,6 +36,12 @@ _PRIORITY = [
     "text_bm25_topk",
     "dedup_ngram_containment",
     "win_ema_smooth",
+    "sketch_count_min",
+    "win_rolling_corr",
+    "text_ngram_topk",
+    "dedup_chunk_level",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "stream_quality_gate",
     "stream_incremental_dedup",
     "events_attribution_last_touch",
@@ -197,7 +203,6 @@ _PRIORITY = [
     "text_token_count",
     "text_fingerprint",
     "dedup_keep_best",
-    "dedup_ngram_jaccard",
     "sim_knn_join",
     "sim_embedding_neardup",
     "dedup_semantic_cluster",
@@ -213,10 +218,8 @@ _PRIORITY = [
     "text_contamination_ngram",
     "text_repetition_score",
     "vec_l2_normalize",
-    "text_ngram_topk",
     "text_quality_linear",
     "graph_triangle_count",
-    "dedup_chunk_level",
     "sample_temperature_mixture",
     "vec_centroid_per_label",
     "text_bpe_pair_count",
