@@ -100,6 +100,13 @@ PROBE = [
     "events_markov_transitions",
     "stream_incremental_dedup",
     "stream_quality_gate",
+    "text_bm25_topk",
+    "dedup_ngram_containment",
+    "win_ema_smooth",
+    "sketch_count_min",
+    "win_rolling_corr",
+    "vec_pca_power_iteration",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -33,7 +33,7 @@ from ..llm.similarity import (
     knn_join_blocked,
     query_vector,
 )
-from ._util import DEC, davg, dround, sql_davg, sql_dround, t
+from ._util import DEC, SQL_DEC, davg, dround, sql_davg, sql_dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -4364,4 +4364,103 @@ def dedup_ngram_containment(spark: SparkSession, d: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.5)
+    )
+
+
+_PCA_SQL = f"""
+WITH cov0 AS ({_COV_SQL}),
+sym AS (SELECT dim_i AS i, dim_j AS j,
+               CAST(round(cov * 1000000) AS BIGINT) AS covq
+        FROM cov0
+        UNION ALL
+        SELECT dim_j, dim_i, CAST(round(cov * 1000000) AS BIGINT)
+        FROM cov0 WHERE dim_i < dim_j),
+w1 AS (SELECT i, SUM(covq) AS w1q FROM sym GROUP BY i),
+n1 AS (SELECT sqrt(CAST(SUM(w1q * w1q) AS DOUBLE)) AS nrm FROM w1),
+v1 AS (SELECT i, CAST(w1q AS DOUBLE) / nrm AS v FROM w1, n1),
+w2 AS (SELECT s.i,
+              CAST(SUM(CAST(CAST(s.covq AS DOUBLE) * v1.v AS {SQL_DEC}))
+                   AS DOUBLE) AS w
+       FROM sym s JOIN v1 ON v1.i = s.j GROUP BY s.i),
+n2 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS {SQL_DEC})) AS DOUBLE)) AS nrm
+       FROM w2),
+ray AS (SELECT CAST(SUM(CAST(v1.v * w2.w AS {SQL_DEC})) AS DOUBLE) / 1000000
+        AS lam
+        FROM v1 JOIN w2 ON w2.i = v1.i)
+SELECT v1.i AS dim,
+       {sql_dround('v1.v', 6)} AS v1,
+       {sql_dround('w2.w / n2.nrm', 6)} AS v2,
+       {sql_dround('ray.lam', 6)} AS top_eigenvalue
+FROM v1 JOIN w2 ON w2.i = v1.i CROSS JOIN n2 CROSS JOIN ray
+"""
+
+
+@_op("vec_pca_power_iteration", _PCA_SQL)
+def vec_pca_power_iteration(spark: SparkSession, d: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by two unrolled
+    power iterations over the DISTRIBUTED covariance relation
+    [EXT: PCA/whitening — the companion to vec_covariance_matrix that
+    actually extracts the direction]. Emits per-dimension the first-
+    and second-iteration unit vectors plus the Rayleigh-quotient
+    eigenvalue estimate.
+
+    Scale shape: all the corpus-sized work is inside the covariance op
+    (map-side pair explosion, 2080-group shuffle); the iteration
+    itself runs on the 64x64 matrix — a constant-size relation that
+    broadcasts, so adding iterations costs O(1) regardless of corpus
+    size. Cross-engine exactness: the 6-dp covariance doubles are
+    bit-identical in both engines, so covq = round(cov*1e6) is the
+    same exact BIGINT; iteration 1 is pure integer sums (v0 = all-ones
+    needs no per-term rounding at all — the dyadic-weight midpoint
+    hazard win_ema_smooth documents is designed out); iteration 2 and
+    the Rayleigh sum freeze each product to DECIMAL(25,6) so summation
+    order cannot matter."""
+    cov0 = vec_covariance_matrix(spark, d)
+    covq = F.round(F.col("cov") * 1000000).cast("long").alias("covq")
+    up = cov0.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), covq)
+    lo = cov0.filter(F.col("dim_i") < F.col("dim_j")).select(
+        F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), covq
+    )
+    sym = up.unionByName(lo)
+    w1 = sym.groupBy("i").agg(F.sum("covq").alias("w1q"))
+    n1 = w1.agg(
+        F.sqrt(F.sum(F.col("w1q") * F.col("w1q")).cast("double")).alias("nrm")
+    )
+    v1 = w1.crossJoin(F.broadcast(n1)).select(
+        "i", (F.col("w1q").cast("double") / F.col("nrm")).alias("v")
+    )
+    v1j = v1.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+    w2 = (
+        sym.join(F.broadcast(v1j), "j")
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("covq").cast("double") * F.col("vj")).cast(DEC))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    n2 = w2.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast(DEC)).cast("double")
+        ).alias("nrm2")
+    )
+    ray = (
+        v1.join(w2, "i")
+        .agg(
+            (
+                F.sum((F.col("v") * F.col("w")).cast(DEC)).cast("double")
+                / F.lit(1000000)
+            ).alias("lam")
+        )
+    )
+    return (
+        v1.join(w2, "i")
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").alias("dim"),
+            dround(F.col("v"), 6).alias("v1"),
+            dround(F.col("w") / F.col("nrm2"), 6).alias("v2"),
+            dround(F.col("lam"), 6).alias("top_eigenvalue"),
+        )
     )

@@ -38,6 +38,7 @@ _PRIORITY = [
     "win_ema_smooth",
     "sketch_count_min",
     "win_rolling_corr",
+    "vec_pca_power_iteration",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
