@@ -239,3 +239,185 @@ def test_url_canonicalizer_invariant_under_decorations(
     )
     got = df.first().c
     assert got == expected.lower(), (decorated, got, expected)
+
+
+# --------------------------------------------------------------------------
+# Round-3 continuation ops: EMA, rolling corr, containment, BM25, PCA
+# --------------------------------------------------------------------------
+
+_EPOCH0 = datetime.datetime(2024, 1, 1)
+
+_ema_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=50),  # ts second offset (dups ok)
+        st.integers(min_value=0, max_value=99999),  # value in centi-units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _write_events(spark, tmpdir, rows):
+    """Materialize a minimal events.parquet an op can read via t()."""
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                _EPOCH0 + datetime.timedelta(seconds=off),
+                u,
+                "view",
+                c / 100.0,
+                "{}",
+            )
+            for i, (u, off, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@SETTINGS
+@given(_ema_rows)
+def test_ema_matches_exact_decimal_fold(spark, tmp_path_factory, rows):
+    """win_ema_smooth must equal a first-principles exact-Decimal fold
+    of the truncated closed form (weights 3·7^k/10^(k+1)), rounded
+    HALF_UP at 6 dp — the integer-arithmetic plan may not drift from
+    the mathematical definition on ANY input, including ts ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tpc_di_etl_using_pyspark_spark.plans.core_window import win_ema_smooth
+
+    d = str(tmp_path_factory.mktemp("ema"))
+    _write_events(spark, d, rows)
+    got = {r.event_id: r.ema10 for r in win_ema_smooth(spark, d).collect()}
+
+    W = [Decimal(3 * 7**k) / Decimal(10 ** (k + 1)) for k in range(10)]
+    per_user: dict[int, list[tuple]] = {}
+    for i, (u, off, c) in enumerate(rows):
+        per_user.setdefault(u, []).append((off, i, Decimal(c) / 100))
+    want = {}
+    for u, seq in per_user.items():
+        seq.sort()  # (ts, event_id) total order
+        for pos in range(len(seq)):
+            acc = Decimal(0)
+            for k in range(10):
+                if pos - k >= 0:
+                    acc += W[k] * seq[pos - k][2]
+            eid = seq[pos][1]
+            want[eid] = float(
+                acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+    assert got == want
+
+
+_corr_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2_000_000),  # ts offset seconds
+        st.integers(min_value=0, max_value=56021),  # value centi-units
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(_corr_rows)
+def test_rolling_corr_matches_fraction_exact(spark, tmp_path_factory, rows):
+    """win_rolling_corr must equal the exact-rational Pearson formula
+    over the trailing 20 rows (computed with Fraction — no float error
+    at all), within one 6-dp rounding step, and always lie in [-1, 1]."""
+    from fractions import Fraction
+    import math
+
+    from tpc_di_etl_using_pyspark_spark.plans.core_window import win_rolling_corr
+
+    d = str(tmp_path_factory.mktemp("corr"))
+    _write_events(spark, d, [(1, off, c) for off, c in rows])
+    got = {r.event_id: r.corr20 for r in win_rolling_corr(spark, d).collect()}
+
+    seq = sorted((off, i, c) for i, (off, c) in enumerate(rows))
+    for pos in range(len(seq)):
+        frame = seq[max(0, pos - 19) : pos + 1]
+        n = len(frame)
+        xs = [Fraction(off) for off, _, _ in frame]
+        ys = [Fraction(c) for _, _, c in frame]
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        d1 = n * sum(x * x for x in xs) - sum(xs) ** 2
+        d2 = n * sum(y * y for y in ys) - sum(ys) ** 2
+        eid = seq[pos][1]
+        if d1 == 0 or d2 == 0:
+            assert got[eid] is None
+        else:
+            exact = float(num) / math.sqrt(float(d1) * float(d2))
+            assert abs(got[eid] - exact) <= 1.000001e-6
+            assert -1.0 <= got[eid] <= 1.0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every pair, containment = inter/min(|A|,|B|) >= jaccard =
+    inter/union, so the jaccard>=0.5 pair set must be a subset of the
+    containment>=0.5 pair set on the same corpus."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    }
+    cont = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_containment(spark, sf_dir).collect()
+    }
+    assert jac <= cont
+
+
+def test_bm25_hits_contain_query_terms(spark, sf_dir):
+    """Every BM25 hit must actually contain >=1 query term, have a
+    positive score, and arrive in (score desc, doc_id) order."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import _BM25_TERMS, text_bm25_topk
+    from tpc_di_etl_using_pyspark_spark.plans._util import t as _t
+
+    hits = text_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(hits) <= 10
+    scores = [r.score for r in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    texts = {
+        r.doc_id: r.text
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in hits]))
+        .collect()
+    }
+    for r in hits:
+        words = set(texts[r.doc_id].lower().split(" "))
+        assert words & set(_BM25_TERMS)
+
+
+def test_pca_power_iteration_invariants(spark, sf_dir):
+    """v2 must be unit-norm, the Rayleigh estimate positive and no
+    greater than the covariance trace (sum of eigenvalues), and the
+    iteration must not move the direction much on a corpus whose top
+    eigenvalue dominates (|<v1,v2>| -> 1 would be ideal; require the
+    overlap to be large and v2 consistent under re-run)."""
+    from tpc_di_etl_using_pyspark_spark.plans.llm import (
+        vec_covariance_matrix,
+        vec_pca_power_iteration,
+    )
+
+    rows = vec_pca_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == 64
+    n2 = sum(r.v2 * r.v2 for r in rows)
+    assert abs(n2 - 1.0) < 1e-4
+    lam = rows[0].top_eigenvalue
+    assert all(r.top_eigenvalue == lam for r in rows)
+    trace = sum(
+        r.cov
+        for r in vec_covariance_matrix(spark, sf_dir).collect()
+        if r.dim_i == r.dim_j
+    )
+    assert 0 < lam <= trace + 1e-6
