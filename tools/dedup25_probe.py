@@ -50,6 +50,8 @@ OPS = [
     "pipeline_incremental_dedup",
     "multimodal_phash_neardup",
     "stream_incremental_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
 ]
 
 
