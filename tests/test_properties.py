@@ -421,3 +421,33 @@ def test_pca_power_iteration_invariants(spark, sf_dir):
         if r.dim_i == r.dim_j
     )
     assert 0 < lam <= trace + 1e-6
+
+
+_bloom_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(_bloom_words)
+def test_bloom_filter_never_false_negative(spark, tmp_path_factory, words):
+    """On ANY vocabulary the Bloom op must test every true member
+    positive (structural guarantee), and non-member probes may only
+    differ by being negative."""
+    from tpc_di_etl_using_pyspark_spark.plans.core_agg import sketch_bloom_filter
+
+    d = str(tmp_path_factory.mktemp("bloom"))
+    df = spark.createDataFrame(
+        [(i, " ".join(words), "en", "src0", len(words)) for i in range(1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = sketch_bloom_filter(spark, d).collect()
+    assert all(r.no_false_negative for r in rows)
+    members = {r.word for r in rows if r.is_member}
+    assert members == set(words)
+    for r in rows:
+        if r.is_member:
+            assert r.bloom_positive

@@ -106,6 +106,7 @@ PROBE = [
     "sketch_count_min",
     "win_rolling_corr",
     "vec_pca_power_iteration",
+    "sketch_bloom_filter",
     "dedup_ngram_jaccard",
 ]
 

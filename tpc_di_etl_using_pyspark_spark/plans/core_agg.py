@@ -1024,3 +1024,99 @@ def sketch_count_min(spark: SparkSession, d: str) -> DataFrame:
             (F.col("cms_n") >= F.col("exact_n")).alias("never_underestimates"),
         )
     )
+
+
+_BLOOM_M, _BLOOM_K = 1024, 4
+
+_BLOOM_SQL = f"""
+WITH w AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+probes AS (SELECT word, TRUE AS is_member FROM w
+           UNION ALL
+           SELECT word || '#nm', FALSE FROM w),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS j),
+bits AS (SELECT DISTINCT
+                CAST(concat('0x', substr(md5(word || '@' || CAST(j AS VARCHAR)), 1, 15))
+                     AS BIGINT) % {_BLOOM_M} AS pos
+         FROM w CROSS JOIN ks),
+ph AS (SELECT p.word, p.is_member, k.j,
+              CAST(concat('0x', substr(md5(p.word || '@' || CAST(k.j AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {_BLOOM_M} AS pos
+       FROM probes p CROSS JOIN ks k),
+hit AS (SELECT word, is_member,
+               COUNT(*) FILTER (WHERE bits.pos IS NOT NULL) AS n_hit
+        FROM ph LEFT JOIN bits ON bits.pos = ph.pos
+        GROUP BY word, is_member)
+SELECT word, is_member, n_hit = {_BLOOM_K} AS bloom_positive,
+       (NOT is_member) OR n_hit = {_BLOOM_K} AS no_false_negative
+FROM hit
+"""
+
+
+@_op("sketch_bloom_filter", _BLOOM_SQL)
+def sketch_bloom_filter(spark: SparkSession, d: str) -> DataFrame:
+    """Bloom filter (1024 bits, 4 md5-derived hashes) over the corpus
+    vocabulary, built from expressions and probed with every member
+    plus a guaranteed non-member variant of each ('word#nm' — corpus
+    tokens contain no '#') [EXT: bounded-memory membership — the
+    pre-filter in front of expensive dedup/decontamination joins].
+
+    The 100 TB posture mirrors sketch_count_min: the filter relation is
+    at most 1024 rows regardless of corpus size (DISTINCT bit
+    positions — map-side combinable, mergeable across partitions by
+    union), and probing is a broadcast join against it. The DuckDB
+    oracle replays hashes, bit set, and probe outcomes EXACTLY, so the
+    structural zero-false-negative guarantee is certified as a column
+    (`no_false_negative` must be TRUE on every row at any scale);
+    false positives among the non-member probes are allowed and
+    visible in `bloom_positive`."""
+    doc = t(spark, d, "documents")
+    w = doc.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).distinct()
+    probes = w.select("word", F.lit(True).alias("is_member")).unionByName(
+        w.select(
+            F.concat("word", F.lit("#nm")).alias("word"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def pos(word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(word_col, F.lit("@"), F.col("j").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        w.crossJoin(F.broadcast(ks))
+        .select(pos(F.col("word")).alias("pos"))
+        .distinct()
+        .withColumnRenamed("pos", "bpos")
+    )
+    ph = probes.crossJoin(F.broadcast(ks)).select(
+        "word", "is_member", pos(F.col("word")).alias("pos")
+    )
+    hit = (
+        ph.join(F.broadcast(bits), ph["pos"] == bits["bpos"], "left")
+        .groupBy("word", "is_member")
+        .agg(F.count("bpos").alias("n_hit"))
+    )
+    return hit.select(
+        "word",
+        "is_member",
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_positive"),
+        (~F.col("is_member") | (F.col("n_hit") == _BLOOM_K)).alias(
+            "no_false_negative"
+        ),
+    )

@@ -39,6 +39,7 @@ _PRIORITY = [
     "sketch_count_min",
     "win_rolling_corr",
     "vec_pca_power_iteration",
+    "sketch_bloom_filter",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
