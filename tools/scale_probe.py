@@ -107,6 +107,7 @@ PROBE = [
     "win_rolling_corr",
     "vec_pca_power_iteration",
     "sketch_bloom_filter",
+    "agg_mad_anomaly",
     "dedup_ngram_jaccard",
 ]
 

@@ -1120,3 +1120,54 @@ def sketch_bloom_filter(spark: SparkSession, d: str) -> DataFrame:
             "no_false_negative"
         ),
     )
+
+
+@_op(
+    "agg_mad_anomaly",
+    """WITH m AS (
+         SELECT user_id, value,
+                quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med_v
+         FROM events),
+       d AS (
+         SELECT user_id, value, med_v,
+                quantile_cont(ABS(value - med_v), 0.5)
+                  OVER (PARTITION BY user_id) AS mad_v
+         FROM m)
+       SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              med_v, mad_v,
+              CAST(COUNT(*) FILTER (
+                WHERE ABS(value - med_v) > 3.0 * mad_v
+              ) AS BIGINT) AS n_anomalies
+       FROM d GROUP BY user_id, med_v, mad_v""",
+)
+def agg_mad_anomaly(spark: SparkSession, d: str) -> DataFrame:
+    """Median-absolute-deviation anomaly counting per user — the
+    robust twin of win_zscore_anomaly [EXT: outlier gating where a few
+    extreme values would poison mean/std; MAD's breakdown point is 50%
+    vs 0% for the z-score].
+
+    Both medians are exact interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont` bit-exact — the
+    win_median_rolling precedent), computed over the SAME user_id
+    window partitioning as the deviation pass and the final
+    re-aggregation: one shuffle feeds all three, no extra exchange.
+    A MAD of zero (over half the user's values identical) flags only
+    rows strictly off the median — the standard robust-scale edge
+    case, identical in both engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, d, "events").select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    med = F.percentile("value", 0.5).over(w)
+    m = e.select("user_id", "value", med.alias("med_v"))
+    mad = F.percentile(F.abs(F.col("value") - F.col("med_v")), 0.5).over(w)
+    dd = m.select("user_id", "value", "med_v", mad.alias("mad_v"))
+    return dd.groupBy("user_id", "med_v", "mad_v").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med_v")) > 3.0 * F.col("mad_v"), 1
+            ).otherwise(0)
+        ).alias("n_anomalies"),
+    ).select("user_id", "n_events", "med_v", "mad_v", "n_anomalies")

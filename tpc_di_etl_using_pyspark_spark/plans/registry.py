@@ -40,6 +40,7 @@ _PRIORITY = [
     "win_rolling_corr",
     "vec_pca_power_iteration",
     "sketch_bloom_filter",
+    "agg_mad_anomaly",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
