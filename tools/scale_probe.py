@@ -108,6 +108,8 @@ PROBE = [
     "vec_pca_power_iteration",
     "sketch_bloom_filter",
     "agg_mad_anomaly",
+    "vec_pca_project",
+    "events_path_trigrams",
     "dedup_ngram_jaccard",
 ]
 

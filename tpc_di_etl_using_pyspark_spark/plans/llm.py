@@ -4469,3 +4469,46 @@ def vec_pca_power_iteration(spark: SparkSession, d: str) -> DataFrame:
             dround(F.col("lam"), 6).alias("top_eigenvalue"),
         )
     )
+
+
+_PCA_PROJECT_SQL = f"""
+WITH pca AS ({_PCA_SQL}),
+proj AS (SELECT e.vec_id,
+                CAST(SUM(CAST(CAST(e.embedding[pca.dim + 1] AS DOUBLE) * pca.v2
+                              AS {SQL_DEC})) AS DOUBLE) AS score
+         FROM embeddings e CROSS JOIN pca
+         GROUP BY e.vec_id)
+SELECT vec_id, {sql_dround('score', 6)} AS pc1_score
+FROM proj
+"""
+
+
+@_op("vec_pca_project", _PCA_PROJECT_SQL)
+def vec_pca_project(spark: SparkSession, d: str) -> DataFrame:
+    """Project every embedding onto the learned top principal
+    direction (vec_pca_power_iteration's v2) — the APPLY step of
+    PCA-based curation: rank/trim a corpus along its dominant
+    variance axis [EXT: outlier pruning, diversity balancing].
+
+    This is the part that actually runs at corpus scale, and its shape
+    is the right one: the 64-row direction broadcasts, the dot product
+    is a map-side per-row fold (posexplode + broadcast join + one
+    vec_id-keyed partial-aggregated shuffle), nothing quadratic,
+    nothing collected. Products are frozen to DECIMAL(25,6) before the
+    per-vector sum so accumulation order cannot matter; v2 components
+    are bit-identical across engines (certified upstream)."""
+    pca = vec_pca_power_iteration(spark, d).select(
+        F.col("dim").alias("pos"), "v2"
+    )
+    e = t(spark, d, "embeddings")
+    comps = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"col": "x"})
+    return (
+        comps.join(F.broadcast(pca), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") * F.col("v2")).cast(DEC)).cast("double").alias("score")
+        )
+        .select("vec_id", dround(F.col("score"), 6).alias("pc1_score"))
+    )

@@ -41,6 +41,8 @@ _PRIORITY = [
     "vec_pca_power_iteration",
     "sketch_bloom_filter",
     "agg_mad_anomaly",
+    "vec_pca_project",
+    "events_path_trigrams",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",

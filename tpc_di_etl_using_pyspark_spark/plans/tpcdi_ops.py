@@ -1671,3 +1671,48 @@ def events_markov_transitions(spark: SparkSession, d: str) -> DataFrame:
         "n",
         dround(F.col("n") / F.col("t").cast("double"), 6).alias("p"),
     )
+
+
+@_op(
+    "events_path_trigrams",
+    """WITH s AS (
+         SELECT user_id, event_type AS e1,
+                lead(event_type, 1) OVER uw AS e2,
+                lead(event_type, 2) OVER uw AS e3
+         FROM events
+         WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       c AS (SELECT e1, e2, e3, COUNT(*) AS n FROM s
+             WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+             GROUP BY e1, e2, e3)
+       SELECT e1, e2, e3, CAST(n AS BIGINT) AS n, rk FROM (
+         SELECT e1, e2, e3, n,
+                ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+         FROM c) WHERE rk <= 20""",
+)
+def events_path_trigrams(spark: SparkSession, d: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams per
+    user session stream) [EXT: product-flow mining — the 3-step
+    extension of events_markov_transitions' pair matrix].
+
+    One keyed window (user_id shuffle) builds the lead-chain triples
+    in-row; the count is a map-side-combinable groupBy over a key
+    space bounded by |event_types|³ (125 here — tiny at any corpus
+    size), and the final top-20 is a single-partition window over that
+    bounded relation, not over the events. Total order (n DESC, then
+    the three types) makes the ranking deterministic."""
+    e = t(spark, d, "events")
+    from pyspark.sql import Window
+
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(uw).alias("e2"),
+        F.lead("event_type", 2).over(uw).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    c = s.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        c.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 20)
+        .select("e1", "e2", "e3", "n", "rk")
+    )
