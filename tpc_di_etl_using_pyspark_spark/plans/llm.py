@@ -4232,25 +4232,38 @@ def sample_epoch_shuffle(spark: SparkSession, d: str) -> DataFrame:
 _BM25_TERMS = ("vector", "merge", "spark")
 _BM25_TERMS_SQL = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
 
+_BM25_TFS_SQL = ",\n  ".join(
+    f"SUM(CASE WHEN word = '{t_}' THEN 1 ELSE 0 END) AS tf{i}"
+    for i, t_ in enumerate(_BM25_TERMS)
+)
+_BM25_DFS_SQL = ",\n  ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE_SQL = " + ".join(
+    f"""CASE WHEN tf{i} > 0 THEN
+       ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))
+         * (tf{i} * 2.2)
+         / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ELSE 0.0 END"""
+    for i in range(len(_BM25_TERMS))
+)
+
 _BM25_SQL = f"""
 WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
            FROM documents),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+perdoc AS (SELECT doc_id, COUNT(*) AS dl,
+  {_BM25_TFS_SQL}
+  FROM w GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs,
-                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-          FROM dl),
-tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
-       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word),
-df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w
-       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY word),
-sc AS (SELECT tf.doc_id,
-              ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-                * (tf.tf * 2.2)
-                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
-       FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
-       CROSS JOIN stats)
-SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) AS score
-FROM sc GROUP BY doc_id
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+  {_BM25_DFS_SQL}
+  FROM perdoc),
+sc AS (SELECT doc_id, {_BM25_SCORE_SQL} AS s
+       FROM perdoc CROSS JOIN stats
+       WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))})
+SELECT doc_id, CAST(ROUND(CAST(s AS DECIMAL(25,6)), 6) AS DOUBLE) AS score
+FROM sc
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
@@ -4262,45 +4275,61 @@ def text_bm25_topk(spark: SparkSession, d: str) -> DataFrame:
     the sparse half of every RAG/retrieval stack next to
     pipeline_rag_e2e's dense half].
 
-    Scale shape: the exploded token relation is filtered to the query
-    terms BEFORE any shuffle (tf is |terms|-bounded per doc); the only
-    corpus-wide aggregations are the per-doc length pass (combinable
-    count keyed on doc_id) and the 1-row corpus stats, which ride as a
-    broadcast; df is a |terms|-row broadcast. Final top-10 is
-    TakeOrdered (no global sort). Cross-engine determinism: each
-    per-term score is one identically-written IEEE expression chain;
-    the per-doc sum across terms is frozen to DECIMAL(25,6) so
-    summation order cannot matter, and the rank orders by the quantized
-    score with doc_id as total-order tiebreak."""
+    ONE pass over the exploded token relation: per-doc length and the
+    three per-term frequencies are conditional aggregates of the same
+    doc_id-keyed groupBy (map-side combinable — the first draft's
+    separate dl/tf/df aggregations scanned the explosion twice), and
+    corpus stats (n_docs, avgdl, per-term document frequencies) reduce
+    that relation to ONE broadcast row. Scoring is a fixed-order
+    three-term expression chain — identical IEEE evaluation order in
+    both engines, no shuffle-order surface at all — rounded at 6 dp
+    (one ln per term; its ≤1-ulp engine skew cannot reach the 6-dp
+    grid except exactly at a midpoint). Final top-10 is TakeOrdered
+    (no global sort), ordered by the rounded score with doc_id as
+    total-order tiebreak."""
     doc = t(spark, d, "documents")
     w = doc.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
-    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    perdoc = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t_, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t_ in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    qw = w.filter(F.col("word").isin(*_BM25_TERMS))
-    tf = qw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = qw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    s = idf * (F.col("tf") * F.lit(2.2)) / (
-        F.col("tf")
-        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-    )
-    sc = (
-        tf.join(F.broadcast(df_), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", s.alias("s"))
-    )
+
+    def term_score(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        s = idf * (F.col(f"tf{i}") * F.lit(2.2)) / (
+            F.col(f"tf{i}")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    any_hit = F.col("tf0") > 0
+    for i in range(1, len(_BM25_TERMS)):
+        any_hit = any_hit | (F.col(f"tf{i}") > 0)
     return (
-        sc.groupBy("doc_id")
-        .agg(F.sum(F.col("s").cast(DEC)).cast("double").alias("score"))
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", dround(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
