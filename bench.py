@@ -56,6 +56,8 @@ HEADLINE = [
     "pipeline_rag_e2e",
     "pipeline_ccnet_e2e",
     "audit_data_quality",
+    "text_bm25_topk",
+    "vec_pca_power_iteration",
 ]
 
 RUNS = 3
