@@ -110,6 +110,7 @@ PROBE = [
     "agg_mad_anomaly",
     "vec_pca_project",
     "events_path_trigrams",
+    "dedup_eval_simhash_recall",
     "dedup_ngram_jaccard",
 ]
 

@@ -43,6 +43,7 @@ _PRIORITY = [
     "agg_mad_anomaly",
     "vec_pca_project",
     "events_path_trigrams",
+    "dedup_eval_simhash_recall",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
