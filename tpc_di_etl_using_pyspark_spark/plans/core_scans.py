@@ -8,6 +8,7 @@ the DuckDB oracle — a stronger check than rows-only.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -610,3 +611,48 @@ def sink_python_datasource(spark: SparkSession, d: str) -> DataFrame:
             f"manifest/readback mismatch: {manifest['n_total']} vs read"
         )
     return back
+
+
+@_op(
+    "sink_compact_small_files",
+    """SELECT CAST(64 AS BIGINT) AS n_input_files,
+              CAST(4 AS BIGINT) AS n_output_files,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+       FROM orders""",
+)
+def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every long-
+    lived lake needs: streaming/incremental writers fragment a table
+    into thousands of KB-sized files, and scan throughput collapses
+    under per-file open/footer costs until a compaction pass rewrites
+    them at the target size [EXT: OPTIMIZE/rewrite_data_files in
+    table-format engines].
+
+    The op materializes a deliberately fragmented copy of orders
+    (round-robin repartition(64) → exactly 64 part files), compacts it
+    with a 4-way coalescing rewrite, and emits the file-count
+    before/after plus row count and a key checksum proving the rewrite
+    lost nothing. Both file counts are DETERMINISTIC (one parquet part
+    per non-empty partition; round-robin leaves none empty at any
+    sf ≥ the partition count), so the oracle certifies the compaction
+    contract itself, not just the data. At 100 TB the same plan runs
+    per-partition-directory with a size-based target
+    (spark.sql.files.maxRecordsPerFile / maxPartitionBytes), still one
+    narrow rewrite with no shuffle beyond the coalesce."""
+    o = t(spark, d, "orders")
+    frag = _scratch(d, "orders_fragmented")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n_in = len(glob.glob(os.path.join(frag, "part-*")))
+    compacted = _scratch(d, "orders_compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    n_out = len(glob.glob(os.path.join(compacted, "part-*")))
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.lit(n_in).cast("bigint").alias("n_input_files"),
+        F.lit(n_out).cast("bigint").alias("n_output_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "vec_pca_project",
     "events_path_trigrams",
     "dedup_eval_simhash_recall",
+    "sink_compact_small_files",
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
