@@ -451,3 +451,106 @@ def test_bloom_filter_never_false_negative(spark, tmp_path_factory, words):
     for r in rows:
         if r.is_member:
             assert r.bloom_positive
+
+
+_cms_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SETTINGS
+@given(_cms_words)
+def test_count_min_matches_python_replay(spark, tmp_path_factory, words):
+    """The CMS op must equal an exact Python replay of the sketch
+    (same md5 hashes, same 4x64 counters, same min-over-rows) on ANY
+    corpus, and can never underestimate."""
+    import hashlib
+    from collections import Counter
+
+    from tpc_di_etl_using_pyspark_spark.plans.core_agg import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        sketch_count_min,
+    )
+
+    d = str(tmp_path_factory.mktemp("cms"))
+    spark.createDataFrame(
+        [(0, " ".join(words), "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    exact = Counter(words)
+
+    def bucket(w, j):
+        h = int(hashlib.md5(f"{w}:{j}".encode()).hexdigest()[:15], 16)
+        return h % _CMS_WIDTH
+
+    counters = {}
+    for w, n in exact.items():
+        for j in range(_CMS_DEPTH):
+            key = (j, bucket(w, j))
+            counters[key] = counters.get(key, 0) + n
+    want = {
+        w: min(counters[(j, bucket(w, j))] for j in range(_CMS_DEPTH))
+        for w in exact
+    }
+    rows = sketch_count_min(spark, d).collect()
+    got = {r.word: (r.exact_n, r.cms_n, r.never_underestimates) for r in rows}
+    assert set(got) == set(exact)
+    for w in exact:
+        assert got[w] == (exact[w], want[w], True)
+        assert want[w] >= exact[w]
+
+
+_path_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=40),  # ts offset (dups ok)
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(_path_rows)
+def test_path_trigrams_match_python_replay(spark, tmp_path_factory, rows):
+    """events_path_trigrams must equal a first-principles Python
+    replay: per-user (ts, event_id)-ordered type sequences, all
+    consecutive triples, global counts, top-20 by (n desc, types)."""
+    from collections import Counter
+
+    from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import events_path_trigrams
+
+    d = str(tmp_path_factory.mktemp("paths"))
+    spark.createDataFrame(
+        [
+            (i, _EPOCH0 + datetime.timedelta(seconds=off), u, et, 1.0, "{}")
+            for i, (u, off, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    per_user: dict[int, list[tuple]] = {}
+    for i, (u, off, et) in enumerate(rows):
+        per_user.setdefault(u, []).append((off, i, et))
+    c: Counter = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        types = [et for _, _, et in seq]
+        for k in range(len(types) - 2):
+            c[(types[k], types[k + 1], types[k + 2])] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [
+        (e1, e2, e3, n, rk + 1)
+        for rk, ((e1, e2, e3), n) in enumerate(ranked)
+    ]
+    got = [
+        (r.e1, r.e2, r.e3, r.n, r.rk)
+        for r in events_path_trigrams(spark, d).orderBy("rk").collect()
+    ]
+    assert got == want
