@@ -24,146 +24,119 @@ _MODULES = [
     "tpcdi_ops",
 ]
 
-# Certification window rotation: the external driver checks the first
-# ~50 registry entries per round. Round 3 leads with ops whose code or
-# oracle changed this round, then the never-certified backlog ordered
-# per VERDICT r2 item 1 (TPC-DI remainder, late-round-2 surfaces, the
-# twice-queued scalar family, canonical aggregates). 98 ops certified
-# in r1+r2 sit after every never-certified op.
+# Certification window rotation: the external driver certifies the
+# FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
+# surface is FROZEN as of round 4 (VERDICT r3 item 1): no new ops until
+# every op has a driver row. The remaining never-certified backlog
+# (143 ops after r3) is partitioned into three mechanical windows:
+#
+#   round 4 (this round, 50): all 36 uncertified §2.H scalars, the 8
+#     uncertified §2.I streaming ops, the first 6 §2.J UDF ops.
+#   round 5 (next 49): §2.J tail (udf_sql_declarative,
+#     udtf_sql_table_fn, udtf_python_lateral), late-round-2 Spark-4
+#     surfaces (sql_pipe_syntax, scan/sink_python_datasource,
+#     multimodal_image_resize, join_dpp_partitioned, vec_quantize_pq),
+#     §2.L remainder (tpcdi_* dims/pnl/reference, events_*), §2.D
+#     aggregate tail, sorts/SQL surfaces, csv scan/sink tail. Plus,
+#     AT THE FRONT, any op whose code or oracle changed in round 4
+#     (currently: dedup_eval_simhash_recall, re-cert for the
+#     truth_fraction sampling mode — queued at position 51 this round
+#     so a >50 driver window certifies it immediately).
+#   round 6 (last 44): remaining scan/sink probes, join variants,
+#     window tail, §2.K local-green text/sim/multimodal tail.
+#
+# After the three windows every already-certified op follows in module
+# order via _collect(); nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-3 certification window (first ~50) ---
-    # new or code-changed this round — need a (re)certification row
-    "text_bm25_topk",
-    "dedup_ngram_containment",
-    "win_ema_smooth",
-    "sketch_count_min",
-    "win_rolling_corr",
-    "vec_pca_power_iteration",
-    "sketch_bloom_filter",
-    "agg_mad_anomaly",
-    "vec_pca_project",
-    "events_path_trigrams",
-    "dedup_eval_simhash_recall",
-    "sink_compact_small_files",
-    "text_ngram_topk",
-    "dedup_chunk_level",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "stream_quality_gate",
-    "stream_incremental_dedup",
-    "events_attribution_last_touch",
-    "audit_data_quality",
-    "pipeline_ccnet_e2e",
-    "sample_epoch_shuffle",
-    "events_markov_transitions",
-    "pipeline_rag_e2e",
-    "dedup_url_canonical",
-    "text_chunk_overlap",
-    "text_perplexity_bucket",
-    "vec_covariance_matrix",
-    "dedup_substring_windows",
-    "text_keyword_topk",
-    "text_snapshot_novelty",
-    "multimodal_phash_neardup",
-    "dedup_cross_source_matrix",
-    "text_quality_gopher",
-    "tpcdi_batch_e2e",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "sim_rp_lsh_cosine",
-    "vec_kmeans_refine",
-    "sample_negative_pairs",
-    "join_bloom_runtime_filter",
-    "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
-    "sim_ann_recall_eval",
-    "sim_ivf_multiprobe_topk",
-    "multimodal_dedup_sha",
-    "graph_label_propagation",
-    "pipeline_multimodal_e2e",
-    "win_time_weighted_avg",
-    # TPC-DI remainder, never driver-checked
-    "tpcdi_cdc_apply",
-    "tpcdi_marketing_nameplate",
-    "tpcdi_prospect_match",
-    "tpcdi_dim_date",
-    "tpcdi_dim_time",
-    "tpcdi_dim_trade",
-    "tpcdi_dimessages",
-    # late-round-2 surfaces, never driver-checked
-    "json_variant_extract",
-    "json_variant_explode",
-    "sql_pipe_syntax",
-    "udf_sql_declarative",
-    "udtf_sql_table_fn",
-    "udtf_python_lateral",
-    "scan_python_datasource",
-    "sink_python_datasource",
-    "stream_transform_with_state",
-    "multimodal_image_resize",
-    "join_dpp_partitioned",
-    "vec_quantize_pq",
-    # §2.H scalar family (queued since round 1)
+    # --- round-4 certification window (exactly 50, ZERO previously
+    # certified ops; VERDICT r3 item 1) ---
+    # §2.H scalar family (36) — queued since round 1
     "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
     "str_pad_format",
     "str_regexp",
     "str_split_explode",
+    "str_regexp_extract_all",
+    "str_levenshtein_link",
+    "str_encode_b64_hex",
+    "str_url_parse",
+    "str_collate_ci",
     "date_parse",
     "date_arith",
     "date_extract",
     "date_trunc_bucket",
+    "date_boundaries",
+    "date_spine_gapfill",
     "math_round_money",
     "math_ratio_guard",
+    "math_functions",
+    "math_trig",
+    "math_try_overflow",
     "cond_case_when",
     "null_coalesce",
     "cast_types",
+    "hash_checksum",
+    "bit_ops",
     "json_extract",
+    "json_nested_roundtrip",
+    "json_variant_extract",
+    "json_variant_explode",
     "array_ops",
     "array_fold_dot",
-    "hash_checksum",
-    "math_try_overflow",
-    # §2.D canonical aggregate rows still local-green only
+    "array_posexplode",
+    "array_exists_forall",
+    "xml_roundtrip_builtin",
+    # §2.I streaming basics (8)
+    "stream_tumbling_count",
+    "stream_sliding_sum",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_totals",
+    "stream_transform_with_state",
+    # §2.J UDF/UDAF/UDTF head (6)
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "udf_arrow_scalar",
+    # --- position 51: round-4 code-change re-cert candidate ---
+    "dedup_eval_simhash_recall",
+    # --- round-5 window (49) ---
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
+    "udtf_python_lateral",
+    "sql_pipe_syntax",
+    "scan_python_datasource",
+    "sink_python_datasource",
+    "multimodal_image_resize",
+    "join_dpp_partitioned",
+    "vec_quantize_pq",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_prospect_match",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dim_trade",
+    "tpcdi_dimessages",
+    "tpcdi_scd2_hybrid_type1",
+    "tpcdi_holdings_pnl",
+    "tpcdi_reference_dims",
+    "events_funnel",
+    "events_retention",
+    "events_active_users_rolling",
     "agg_first_last",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_stats",
-    # --- beyond the window: every remaining op without a driver
-    # CORRECTNESS row, queued for rounds 4+ (rotate to the front then);
-    # already-certified ops follow in module order via _collect() ---
-    "str_collate_ci",
-    "xml_roundtrip_builtin",
     "agg_transpose_matrix",
-    "sort_limit_offset",
-    "tpcdi_scd2_hybrid_type1",
-    "scan_csv_multichar_delim",
-    "text_bigram_logprob",
-    "sql_groupby_all",
-    "str_regexp_extract_all",
-    "sql_scalar_subquery_corr",
-    "sink_csv_quoted",
-    "win_slope_rolling",
     "agg_moments_exact",
-    "win_median_rolling",
     "agg_filter_clause",
-    "scan_recursive_glob",
-    "events_active_users_rolling",
-    "tpcdi_holdings_pnl",
     "agg_bitmap_distinct",
     "agg_count_distinct_multi",
-    "win_percent_of_parent",
-    "text_js_divergence_sources",
-    "scan_schema_evolution",
-    "sink_sorted_clustered",
-    "scan_binaryfile",
-    "scan_partition_pruned",
-    "sql_lateral_topk",
-    "join_asof_tolerance",
-    "sql_recursive_hierarchy",
-    "join_null_safe",
-    "join_interval_overlap",
     "agg_percentile",
     "agg_unpivot",
     "agg_collect_sorted",
@@ -172,37 +145,34 @@ _PRIORITY = [
     "agg_pivot_dynamic",
     "agg_median_mode",
     "agg_regression_exact",
+    "agg_histogram_fixed",
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
-    "agg_histogram_fixed",
+    "sort_limit_offset",
+    "sql_groupby_all",
+    "sql_scalar_subquery_corr",
+    "sql_lateral_topk",
+    "sql_recursive_hierarchy",
+    "scan_csv_multichar_delim",
+    "sink_csv_quoted",
+    # --- round-6 window (44) ---
+    "scan_recursive_glob",
+    "scan_schema_evolution",
+    "sink_sorted_clustered",
+    "scan_binaryfile",
+    "scan_partition_pruned",
+    "join_asof_tolerance",
+    "join_null_safe",
+    "join_interval_overlap",
+    "win_slope_rolling",
+    "win_median_rolling",
+    "win_percent_of_parent",
     "win_zscore_anomaly",
     "win_sessionize_gap",
     "win_range_time_interval",
     "win_interpolate_linear",
-    "str_levenshtein_link",
-    "date_boundaries",
-    "array_posexplode",
-    "math_functions",
-    "str_encode_b64_hex",
-    "str_url_parse",
-    "bit_ops",
-    "math_trig",
-    "date_spine_gapfill",
-    "array_exists_forall",
-    "json_nested_roundtrip",
-    "stream_tumbling_count",
-    "stream_sliding_sum",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_state",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_totals",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "udf_arrow_scalar",
+    "text_bigram_logprob",
+    "text_js_divergence_sources",
     "text_tokenize_counts",
     "text_stats",
     "text_lang_id",
@@ -230,9 +200,6 @@ _PRIORITY = [
     "sample_temperature_mixture",
     "vec_centroid_per_label",
     "text_bpe_pair_count",
-    "events_funnel",
-    "events_retention",
-    "tpcdi_reference_dims",
 ]
 
 
