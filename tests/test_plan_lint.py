@@ -8,9 +8,14 @@
    (1-row/k-row aggregates, small literal grids) must plan as
    BroadcastNestedLoopJoin, never a shuffled cartesian.
 
-Lazily builds the optimized physical plan of all registry ops — no
-execution, so the sweep stays cheap — and fails with the op id and
-offending node.
+Builds the optimized physical plan of all registry ops and fails with
+the op id and offending node. Plan construction is cheap for most ops;
+write-then-read-back ops materialize their (pid-scoped, small) scratch
+fixtures as a construction side effect, which is tolerated. Ops whose
+CONSTRUCTION runs full jobs over the base tables (the compaction op's
+two parquet write passes, the Python DataSource connectors' scratch
+materialization) are skipped here — their plans are exercised by their
+own dedicated tests and the oracle-parity sweep (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -44,6 +49,16 @@ PYTHON_SURFACE = {
     "scan_xml_flatten",
 }
 
+# Ops whose DataFrame CONSTRUCTION executes full jobs (eager writes /
+# globs) — linting them re-runs those jobs on every sweep and couples
+# the lint to writable scratch dirs, so they are skipped (see module
+# docstring).
+SIDE_EFFECT = {
+    "sink_compact_small_files",
+    "scan_python_datasource",
+    "sink_python_datasource",
+}
+
 _PY_NODES = (
     "BatchEvalPython",
     "ArrowEvalPython",
@@ -66,6 +81,8 @@ def _plan(df) -> str:
 
 @pytest.mark.parametrize("op", sorted(_QUERIES))
 def test_plan_is_python_free_and_never_cartesian(op, spark, sf_dir):
+    if op in SIDE_EFFECT:
+        pytest.skip("construction runs eager write jobs; linted elsewhere")
     plan = _plan(_QUERIES[op](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{op}: shuffled cartesian product"
     if op in PYTHON_SURFACE:

@@ -251,7 +251,9 @@ _ema_rows = st.lists(
     st.tuples(
         st.integers(min_value=1, max_value=3),  # user
         st.integers(min_value=0, max_value=50),  # ts second offset (dups ok)
-        st.integers(min_value=0, max_value=99999),  # value in centi-units
+        # value in centi-units — negatives included: the sign-aware
+        # HALF_UP (half away from zero) must hold below zero too
+        st.integers(min_value=-99999, max_value=99999),
     ),
     min_size=1,
     max_size=40,

@@ -636,19 +636,37 @@ def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
     lost nothing. Both file counts are DETERMINISTIC (one parquet part
     per non-empty partition; round-robin leaves none empty at any
     sf ≥ the partition count), so the oracle certifies the compaction
-    contract itself, not just the data. At 100 TB the same plan runs
-    per-partition-directory with a size-based target
+    contract itself, not just the data. The determinism has two config
+    preconditions, asserted loudly below so a violation is a diagnosable
+    error instead of an oracle hash mystery: ≥64 input rows (no empty
+    round-robin partition) and no file-splitting knob such as
+    spark.sql.files.maxRecordsPerFile (which would emit >1 part per
+    partition — a hostile-config sweep that ever sets it will trip the
+    assert, not the parity hash; noted in the verify skill). At 100 TB
+    the same plan runs per-partition-directory with a size-based target
     (spark.sql.files.maxRecordsPerFile / maxPartitionBytes), still one
     narrow rewrite with no shuffle beyond the coalesce."""
     o = t(spark, d, "orders")
     frag = _scratch(d, "orders_fragmented")
     o.repartition(64).write.mode("overwrite").parquet(frag)
     n_in = len(glob.glob(os.path.join(frag, "part-*")))
+    if n_in != 64:
+        raise ValueError(
+            f"compaction precondition broken: expected 64 input part files,"
+            f" got {n_in} — empty round-robin partition (<64 rows?) or a"
+            f" file-splitting conf (maxRecordsPerFile?) is set"
+        )
     compacted = _scratch(d, "orders_compacted")
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
         compacted
     )
     n_out = len(glob.glob(os.path.join(compacted, "part-*")))
+    if n_out != 4:
+        raise ValueError(
+            f"compaction precondition broken: expected 4 output part files,"
+            f" got {n_out} — a file-splitting conf is fragmenting the"
+            f" compacted write"
+        )
     back = spark.read.parquet(compacted)
     return back.agg(
         F.lit(n_in).cast("bigint").alias("n_input_files"),

@@ -877,15 +877,22 @@ _EMA_TERMS_SQL = " + ".join(
     for k, w in enumerate(_EMA_W10)
 )
 
+# Sign-aware HALF_UP (half away from zero): both Spark `div` and
+# DuckDB `//` truncate toward zero, so `+half` alone would round
+# negative sums half-toward-zero — the half must carry the sum's sign
+# (ADVICE r3; the fixture is non-negative but the contract is not).
 _EMA_SQL = f"""
 WITH m AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1000000) AS BIGINT) AS micro
-           FROM events)
+           FROM events),
+s AS (SELECT event_id, user_id, {_EMA_TERMS_SQL} AS acc
+      FROM m
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id,
-       CAST(({_EMA_TERMS_SQL} + 5000000000) // 10000000000 AS DOUBLE)
+       CAST((acc + CASE WHEN acc >= 0 THEN 5000000000
+                        ELSE -5000000000 END) // 10000000000 AS DOUBLE)
          / 1000000 AS ema10
-FROM m
-WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+FROM s
 """
 
 
@@ -903,9 +910,12 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
     of total weight. Cross-engine exactness: all arithmetic is scaled
     BIGINT (weights x1e10 are exact integers because 0.3*0.7^k is the
     exact decimal 3*7^k/10^(k+1); values x1e6 are exact micro-units),
-    with one integer HALF_UP back to 6 dp — no float op until the final
-    exact small-integer / 1e6 (see the module comment above for the two
-    rejected float/decimal drafts and their midpoint/overflow modes)."""
+    with one integer sign-aware HALF_UP (half away from zero — `div`
+    truncates toward zero, so the half carries the sum's sign; holds
+    for negative values too, property-tested) back to 6 dp — no float
+    op until the final exact small-integer / 1e6 (see the module
+    comment above for the two rejected float/decimal drafts and their
+    midpoint/overflow modes)."""
     e = t(spark, d, "events")
     micro = F.round(F.col("value") * 1000000).cast("long")
     m = e.select("event_id", "user_id", "ts", micro.alias("micro"))
@@ -916,8 +926,12 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
         f"{w} * lag(micro, {k}, 0) OVER {uw}" if k else f"{w} * micro"
         for k, w in enumerate(_EMA_W10)
     )
-    ema = F.expr(f"(({terms}) + 5000000000) div 10000000000")
-    return m.select(
+    acc = m.select("event_id", "user_id", F.expr(f"({terms})").alias("acc"))
+    ema = F.expr(
+        "(acc + CASE WHEN acc >= 0 THEN 5000000000"
+        " ELSE -5000000000 END) div 10000000000"
+    )
+    return acc.select(
         "event_id", "user_id", (ema.cast("double") / 1000000).alias("ema10")
     )
 
