@@ -32,6 +32,39 @@ def main() -> None:
         "Regenerate with `python tools/gen_plans_md.py`. Plan-shape",
         "invariants are asserted in `tests/test_plans.py`.",
         "",
+        "## Persisted artifacts at production scale",
+        "",
+        "The driver contract makes every registry op self-contained (one",
+        "callable, base tables in, result out), so ops that APPLY a learned",
+        "model recompute it in-plan. In production the model relations below",
+        "are computed once, persisted, and loaded by the apply step — the",
+        "apply-side plan is unchanged, only the upstream subtree is replaced",
+        "by a scan. Which ops recompute, what production persists, and where",
+        "the index-at-rest variant already exists in this repo:",
+        "",
+        "| Recomputing op | Model relation production persists | Index-at-rest variant |",
+        "| --- | --- | --- |",
+        "| `vec_pca_project` (plans/llm.py:4535) | 64-row PCA direction from"
+        " `vec_pca_power_iteration` (plans/llm.py:4447) | the direction IS the"
+        " artifact — tiny table or broadcast file |",
+        "| `sim_ivf_topk` / `sim_ivf_multiprobe_topk` (plans/llm.py:796/783) |"
+        " centroids + cell assignments | `sim_ivf_index_partitioned`"
+        " (plans/llm.py:1230) writes the cell-partitioned index and asserts"
+        " partition pruning on probe |",
+        "| `stream_incremental_dedup` (plans/streaming_ops.py:308) | capped"
+        " band-bucket index + shingle sets (streaming/ops.py:317"
+        " `build_corpus_index`) | `pipeline_incremental_dedup`"
+        " (plans/llm.py:2240) exercises the standing-index probe; production"
+        " writes the index partitioned by band |",
+        "| `vec_kmeans_refine` (plans/llm.py:2309) | k×dim centroid relation"
+        " per iteration | centroids are the artifact; each refine step reads"
+        " the previous iteration's table |",
+        "| `vec_quantize_pq` (plans/llm.py:2582) | 32-row PQ codebook |"
+        " codebook broadcasts from a persisted tiny table |",
+        "| `dedup_eval_simhash_recall` (plans/llm.py:4619) | nothing — the"
+        " audit samples per run by md5(doc_id), so re-audits are cheap and"
+        " deterministic | n/a (measurement, not a model) |",
+        "",
     ]
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
