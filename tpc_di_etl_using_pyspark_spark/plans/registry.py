@@ -38,10 +38,14 @@ _MODULES = [
 #     multimodal_image_resize, join_dpp_partitioned, vec_quantize_pq),
 #     §2.L remainder (tpcdi_* dims/pnl/reference, events_*), §2.D
 #     aggregate tail, sorts/SQL surfaces, csv scan/sink tail. Plus,
-#     AT THE FRONT, any op whose code or oracle changed in round 4
-#     (currently: dedup_eval_simhash_recall, re-cert for the
-#     truth_fraction sampling mode — queued at position 51 this round
-#     so a >50 driver window certifies it immediately).
+#     AT THE FRONT, the ops whose code or oracle changed in round 4
+#     (positions 51-55 below: dedup_eval_simhash_recall's sampled
+#     truth mode, win_ema_smooth's sign-aware rounding,
+#     text_snapshot_novelty + dedup_ngram_containment's short-doc
+#     guard, sink_compact_small_files' precondition asserts — queued
+#     right after the window so a >50 driver window certifies them
+#     immediately; all five re-verified green at sf0.01 AND sf0.1
+#     this round).
 #   round 6 (last 44): remaining scan/sink probes, join variants,
 #     window tail, §2.K local-green text/sim/multimodal tail.
 #
@@ -103,8 +107,12 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- position 51: round-4 code-change re-cert candidate ---
+    # --- positions 51-55: round-4 code-change re-cert candidates ---
     "dedup_eval_simhash_recall",
+    "win_ema_smooth",
+    "text_snapshot_novelty",
+    "dedup_ngram_containment",
+    "sink_compact_small_files",
     # --- round-5 window (49) ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",
