@@ -61,9 +61,11 @@ def main() -> None:
         " the previous iteration's table |",
         "| `vec_quantize_pq` (plans/llm.py:2582) | 32-row PQ codebook |"
         " codebook broadcasts from a persisted tiny table |",
-        "| `dedup_eval_simhash_recall` (plans/llm.py:4619) | nothing — the"
-        " audit samples per run by md5(doc_id), so re-audits are cheap and"
-        " deterministic | n/a (measurement, not a model) |",
+        "| `dedup_eval_simhash_recall` (plans/llm.py:4619) | the"
+        " dedup_simhash prediction pair set (it IS the dedup output, already"
+        " persisted by any production dedup run) — the truth side samples per"
+        " run by md5(doc_id) and persists nothing | n/a (measurement, not a"
+        " model; the in-plan preds recompute is the self-containment tax) |",
         "",
     ]
     for name in HEADLINE:

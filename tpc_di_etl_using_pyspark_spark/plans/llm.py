@@ -4567,11 +4567,11 @@ def vec_pca_project(spark: SparkSession, d: str) -> DataFrame:
 # audit universe is a deterministic md5 doc sample (60-bit md5 of the
 # id, mod 100 < _EVAL_TRUTH_PCT) — the posture production recall
 # audits actually run, and the quadratic truth join shrinks ~pct².
-# The CERTIFIED mode is the sampled mode (pct=40 < 100); both the
+# The CERTIFIED mode is the sampled mode (pct=30 < 100); both the
 # sample predicate and the short-doc guard are mirrored move-for-move
 # in the oracle. Predictions are restricted to pairs with BOTH
 # endpoints in the sample so precision/recall read over one universe.
-_EVAL_TRUTH_PCT = 40
+_EVAL_TRUTH_PCT = 30
 
 _EVAL_SAMPLE_SQL = (
     "CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 15))"
@@ -4624,7 +4624,7 @@ def dedup_eval_simhash_recall(spark: SparkSession, d: str) -> DataFrame:
     so it must be measured, not assumed].
 
     Truth = every pair with exact 3-gram Jaccard ≥ 0.5 within a
-    DETERMINISTIC md5 doc sample (_EVAL_TRUTH_PCT = 40% of ≥3-word
+    DETERMINISTIC md5 doc sample (_EVAL_TRUTH_PCT = 30% of ≥3-word
     docs, no blocking inside the sample) — the sampled-audit posture
     production recall audits run, so the certified shape IS the
     scalable shape: the exhaustive side's quadratic work shrinks
