@@ -24,11 +24,13 @@ def test_oracle_parity(op, spark, duck, sf_dir):
     assert_parity(df, duck, _ORACLES[op], op)
 
 
-@pytest.mark.parametrize("op", sorted(set(_QUERIES) - set(_ORACLES)))
-def test_rows_only_ops_run(op, spark, sf_dir):
-    df = _QUERIES[op](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_ops_remain():
+    """Every registered op is SQL-oracled — the rows-only escape hatch
+    is empty (and this test replaces the parametrized runner that
+    pytest reported as a skip on the empty set)."""
+    assert set(_QUERIES) == set(_ORACLES), (
+        f"rows-only ops appeared: {sorted(set(_QUERIES) - set(_ORACLES))}"
+    )
 
 
 def test_approx_selfcheck_flags_true(spark, sf_dir):

@@ -79,10 +79,8 @@ def _plan(df) -> str:
     )
 
 
-@pytest.mark.parametrize("op", sorted(_QUERIES))
+@pytest.mark.parametrize("op", sorted(set(_QUERIES) - SIDE_EFFECT))
 def test_plan_is_python_free_and_never_cartesian(op, spark, sf_dir):
-    if op in SIDE_EFFECT:
-        pytest.skip("construction runs eager write jobs; linted elsewhere")
     plan = _plan(_QUERIES[op](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{op}: shuffled cartesian product"
     if op in PYTHON_SURFACE:
