@@ -4467,8 +4467,16 @@ def vec_pca_power_iteration(spark: SparkSession, d: str) -> DataFrame:
     # branches and both iterations — uncached, ReusedExchange still
     # re-runs the corpus-sized pair explosion for the second branch
     # (measured 5.9 → 3.7 s cold, ~9% warm at sf0.1; the harness
-    # clears caches between ops)
-    cov0 = vec_covariance_matrix(spark, d).cache()
+    # clears caches between ops).
+    # repartition(1): every downstream stage operates on a ≤4160-row
+    # model relation, but inherits the session's shuffle partition
+    # count — at 32-64 partitions the ~10 tiny iteration stages are
+    # almost pure task-launch overhead (measured 4.5 → 2.5 s at
+    # sf0.1). One extra 2080-row shuffle collapses them all to
+    # single-task; the corpus-sized covariance aggregation KEEPS full
+    # parallelism (coalesce(1) would fold into its reduce stage and
+    # serialize the shuffle read at cluster scale — rejected).
+    cov0 = vec_covariance_matrix(spark, d).repartition(1).cache()
     covq = F.round(F.col("cov") * 1000000).cast("long").alias("covq")
     up = cov0.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), covq)
     lo = cov0.filter(F.col("dim_i") < F.col("dim_j")).select(

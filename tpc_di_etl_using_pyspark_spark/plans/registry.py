@@ -39,13 +39,13 @@ _MODULES = [
 #     §2.L remainder (tpcdi_* dims/pnl/reference, events_*), §2.D
 #     aggregate tail, sorts/SQL surfaces, csv scan/sink tail. Plus,
 #     AT THE FRONT, the ops whose code or oracle changed in round 4
-#     (positions 51-55 below: dedup_eval_simhash_recall's sampled
+#     (positions 51-57 below: dedup_eval_simhash_recall's sampled
 #     truth mode, win_ema_smooth's sign-aware rounding,
 #     text_snapshot_novelty + dedup_ngram_containment's short-doc
-#     guard, sink_compact_small_files' precondition asserts — queued
-#     right after the window so a >50 driver window certifies them
-#     immediately; all five re-verified green at sf0.01 AND sf0.1
-#     this round).
+#     guard, sink_compact_small_files' precondition asserts, the PCA
+#     pair's model-relation repartition(1) — queued right after the
+#     window so a >50 driver window certifies them immediately; all
+#     seven re-verified green at sf0.01 AND sf0.1 this round).
 #   round 6 (last 44): remaining scan/sink probes, join variants,
 #     window tail, §2.K local-green text/sim/multimodal tail.
 #
@@ -107,12 +107,14 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- positions 51-55: round-4 code-change re-cert candidates ---
+    # --- positions 51-57: round-4 code-change re-cert candidates ---
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
     "dedup_ngram_containment",
     "sink_compact_small_files",
+    "vec_pca_power_iteration",
+    "vec_pca_project",
     # --- round-5 window (49) ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",
