@@ -556,3 +556,46 @@ def test_path_trigrams_match_python_replay(spark, tmp_path_factory, rows):
         for r in events_path_trigrams(spark, d).orderBy("rk").collect()
     ]
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_md5_sampling_recipe_cross_engine(spark, ids):
+    """The deterministic-sampling recipe (60-bit md5 of the id string,
+    mod 100) that gates dedup_eval_simhash_recall's truth universe
+    must agree bit-for-bit between Spark's
+    conv(substr(md5(x),1,15),16,10) and DuckDB's
+    CAST(concat('0x',substr(md5(x),1,15)) AS BIGINT) on ARBITRARY
+    int64 ids — a disagreement would silently desynchronize the two
+    engines' sample sets and surface as an inexplicable parity
+    mismatch."""
+    import duckdb
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    got = {
+        r.doc_id: (r.h, r.bucket)
+        for r in df.select(
+            "doc_id", h.alias("h"), (h % 100).alias("bucket")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: (hh, bb)
+        for i, hh, bb in con.execute(
+            "SELECT i, CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT),"
+            " CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+            " FROM (SELECT unnest(?) AS i)",
+            [ids],
+        ).fetchall()
+    }
+    assert got == want
