@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Generate an ADVERSARIAL fixture: the same 10-table schema as the
+driver's parquet (FIXTURES.md), but populated with hostile values the
+synthetic fixture never produces — exact decimal midpoints, negative
+and huge money, regex metacharacters / unicode / empty / padded
+strings, epoch and far-future timestamps, leap days, duplicate sort
+keys, zero and near-zero vectors, short and whitespace-heavy docs.
+
+Purpose: run `python tools/parity_sweep.py /tmp/spark_graft_adversarial
+<ops>` over it. The driver certifies on the friendly fixture; this
+probes whether an op's cross-engine (Spark vs DuckDB) agreement is a
+property of the EXPRESSIONS or an accident of the data. A mismatch
+here is either a real engine-semantics divergence (fix the op+oracle
+pair) or an input outside the op's documented contract (document it).
+
+Known out-of-contract inputs deliberately EXCLUDED (first pass):
+NaN/Inf doubles (engines disagree on NaN grouping by design; the
+fixture contract is finite doubles) and NULLs in historically
+non-nullable columns. documents.text stays single-space-delimited
+(the corpus tokenization convention documented at _NOVELTY_SQL) but
+includes short (<3 word) docs, empty-ish strings, and unicode.
+
+Usage: python tools/adversarial_fixture.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_adversarial"
+
+# value pools ------------------------------------------------------------
+# |values| stay under ~1e7 so every group's DECIMAL(25,6) sum fits
+# 2^53 micro-units — the documented dsum/davg cross-engine-exact bound
+# (plans/_util.dsum). 1e15-class values were tried and correctly
+# exposed the bound (1-ulp DECIMAL->DOUBLE divergence): out of
+# contract by design, not a target.
+MONEY = [
+    0.0, -0.0, 0.01, -0.01, 2.675, 1234567.125, -98765.435,
+    0.005, 123.455, 9999999.99, -9999999.99, 1e-9, 3.141592653589793,
+    8388608.03125, -8388608.03125, 0.1, 0.3, 7.105427357601002,
+]
+QTY = [0.0, 1.0, -5.0, 2.0, 50.0, 1024.0, 0.5, 17.0, 1e6, 3.0]
+RATE = [0.0, 1.0, 0.05, 0.5, 0.125, 0.999999, 0.000001, 0.1]
+STR = [
+    "", " ", "  double  spaced  ", "a|b.c(d)e*f+g?h[i]j",
+    "O'Brien \"quoted\" <tag>&amp;", "ÜNÏCØDE tëxt ßharp", "日本語テキスト",
+    "x" * 500, "MiXeD CaSe WoRdS", "12345", "%_\\percent",
+    "trailing space ", " leading", "comma,sep;semi", "line\ttab",
+    "null", "NULL", "None",
+]
+TS = [
+    datetime.datetime(1970, 1, 1, 0, 0, 0),
+    datetime.datetime(1900, 1, 1, 12, 0, 0),
+    datetime.datetime(2038, 1, 19, 3, 14, 7),
+    datetime.datetime(2262, 1, 1, 0, 0, 0),
+    datetime.datetime(2024, 2, 29, 23, 59, 59),
+    datetime.datetime(2000, 2, 29, 0, 0, 1),
+    datetime.datetime(1999, 12, 31, 23, 59, 59),
+    datetime.datetime(2024, 1, 1, 0, 0, 0),
+    datetime.datetime(2024, 1, 1, 0, 0, 0),  # exact duplicate
+    datetime.datetime(1969, 12, 31, 23, 59, 59),  # pre-epoch
+]
+N = 64
+
+
+def pick(pool, i):
+    return pool[i % len(pool)]
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+
+    _PA = {
+        "int": pa.int32(), "long": pa.int64(), "string": pa.string(),
+        "double": pa.float64(), "timestamp": pa.timestamp("us"),
+        "array<float>": pa.list_(pa.float32()),
+    }
+
+    def write(name, rows, schema):
+        # schema: "col type, col type" mirroring the Spark DDL strings —
+        # written as ONE parquet file (the driver-fixture layout DuckDB
+        # reads directly)
+        fields = []
+        for part in schema.split(","):
+            col, typ = part.strip().rsplit(" ", 1)
+            fields.append(pa.field(col.strip(), _PA[typ]))
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(fields, cols)}
+        )
+        pq.write_table(table, f"{OUT}/{name}.parquet")
+
+    write(
+        "region",
+        [(i, pick(STR, i)) for i in range(5)],
+        "r_regionkey int, r_name string",
+    )
+    write(
+        "nation",
+        [(i, pick(STR, i + 3), i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    write(
+        "customer",
+        [
+            (i, pick(STR, i), i % 25, pick(MONEY, i), pick(STR, i + 7))
+            for i in range(N)
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    write(
+        "supplier",
+        [(i, pick(STR, i + 5), i % 25, pick(MONEY, i + 2)) for i in range(10)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    write(
+        "part",
+        [
+            (
+                i,
+                pick(STR, i),
+                pick(STR, i + 1)[:10] or "B",
+                pick(STR, i + 2)[:20] or "T",
+                (i * 7) % 51 - 1,
+                pick(MONEY, i + 4),
+            )
+            for i in range(N)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    write(
+        "orders",
+        [
+            (
+                i,
+                i % N,
+                "OFP!?"[i % 5],
+                pick(MONEY, i),
+                pick(TS, i).replace(hour=0, minute=0, second=0),
+                pick(STR, i + 9)[:15] or "1-URGENT",
+            )
+            for i in range(N * 2)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    write(
+        "lineitem",
+        [
+            (
+                i % (N * 2),
+                i % N,
+                i % 10,
+                i % 7,
+                pick(QTY, i),
+                pick(MONEY, i),
+                pick(RATE, i),
+                pick(RATE, i + 3),
+                "RNA!"[i % 4],
+                "OF?"[i % 3],
+                pick(TS, i),
+            )
+            for i in range(N * 4)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    props = ['{"k": 0}', '{"k": -1}', '{"k": 2147483647}', "{}",
+             '{"k": 7, "extra": "x"}', '{"j": 1}', '{"k": 99}']
+    write(
+        "events",
+        [
+            (
+                i,
+                pick(TS, i),
+                i % 5,
+                ["click", "error", "purchase", "signup", "view", "", "weird"][i % 7],
+                # negative values exercise the sign-aware EMA rounding
+                pick(MONEY, i) if i % 3 else -pick(MONEY, i),
+                pick(props, i),
+            )
+            for i in range(N * 2)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    texts = [
+        "one", "two words", "exactly three words", "a b c d e f g",
+        "dup dup dup dup dup", "ünïcode wörds hërë tøø",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "x", "yy zz", "word " * 50,
+    ]
+    write(
+        "documents",
+        [
+            (
+                i,
+                texts[i % len(texts)].strip(),
+                ["en", "de", "zh", "xx", ""][i % 5],
+                f"src{i % 21}",
+                len(texts[i % len(texts)].strip()),
+            )
+            for i in range(N)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    vecs = [
+        [0.0] * 64,
+        [1e-9] * 64,
+        [1.0] * 64,
+        [-1.0] * 64,
+        [(j - 32) / 32.0 for j in range(64)],
+        [1e6] * 64,
+        [0.1] * 63 + [1e6],
+    ]
+    write(
+        "embeddings",
+        [(i, [float(x) for x in vecs[i % len(vecs)]], i % 10) for i in range(N)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    print(f"wrote adversarial fixture: {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dsum(col, alias: str) -> Column:
-    """Order-independent exact sum of a double column, returned as double."""
+    """Order-independent exact sum of a double column, returned as double.
+
+    Cross-engine-exact bound: the DECIMAL(25,6) sum is exact in both
+    engines at any magnitude, but the final DECIMAL→DOUBLE conversion
+    is only bit-identical while |sum| < 2^53 micro-units (~9.0e9) —
+    beyond that the decimal no longer fits a double exactly and the
+    engines' conversion rounding can differ by 1 ulp (observed at
+    |values| ~1e15 in the round-4 adversarial probe; the driver
+    fixture and any realistic money domain sit far inside the bound).
+    """
     c = col if isinstance(col, Column) else F.col(col)
     return F.sum(c.cast(DEC)).cast("double").alias(alias)
 

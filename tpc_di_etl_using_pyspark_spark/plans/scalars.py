@@ -565,9 +565,15 @@ def math_functions(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "str_encode_b64_hex",
+    # encode() is DuckDB's utf-8 string→BLOB conversion; the former
+    # CAST(... AS BLOB) threw on any non-ascii text (round-4
+    # adversarial probe) because DuckDB's string→blob cast demands
+    # hex-escaped bytes. Spark's encode(col, 'utf-8') is the same
+    # total utf-8 conversion, so both engines hash identical bytes on
+    # arbitrary unicode.
     """SELECT doc_id,
-              base64(CAST(substring(text, 1, 24) AS BLOB)) AS head_b64,
-              hex(substring(text, 1, 24)) AS head_hex,
+              base64(encode(substring(text, 1, 24))) AS head_b64,
+              hex(encode(substring(text, 1, 24))) AS head_hex,
               strlen(text) AS n_bytes
        FROM documents""",
 )
@@ -584,24 +590,44 @@ def str_encode_b64_hex(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+# Shared URL validity gate for str_url_parse — one pattern, evaluated by
+# BOTH regex engines (Java / RE2), so "invalid" means the same thing on
+# both sides: scheme, host of [A-Za-z0-9.-], optional unreserved-ish
+# path and query. Anything outside (spaces, unicode, quotes, commas,
+# backslashes) NULLs the parsed components in both engines.
+_URL_VALID_RE = (
+    r"^https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~%/-]*)?"
+    r"(\?[A-Za-z0-9._~%=&-]*)?$"
+)
+
+
 @_op(
     "str_url_parse",
-    """WITH u AS (
+    f"""WITH u AS (
          SELECT c_custkey,
                 'https://ex' || CAST(c_nationkey AS VARCHAR) ||
                 '.com/seg/' || CAST(c_custkey % 7 AS VARCHAR) ||
                 '?q=' || lower(c_mktsegment) AS url
          FROM customer)
        SELECT c_custkey, url,
-              regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-              regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
-              regexp_extract(url, '\\?(.*)$', 1) AS query
+              CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
+                   THEN regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS host,
+              CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
+                   THEN regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) END AS path,
+              CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
+                   THEN regexp_extract(url, '\\?(.*)$', 1) END AS query
        FROM u""",
 )
 def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
-    """URL decomposition (host/path/query) via parse_url — a JVM
+    """URL decomposition (host/path/query) via try_parse_url — a JVM
     builtin, no UDF [EXT: web-corpus curation needs URL keys for
-    dedup/blocklists]. The oracle mirrors with regexes."""
+    dedup/blocklists]. The oracle mirrors with regexes behind the SAME
+    validity gate (_URL_VALID_RE, evaluated identically by both regex
+    engines): invalid URLs — spaces, unicode, shell metacharacters in
+    the segment, the round-4 adversarial-probe crash case — yield NULL
+    components in both engines instead of a thrown INVALID_URL
+    (try_parse_url makes the Spark side total; at 100 TB one malformed
+    URL must not kill a stage)."""
     c = t(spark, d, "customer")
     url = F.concat(
         F.lit("https://ex"), F.col("c_nationkey").cast("string"),
@@ -609,12 +635,17 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
         F.lit("?q="), F.lower("c_mktsegment"),
     )
     u = c.select("c_custkey", url.alias("url"))
+    ok = F.col("url").rlike(_URL_VALID_RE)
+
+    def part(kind: str):
+        return F.when(ok, F.try_parse_url("url", F.lit(kind)))
+
     return u.select(
         "c_custkey",
         "url",
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        part("HOST").alias("host"),
+        part("PATH").alias("path"),
+        part("QUERY").alias("query"),
     )
 
 
@@ -788,9 +819,27 @@ def json_nested_roundtrip(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "json_variant_extract",
+    # vschema is DERIVED from the payload (keys sorted, json types
+    # mapped to variant type names), not pinned to the fixture's
+    # {"k": int} shape — the former literal 'OBJECT<k: BIGINT>'
+    # diverged on {} / {"j": 1} / multi-key payloads (round-4
+    # adversarial probe). Verified identical to Spark's
+    # schema_of_variant grammar on empty, multi-key, negative-int and
+    # int32-max payloads.
     """SELECT event_id,
               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-              'OBJECT<k: BIGINT>' AS vschema
+              'OBJECT<' || COALESCE((
+                 SELECT string_agg(jk || ': ' ||
+                   CASE json_type(props, '$.' || jk)
+                     WHEN 'UBIGINT' THEN 'BIGINT'
+                     WHEN 'BIGINT' THEN 'BIGINT'
+                     WHEN 'VARCHAR' THEN 'STRING'
+                     WHEN 'DOUBLE' THEN 'DOUBLE'
+                     WHEN 'BOOLEAN' THEN 'BOOLEAN'
+                     ELSE json_type(props, '$.' || jk) END,
+                   ', ' ORDER BY jk)
+                 FROM unnest(json_keys(props)) AS jt(jk)), '') || '>'
+                AS vschema
        FROM events""",
 )
 def json_variant_extract(spark: SparkSession, d: str) -> DataFrame:
@@ -881,20 +930,38 @@ def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
     explicit schema, and project the typed fields. Complements
     scan_xml_flatten (file-level mapInPandas flatten) with the
     expression-level path; fully codegen'd narrow map. Oracle is the
-    identity projection — the round trip must be lossless."""
+    identity projection — the round trip must be lossless for
+    ARBITRARY text, which takes two things the friendly fixture never
+    exercised (found by the round-4 adversarial-fixture probe): XML
+    entity escaping of &/</> before serializing, and
+    ignoreSurroundingSpaces=false so whitespace-significant strings
+    ('  double  spaced  ') survive the parse."""
     c = t(spark, d, "customer")
     # from_xml matches fields by element name — serialize with the
     # target field names so the parsed struct needs no renames.
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("c_mktsegment"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     xml = F.concat(
         F.lit("<cust><xkey>"),
         F.col("c_custkey").cast("string"),
         F.lit("</xkey><seg>"),
-        F.col("c_mktsegment"),
+        esc,
         F.lit("</seg><nat>"),
         F.col("c_nationkey").cast("string"),
         F.lit("</nat></cust>"),
     )
-    parsed = F.from_xml(xml, "xkey BIGINT, seg STRING, nat BIGINT")
+    parsed = F.from_xml(
+        xml,
+        "xkey BIGINT, seg STRING, nat BIGINT",
+        {"ignoreSurroundingSpaces": "false"},
+    )
     return c.select(
         parsed["xkey"].alias("xkey"),
         parsed["seg"].alias("seg"),
