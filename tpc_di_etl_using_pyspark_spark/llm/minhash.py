@@ -35,6 +35,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     builds collect_set), so deduping would add a full (id, shingle)
     shuffle for nothing. Callers needing distinct shingles add their
     own dropDuplicates.
+
+    Docs with fewer than k words emit ZERO shingles — the same
+    convention every DuckDB oracle implements (out-of-range word
+    indexes make the gram NULL, which then joins nothing). The
+    earlier clipped-short-gram behavior silently diverged from the
+    mirrors on short docs (round-4 adversarial probe caught it via
+    dedup_simhash's fingerprints); absent-from-index is also the
+    right dedup semantics — a 1-2 word doc has no k-gram identity.
     """
     # materialize the split in its own projection BEFORE the transform
     # lambda touches it: slicing an inline split expression re-runs the
@@ -44,9 +52,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     ws = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws")
     )
+    idx = F.when(
+        F.size("_ws") >= k, F.sequence(F.lit(1), F.size("_ws") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_ws") - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, k)),
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, k))
     )
     return ws.select(F.col(id_col), F.explode(grams).alias("shingle"))
 

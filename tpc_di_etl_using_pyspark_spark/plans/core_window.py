@@ -862,10 +862,17 @@ def win_time_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
 
 # alpha = 0.3, 10-term truncation. The weights 0.3*0.7^k are EXACT
 # decimals (3*7^k / 10^(k+1)), so w_k * 1e10 are exact BIGINTs and the
-# whole fold can run in scaled-integer arithmetic: value -> micro-units
-# (ROUND(value*1e6), exact — the fixture carries 2-dp values), each
-# term W10_k * micro is an exact BIGINT (max ~1.7e18, sum ~5.5e18 <
-# 2^63), and the single 6-dp HALF_UP is integer (+5e9 // 1e10). A
+# whole fold runs in scaled-integer arithmetic on CENTI-unit values
+# (ROUND(value*100) — exact for the 2-dp money contract; >2-dp inputs
+# quantize identically in both engines at ingest). Each term
+# W10_k * centi is an exact BIGINT and the sum stays < 2^63 for
+# |value| up to ~9.9e6 (Σw ≈ 9.28e9 × centi) — the round-4
+# adversarial probe showed the earlier MICRO-unit fold overflowed
+# ANSI BIGINT at |value| ≳ 990, an absurdly low ceiling for a money
+# column; centi-units buy 10^4 more headroom while producing
+# BIT-IDENTICAL results on 2-dp inputs (old: HALF_UP(acc·1e4/1e10) ==
+# new: HALF_UP(acc/1e6), same integer for micro = centi·1e4). The
+# single 6-dp HALF_UP stays integer (±5e5 // 1e6). A
 # double-arithmetic first draft hit the .5e-6 midpoint hazard on
 # 3/10000 rows (exact-decimal sums land on midpoints; Spark rounds the
 # repr, DuckDB the binary); a DECIMAL draft overflowed DuckDB's
@@ -873,7 +880,7 @@ def win_time_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
 _EMA_W10 = [3 * 7**k * 10 ** (9 - k) for k in range(10)]
 
 _EMA_TERMS_SQL = " + ".join(
-    f"{w} * lag(micro, {k}, 0) OVER uw" if k else f"{w} * micro"
+    f"{w} * lag(centi, {k}, 0) OVER uw" if k else f"{w} * centi"
     for k, w in enumerate(_EMA_W10)
 )
 
@@ -883,14 +890,14 @@ _EMA_TERMS_SQL = " + ".join(
 # (ADVICE r3; the fixture is non-negative but the contract is not).
 _EMA_SQL = f"""
 WITH m AS (SELECT event_id, user_id, ts,
-                  CAST(round(value * 1000000) AS BIGINT) AS micro
+                  CAST(round(value * 100) AS BIGINT) AS centi
            FROM events),
 s AS (SELECT event_id, user_id, {_EMA_TERMS_SQL} AS acc
       FROM m
       WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id,
-       CAST((acc + CASE WHEN acc >= 0 THEN 5000000000
-                        ELSE -5000000000 END) // 10000000000 AS DOUBLE)
+       CAST((acc + CASE WHEN acc >= 0 THEN 500000
+                        ELSE -500000 END) // 1000000 AS DOUBLE)
          / 1000000 AS ema10
 FROM s
 """
@@ -917,19 +924,19 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
     comment above for the two rejected float/decimal drafts and their
     midpoint/overflow modes)."""
     e = t(spark, d, "events")
-    micro = F.round(F.col("value") * 1000000).cast("long")
-    m = e.select("event_id", "user_id", "ts", micro.alias("micro"))
-    # BIGINT `div` keeps the ~5e18 scaled sum exact — a `/` would route
-    # it through a double whose ulp at that magnitude is 256
+    centi = F.round(F.col("value") * 100).cast("long")
+    m = e.select("event_id", "user_id", "ts", centi.alias("centi"))
+    # BIGINT `div` keeps the scaled sum exact — a `/` would route
+    # it through a double whose ulp at these magnitudes is lossy
     uw = "(PARTITION BY user_id ORDER BY ts, event_id)"
     terms = " + ".join(
-        f"{w} * lag(micro, {k}, 0) OVER {uw}" if k else f"{w} * micro"
+        f"{w} * lag(centi, {k}, 0) OVER {uw}" if k else f"{w} * centi"
         for k, w in enumerate(_EMA_W10)
     )
     acc = m.select("event_id", "user_id", F.expr(f"({terms})").alias("acc"))
     ema = F.expr(
-        "(acc + CASE WHEN acc >= 0 THEN 5000000000"
-        " ELSE -5000000000 END) div 10000000000"
+        "(acc + CASE WHEN acc >= 0 THEN 500000"
+        " ELSE -500000 END) div 1000000"
     )
     return acc.select(
         "event_id", "user_id", (ema.cast("double") / 1000000).alias("ema10")

@@ -4462,7 +4462,12 @@ def vec_pca_power_iteration(spark: SparkSession, d: str) -> DataFrame:
     needs no per-term rounding at all — the dyadic-weight midpoint
     hazard win_ema_smooth documents is designed out); iteration 2 and
     the Rayleigh sum freeze each product to DECIMAL(25,6) so summation
-    order cannot matter."""
+    order cannot matter. Domain contract: UNIT-SCALE embeddings
+    (|component| ≲ 2, i.e. normalized vectors — the corpus contract):
+    the exact-integer stages need Σ w1q² < 2^63, which bounds |cov|
+    at ~6; out-of-domain magnitudes raise a loud ANSI overflow
+    instead of silently losing exactness (round-4 adversarial
+    probe)."""
     # cache: the 2080-row covariance relation feeds both orientation
     # branches and both iterations — uncached, ReusedExchange still
     # re-runs the corpus-sized pair explosion for the second branch
@@ -4527,14 +4532,27 @@ def vec_pca_power_iteration(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+# Fully integer dot product (round 4): xi = round(x·2^24) is exact for
+# float32 components, m = round(v2·1e6) recovers the 6-dp-certified
+# direction as an exact BIGINT, so Σ xi·m is one exact integer in both
+# engines (|Σ| ≤ 64·2^25·1e6 ≈ 2.1e15 « 2^63 under the unit-scale
+# embedding contract) and the 6-dp output is a sign-aware integer
+# HALF_UP — no double→DECIMAL quantization anywhere. The former
+# per-term DECIMAL(25,6) freeze hit the documented repr-vs-binary
+# midpoint hazard on DYADIC components (k/2^s — exactly what the
+# adversarial ramp and any int8-dequantized corpus produce).
 _PCA_PROJECT_SQL = f"""
 WITH pca AS ({_PCA_SQL}),
 proj AS (SELECT e.vec_id,
-                CAST(SUM(CAST(CAST(e.embedding[pca.dim + 1] AS DOUBLE) * pca.v2
-                              AS {SQL_DEC})) AS DOUBLE) AS score
+                SUM(CAST(ROUND(CAST(e.embedding[pca.dim + 1] AS DOUBLE)
+                               * 16777216) AS BIGINT)
+                    * CAST(ROUND(pca.v2 * 1000000) AS BIGINT)) AS sq
          FROM embeddings e CROSS JOIN pca
          GROUP BY e.vec_id)
-SELECT vec_id, {sql_dround('score', 6)} AS pc1_score
+SELECT vec_id,
+       CAST((sq + CASE WHEN sq >= 0 THEN 8388608
+                       ELSE -8388608 END) // 16777216 AS DOUBLE)
+         / 1000000 AS pc1_score
 FROM proj
 """
 
@@ -4550,23 +4568,33 @@ def vec_pca_project(spark: SparkSession, d: str) -> DataFrame:
     is the right one: the 64-row direction broadcasts, the dot product
     is a map-side per-row fold (posexplode + broadcast join + one
     vec_id-keyed partial-aggregated shuffle), nothing quadratic,
-    nothing collected. Products are frozen to DECIMAL(25,6) before the
-    per-vector sum so accumulation order cannot matter; v2 components
-    are bit-identical across engines (certified upstream)."""
+    nothing collected. Exactness: xi = round(x·2^24) is EXACT for
+    float32 components and m = round(v2·1e6) is the certified 6-dp
+    direction as an exact BIGINT, so the per-vector Σ xi·m is one
+    exact integer in both engines and the 6-dp result is a sign-aware
+    integer HALF_UP — no double→DECIMAL step (whose repr-vs-binary
+    midpoint hazard fires on dyadic components, e.g. int8-dequantized
+    embeddings; round-4 adversarial probe)."""
     pca = vec_pca_power_iteration(spark, d).select(
-        F.col("dim").alias("pos"), "v2"
+        F.col("dim").alias("pos"),
+        F.round(F.col("v2") * 1000000).cast("long").alias("m"),
     )
     e = t(spark, d, "embeddings")
     comps = e.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).withColumnsRenamed({"col": "x"})
-    return (
+    xi = F.round(F.col("x") * 16777216).cast("long")
+    sq = (
         comps.join(F.broadcast(pca), "pos")
         .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("x") * F.col("v2")).cast(DEC)).cast("double").alias("score")
-        )
-        .select("vec_id", dround(F.col("score"), 6).alias("pc1_score"))
+        .agg(F.sum(xi * F.col("m")).alias("sq"))
+    )
+    score = F.expr(
+        "(sq + CASE WHEN sq >= 0 THEN 8388608 ELSE -8388608 END)"
+        " div 16777216"
+    )
+    return sq.select(
+        "vec_id", (score.cast("double") / 1000000).alias("pc1_score")
     )
 
 

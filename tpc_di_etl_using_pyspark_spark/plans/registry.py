@@ -107,7 +107,13 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- positions 51-57: round-4 code-change re-cert candidates ---
+    # --- positions 51-65: round-4 code-change re-cert candidates.
+    # 58-65 are the certified gram-family heads transitively touched
+    # by the round-4 shingles() short-doc convention change (docs
+    # under k words now emit ZERO shingles, matching every oracle's
+    # NULL-gram convention; zero behavioral delta on the ≥3-word
+    # fixture — all re-verified MATCH at sf0.01 AND sf0.1 the day of
+    # the change, plus on the adversarial fixture). ---
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -115,6 +121,14 @@ _PRIORITY = [
     "sink_compact_small_files",
     "vec_pca_power_iteration",
     "vec_pca_project",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_chunk_level",
+    "dedup_cross_source_matrix",
+    "stream_incremental_dedup",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
     # --- round-5 window (49) ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",

@@ -42,12 +42,16 @@ def stream_tumbling_count(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "stream_sliding_sum",
-    """WITH slid AS (
-         SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS h, ts, value
-         FROM events),
-       base AS (
-         SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) * 900 AS floor15, value
-         FROM events),
+    # floor15 must FLOOR-divide: Spark's window() aligns pre-epoch
+    # (negative-second) timestamps to the window start BELOW them,
+    # while DuckDB `//` truncates toward zero — a 1969 event landed in
+    # different windows per engine (round-4 adversarial probe). The
+    # mod-subtraction form is exact BIGINT floor alignment for any
+    # sign.
+    """WITH base AS (
+         SELECT s - ((s % 900 + 900) % 900) AS floor15, value
+         FROM (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s, value
+               FROM events)),
        expanded AS (
          SELECT floor15 - k * 900 AS ws_sec, value
          FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))

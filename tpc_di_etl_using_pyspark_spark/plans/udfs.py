@@ -193,7 +193,13 @@ def udtf_map_in_pandas(spark: SparkSession, d: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
-                    "k": pdf["props"].map(lambda s: json.loads(s)["k"]).astype("int64"),
+                    # .get: a payload without "k" must yield NULL, not
+                    # a KeyError that kills the whole stage (round-4
+                    # adversarial probe; nullable Int64 carries the NA
+                    # through Arrow to LongType)
+                    "k": pdf["props"].map(
+                        lambda s: json.loads(s).get("k")
+                    ).astype("Int64"),
                     "value_x2": pdf["value"] * 2,
                 }
             )
@@ -239,8 +245,10 @@ def udtf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "udf_arrow_scalar",
+    # length() = CHARACTERS (Python len semantics); strlen() is BYTES
+    # and diverged on unicode names (round-4 adversarial probe).
     """SELECT c_custkey,
-              CAST(strlen(c_name) AS INTEGER) || ':' || reverse(c_name)
+              CAST(length(c_name) AS INTEGER) || ':' || reverse(c_name)
                 AS tagged
        FROM customer""",
 )
