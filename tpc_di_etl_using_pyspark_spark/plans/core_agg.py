@@ -458,10 +458,11 @@ def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "agg_weighted_avg",
     f"""SELECT l_returnflag,
+               CAST(ROUND(CAST(
                CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6)))
                     AS DOUBLE) /
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
-                 AS wavg_price,
+                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS wavg_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
         FROM lineitem GROUP BY l_returnflag""",
 )
@@ -474,8 +475,11 @@ def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
         (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")
     ).cast("double")
     qsum = F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+    # dround(6): above the dsum DECIMAL->DOUBLE exactness bound the two
+    # engines' sum conversions can differ by 1 ulp; the ratio is a
+    # value-scale number, so 6-dp rounding absorbs it (round-4)
     return li.groupBy("l_returnflag").agg(
-        (wsum / qsum).alias("wavg_price"), qsum.alias("total_qty")
+        dround(wsum / qsum, 6).alias("wavg_price"), qsum.alias("total_qty")
     )
 
 
@@ -563,8 +567,11 @@ def agg_median_mode(spark: SparkSession, d: str) -> DataFrame:
                 CAST(SUM(CAST(l_quantity * l_quantity AS {SQL_DEC})) AS DOUBLE) AS sxx
          FROM lineitem GROUP BY l_returnflag)
        SELECT l_returnflag,
-              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+              CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                AS DECIMAL(25,6)), 6) AS DOUBLE) AS slope,
+              CAST(ROUND(CAST(
+                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS DECIMAL(25,6)), 6) AS DOUBLE) AS intercept
        FROM s""",
 )
 def agg_regression_exact(spark: SparkSession, d: str) -> DataFrame:
@@ -593,10 +600,13 @@ def agg_regression_exact(spark: SparkSession, d: str) -> DataFrame:
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # dround(6): above the dsum DECIMAL->DOUBLE exactness bound the
+    # engines' sum conversions can differ by 1 ulp; slope/intercept
+    # are value-scale, so 6-dp rounding absorbs it (round-4)
     return s.select(
         "l_returnflag",
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
+        dround(slope, 6).alias("slope"),
+        dround((sy - slope * sx) / n, 6).alias("intercept"),
     )
 
 
@@ -714,7 +724,9 @@ def agg_histogram_fixed(spark: SparkSession, d: str) -> DataFrame:
        m AS (
          SELECT user_id, n,
                 sx / n AS mean_v,
-                SQRT(GREATEST((n * sxx - sx * sx) / (n * n), 0.0)) AS std_v
+                CAST(ROUND(CAST(
+                  SQRT(GREATEST((n * sxx - sx * sx) / (n * n), 0.0))
+                  AS DECIMAL(25,6)), 6) AS DOUBLE) AS std_v
          FROM s)
        SELECT m.user_id,
               CAST(m.n AS BIGINT) AS n_events,
@@ -744,7 +756,13 @@ def win_zscore_anomaly(spark: SparkSession, d: str) -> DataFrame:
     sx = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
     sxx = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
     mean_v = sx / n
-    std_v = F.sqrt(F.greatest((n * sxx - sx * sx) / (n * n), F.lit(0.0)))
+    # dround(6) on std: above the dsum conversion bound the engines'
+    # sxx doubles can differ by 1 ulp; rounding the std (used in BOTH
+    # the output and the z-test threshold) keeps the count and the
+    # emitted value deterministic (round-4)
+    std_v = dround(
+        F.sqrt(F.greatest((n * sxx - sx * sx) / (n * n), F.lit(0.0))), 6
+    )
     scored = e.select(
         "user_id",
         "value",
@@ -830,11 +848,11 @@ def sql_groupby_all(spark: SparkSession, d: str) -> DataFrame:
     """WITH s AS (
          SELECT o_orderstatus,
                 CAST(COUNT(*) AS DOUBLE) AS n,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS s1,
-                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(25,6)))
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
                      AS DOUBLE) AS s2,
                 CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
-                              AS DECIMAL(25,6))) AS DOUBLE) AS s3
+                              AS DECIMAL(38,6))) AS DOUBLE) AS s3
          FROM orders GROUP BY o_orderstatus)
        SELECT o_orderstatus,
               s1 / n AS mean,
@@ -859,9 +877,12 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
     tp = F.col("o_totalprice")
     s = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(tp.cast(DEC)).cast("double").alias("s1"),
-        F.sum((tp * tp).cast(DEC)).cast("double").alias("s2"),
-        F.sum((tp * tp * tp).cast(DEC)).cast("double").alias("s3"),
+        # DECIMAL(38,6): the cube term overflows DECIMAL(25,6) above
+        # |x| ~ 1e6 (round-4 adversarial probe) — 38 digits carry cubes
+        # of any realistic money magnitude
+        F.sum(tp.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((tp * tp).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((tp * tp * tp).cast("decimal(38,6)")).cast("double").alias("s3"),
     )
     n, s1, s2, s3 = (F.col(c) for c in ("n", "s1", "s2", "s3"))
     mean = s1 / n

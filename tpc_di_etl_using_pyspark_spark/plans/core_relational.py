@@ -891,9 +891,16 @@ def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
                 l_quantity
          FROM lineitem),
        m AS (
+         -- calendar derived from the DATA's month span (round-4: the
+         -- former pinned 1995-2002 range silently dropped intervals
+         -- outside it; the Spark side explodes per-interval months and
+         -- has no such pin)
          SELECT CAST(ms AS DATE) AS month_start
-         FROM (SELECT unnest(range(DATE '1995-01-01', DATE '2002-01-01',
-                                   INTERVAL 1 MONTH)) AS ms)),
+         FROM (SELECT unnest(range(
+                 (SELECT date_trunc('month', MIN(s)) FROM i),
+                 (SELECT date_trunc('month', MAX(e)) + INTERVAL 1 MONTH
+                  FROM i),
+                 INTERVAL 1 MONTH)) AS ms)),
        j AS (
          SELECT m.month_start, i.l_quantity
          FROM m JOIN i

@@ -65,21 +65,44 @@ def scan_parquet(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+# Lossless CSV round-trip options (round-4 adversarial probe): Spark's
+# CSV WRITER trims leading/trailing whitespace BY DEFAULT
+# (ignoreLeading/TrailingWhiteSpace default true on write, false on
+# read), and the reader maps empty fields to NULL — so whitespace-
+# significant strings silently lost spaces and '' flipped to NULL on
+# the round trip. A \N null sentinel keeps ''/NULL distinguishable.
+_CSV_LOSSLESS = {
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+}
+
+
 @_op("scan_csv_delim", "SELECT * FROM nation")
 def scan_csv_delim(spark: SparkSession, d: str) -> DataFrame:
     """Pipe-delimited text, explicit schema [SPEC: flat-file extracts] —
-    round-trip must equal the parquet table exactly."""
+    round-trip must equal the parquet table exactly (incl. whitespace
+    and empty-vs-NULL: see _CSV_LOSSLESS)."""
     path = _scratch(d, "nation_pipe")
-    t(spark, d, "nation").write.mode("overwrite").csv(path, sep="|", header=False)
-    return spark.read.csv(path, sep="|", header=False, schema=schemas.NATION)
+    t(spark, d, "nation").write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
+        path, sep="|", header=False
+    )
+    return spark.read.options(**_CSV_LOSSLESS).csv(
+        path, sep="|", header=False, schema=schemas.NATION
+    )
 
 
 @_op("scan_csv_header", "SELECT * FROM customer")
 def scan_csv_header(spark: SparkSession, d: str) -> DataFrame:
-    """Header CSV with typed read [SPEC: Prospect.csv/HR.csv]."""
+    """Header CSV with typed read [SPEC: Prospect.csv/HR.csv];
+    whitespace/NULL-lossless round trip (_CSV_LOSSLESS)."""
     path = _scratch(d, "customer_csv")
-    t(spark, d, "customer").write.mode("overwrite").csv(path, header=True)
-    return spark.read.csv(path, header=True, schema=schemas.CUSTOMER)
+    t(spark, d, "customer").write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
+        path, header=True
+    )
+    return spark.read.options(**_CSV_LOSSLESS).csv(
+        path, header=True, schema=schemas.CUSTOMER
+    )
 
 
 @_op(
@@ -140,7 +163,15 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
     # ships one CustomerMgmt.xml per batch; bucket ≈ batch here).
     cust = t(spark, d, "customer").select("c_custkey", "c_name")
     esc = F.col("c_name")
-    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]:
+    # tab/newline/CR must be CHARACTER REFERENCES in attribute values:
+    # XML attribute-value normalization (spec §3.3.3) turns literal
+    # whitespace into plain spaces on ANY conformant parse, but
+    # references survive — round-4 adversarial probe caught a tab
+    # silently becoming a space on the round trip.
+    for raw, ent in [
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+        ("\t", "&#9;"), ("\n", "&#10;"), ("\r", "&#13;"),
+    ]:
         esc = F.replace(esc, F.lit(raw), F.lit(ent))
     a_type = F.element_at(
         F.array(F.lit("NEW"), F.lit("UPDCUST"), F.lit("ADDACCT")),
@@ -500,10 +531,17 @@ def join_dpp_partitioned(spark: SparkSession, d: str) -> DataFrame:
     o = t(spark, d, "orders").withColumn("y", F.year("o_orderdate"))
     o.write.mode("overwrite").partitionBy("y").parquet(path)
     fact = spark.read.parquet(path)
-    # dim: one row per year with a derived attribute; the filter is on
-    # the attribute, so static pruning can't see the year list
-    dim = spark.range(1990, 2010).select(
-        F.col("id").cast("int").alias("dim_y"), (F.col("id") % 3).alias("attr")
+    # dim: one row per year PRESENT IN THE DATA with a derived
+    # attribute; the filter is on the attribute, so static pruning
+    # can't see the year list. Deriving the dim from the fact's year
+    # domain (rather than a pinned literal range, which silently
+    # dropped out-of-range years — round-4 adversarial probe) keeps
+    # the op total over any date domain; it stays broadcast-sized
+    # because a year dimension is bounded by the calendar.
+    dim = (
+        o.select(F.col("y").alias("dim_y"))
+        .distinct()
+        .select("dim_y", (F.col("dim_y") % 3).cast("long").alias("attr"))
     )
     return (
         fact.join(F.broadcast(dim), fact["y"] == dim["dim_y"])
@@ -517,14 +555,24 @@ def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
     """Multi-character delimiter CSV (Spark 3.0+/4, SPARK-24540): real
     exports often use '||' to dodge in-field pipes. Lines are
     assembled in-plan and read back with sep='||' + explicit schema;
-    round trip must equal the parquet table exactly."""
+    round trip must equal the parquet table exactly. Format contract
+    (inherent to UNQUOTED multichar-delim exports): fields must be
+    non-empty and must not end with the delimiter's first character —
+    '15||||0' is ambiguous to any parser (round-4 adversarial probe);
+    quoted single-char CSV (scan_csv_delim) is the lossless path for
+    such values."""
     path = _scratch(d, "nation_dpipe")
     n = t(spark, d, "nation")
+    # hand-assembled lines cannot express quoting, so in-field '||' is
+    # out of this export format's contract by construction; whitespace
+    # fidelity on read still matters (round-4 adversarial probe)
     line = F.concat_ws(
         "||", *[F.col(f.name).cast("string") for f in n.schema.fields]
     )
     n.select(line.alias("value")).write.mode("overwrite").text(path)
-    return spark.read.csv(path, sep="||", header=False, schema=schemas.NATION)
+    return spark.read.options(**_CSV_LOSSLESS).csv(
+        path, sep="||", header=False, schema=schemas.NATION
+    )
 
 
 @_op(
@@ -541,8 +589,10 @@ def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
     n = t(spark, d, "nation").select(
         "n_nationkey", F.concat("n_name", F.lit('|x"y')).alias("tricky")
     )
-    n.write.mode("overwrite").csv(path, sep="|", header=True)
-    return spark.read.csv(
+    n.write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
+        path, sep="|", header=True
+    )
+    return spark.read.options(**_CSV_LOSSLESS).csv(
         path, sep="|", header=True, schema="n_nationkey long, tricky string"
     )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DEC, SQL_DEC, t
+from ._util import DEC, SQL_DEC, dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -298,8 +298,8 @@ def win_forward_fill(spark: SparkSession, d: str) -> DataFrame:
     "win_ratio_total",
     """SELECT o_custkey, o_orderkey,
               CAST(ROUND(CAST(
-                o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+                o_totalprice / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                                    OVER (PARTITION BY o_custkey) AS DOUBLE), 0.0)
                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS share_of_customer
        FROM orders""",
 )
@@ -310,7 +310,13 @@ def win_ratio_total(spark: SparkSession, d: str) -> DataFrame:
     equality."""
     o = t(spark, d, "orders")
     w = Window.partitionBy("o_custkey")
-    total = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+    # NULLIF: a partition whose signed amounts cancel to zero has no
+    # defined share — NULL in both engines, not a DIVIDE_BY_ZERO
+    # (round-4 adversarial probe)
+    total = F.nullif(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"),
+        F.lit(0.0),
+    )
     from ._util import dround
 
     return o.select(
@@ -327,7 +333,7 @@ def win_ratio_total(spark: SparkSession, d: str) -> DataFrame:
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                AS second_largest
+                + 0.0 AS second_largest
        FROM orders""",
 )
 def win_nth_value(spark: SparkSession, d: str) -> DataFrame:
@@ -339,9 +345,16 @@ def win_nth_value(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    # +0.0 canonicalizes the IEEE zero sign: Spark normalizes -0.0 to
+    # +0.0 inside window sort buffers while DuckDB returns the stored
+    # -0.0 — same number, different bits, a value-hash mismatch
+    # (round-4 adversarial probe); x + 0.0 maps -0.0 → +0.0 in BOTH
+    # engines and is the identity elsewhere (NULL stays NULL).
     return o.select(
         "o_custkey",
-        F.nth_value("o_totalprice", 2).over(w).alias("second_largest"),
+        (F.nth_value("o_totalprice", 2).over(w) + F.lit(0.0)).alias(
+            "second_largest"
+        ),
     ).distinct()
 
 
@@ -688,7 +701,9 @@ def win_interpolate_linear(spark: SparkSession, d: str) -> DataFrame:
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
        SELECT l_partkey, sd, l_orderkey, l_linenumber,
               CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
-                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope5
+                   THEN CAST(ROUND(CAST(
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(25,6)), 6) AS DOUBLE) END AS slope5
        FROM m""",
 )
 def win_slope_rolling(spark: SparkSession, d: str) -> DataFrame:
@@ -726,8 +741,11 @@ def win_slope_rolling(spark: SparkSession, d: str) -> DataFrame:
         F.sum((F.col("xd") * F.col("xd")).cast(DEC)).over(w).cast("double").alias("sxx"),
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    # dround(6) mask: above the dsum conversion bound the engines can
+    # differ by 1 ulp in the moment doubles (round-4)
     slope = F.when(
-        (n >= 3) & (n * sxx - sx * sx != 0), (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        (n >= 3) & (n * sxx - sx * sx != 0),
+        dround((n * sxy - sx * sy) / (n * sxx - sx * sx), 6),
     )
     return m.select("l_partkey", "sd", "l_orderkey", "l_linenumber", slope.alias("slope5"))
 
@@ -771,9 +789,10 @@ def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2)
        SELECT yr, o_orderstatus, rev,
-              CAST(ROUND(CAST(rev / SUM(rev) OVER (PARTITION BY yr)
+              CAST(ROUND(CAST(rev / NULLIF(SUM(rev) OVER (PARTITION BY yr), 0.0)
                               AS DECIMAL(25,6)), 6) AS DOUBLE) AS pct_of_year,
-              CAST(ROUND(CAST(SUM(rev) OVER (PARTITION BY yr) / SUM(rev) OVER ()
+              CAST(ROUND(CAST(SUM(rev) OVER (PARTITION BY yr)
+                              / NULLIF(SUM(rev) OVER (), 0.0)
                               AS DECIMAL(25,6)), 6) AS DOUBLE) AS year_pct_of_total
        FROM y""",
 )
@@ -796,10 +815,16 @@ def win_percent_of_parent(spark: SparkSession, d: str) -> DataFrame:
         "yr",
         "o_orderstatus",
         "rev",
-        dround(F.col("rev") / F.sum("rev").over(wy), 6).alias("pct_of_year"),
-        dround(F.sum("rev").over(wy) / F.sum("rev").over(wall), 6).alias(
-            "year_pct_of_total"
-        ),
+        # NULLIF: a year whose signed revenues cancel to zero has no
+        # defined shares (round-4 adversarial probe)
+        dround(
+            F.col("rev") / F.nullif(F.sum("rev").over(wy), F.lit(0.0)), 6
+        ).alias("pct_of_year"),
+        dround(
+            F.sum("rev").over(wy)
+            / F.nullif(F.sum("rev").over(wall), F.lit(0.0)),
+            6,
+        ).alias("year_pct_of_total"),
     )
 
 
@@ -812,7 +837,7 @@ def win_percent_of_parent(spark: SparkSession, d: str) -> DataFrame:
          FROM events)
        SELECT user_id,
               CAST(ROUND(CAST(
-                CAST(SUM(CAST(value * (nxt - tus) AS DECIMAL(25,6))) AS DOUBLE)
+                CAST(SUM(CAST(value * (nxt - tus) AS DECIMAL(38,6))) AS DOUBLE)
                   / SUM(nxt - tus) AS DECIMAL(25,6)), 6) AS DOUBLE) AS twap
        FROM o WHERE nxt IS NOT NULL
        GROUP BY user_id HAVING SUM(nxt - tus) > 0""",
@@ -848,7 +873,11 @@ def win_time_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
     return (
         o.groupBy("user_id")
         .agg(
-            F.sum((F.col("value") * dt).cast(DEC)).cast("double").alias("_wsum"),
+            # DECIMAL(38,6): value x micro-second delta terms overflow
+            # 25 digits on wide time gaps (round-4 adversarial probe)
+            F.sum((F.col("value") * dt).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("_wsum"),
             F.sum(dt).alias("_dtsum"),
         )
         .filter(F.col("_dtsum") > 0)
@@ -947,19 +976,23 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
 # Exact rolling correlation (round-3 continuation)
 # --------------------------------------------------------------------------
 
-# Recenter epoch seconds to 2024-01-01 so every windowed moment stays
-# exactly representable: x <= ~2.6e6 (one month of seconds), y =
-# centi-units of the 2-dp value (<= 56021). Over a 20-row frame the
-# extreme magnitudes are n*sxx <= 2.7e15 and n*sxy <= 5.8e13 — all
-# below 2^53, so the BIGINT->DOUBLE conversions are exact and the
-# final quotient is bit-identical across engines.
-_CORR_EPOCH0 = 1704067200
-
+# Recenter epoch seconds to the PER-USER minimum (shift-invariant for
+# Pearson) so every windowed moment stays exactly representable:
+# x is bounded by the user's time SPAN (fixture: one month → x ≤
+# ~2.6e6), y = centi-units of the 2-dp value. Over a 20-row frame the
+# extreme magnitudes stay below 2^53 for spans to ~±17 years, so the
+# BIGINT→DOUBLE conversions are exact and the final quotient is
+# bit-identical across engines. Round 4: the anchor was a fixed
+# 2024-01-01 constant, which silently assumed data near 2024 —
+# epoch-boundary data overflowed the BIGINT products.
 _CORR_SQL = f"""
-WITH m AS (SELECT event_id, user_id, ts,
-                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - {_CORR_EPOCH0} AS x,
-                  CAST(round(value * 100) AS BIGINT) AS y
-           FROM events),
+WITH m0 AS (SELECT event_id, user_id, ts,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events),
+m AS (SELECT event_id, user_id, ts,
+             s - MIN(s) OVER (PARTITION BY user_id) AS x, y
+      FROM m0),
 s AS (SELECT event_id, user_id,
              COUNT(*) OVER w20 AS n,
              SUM(x) OVER w20 AS sx, SUM(y) OVER w20 AS sy,
@@ -997,12 +1030,26 @@ def win_rolling_corr(spark: SparkSession, d: str) -> DataFrame:
     the same user_id shuffle any rolling metric needs; nothing global,
     no driver state."""
     e = t(spark, d, "events")
-    m = e.select(
+    # recenter x to the PER-USER minimum epoch (round-4): the former
+    # fixed 2024 epoch anchor silently assumed data near 2024 — data
+    # at the epoch boundary overflowed the exact-BIGINT moment
+    # products. Pearson correlation is shift-invariant, so per-user
+    # recentering changes nothing semantically while bounding x by
+    # the per-user time span (exactness holds to ~±17-year spans).
+    wu = Window.partitionBy("user_id")
+    m0 = e.select(
         "event_id",
         "user_id",
         "ts",
-        (F.unix_timestamp(F.col("ts").cast("timestamp")) - _CORR_EPOCH0).alias("x"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = m0.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("s") - F.min("s").over(wu)).alias("x"),
+        "y",
     )
     w20 = (
         Window.partitionBy("user_id")

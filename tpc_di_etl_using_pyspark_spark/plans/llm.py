@@ -617,10 +617,11 @@ _QVEC_SQL = "list_transform(generate_series(0, 63), d -> (((d * 37) % 19) - 9) /
 
 
 def _sql_cos(vec_expr: str, q_expr: str) -> str:
+    # NULLIF mirrors llm/similarity.cosine: zero-norm -> NULL, no throw
     return (
         f"list_dot_product({vec_expr}, {q_expr}) / "
-        f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) * "
-        f"sqrt(list_dot_product({q_expr}, {q_expr})))"
+        f"NULLIF(sqrt(list_dot_product({vec_expr}, {vec_expr})) * "
+        f"sqrt(list_dot_product({q_expr}, {q_expr})), 0.0)"
     )
 
 
@@ -692,8 +693,8 @@ def sim_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
           SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
                  CAST(ROUND(CAST(
                    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
                    AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id != b.vec_id)
@@ -713,15 +714,15 @@ def sim_knn_join(spark: SparkSession, d: str) -> DataFrame:
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               CAST(ROUND(CAST(
                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS cos_sim
        FROM embeddings a JOIN embeddings b
          ON a.label = b.label AND a.vec_id < b.vec_id
        WHERE CAST(ROUND(CAST(
                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
                 AS DECIMAL(25,6)), 6) AS DOUBLE) >= 0.35""",
 )
 def sim_embedding_neardup(spark: SparkSession, d: str) -> DataFrame:
@@ -751,8 +752,8 @@ def sim_embedding_neardup(spark: SparkSession, d: str) -> DataFrame:
              ON a.label = b.label AND a.vec_id < b.vec_id
            WHERE CAST(ROUND(CAST(
                    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0.0)
                    AS DECIMAL(25,6)), 6) AS DOUBLE) >= 0.35),
        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION ALL
@@ -1517,8 +1518,12 @@ def text_contamination_ngram(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "text_repetition_score",
+    # 2-gram signals exist only for docs with >= 2 words; Spark's
+    # shingles() emits none below k (round-4 convention), so the
+    # oracle filters the same universe
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
-                  FROM documents),
+                  FROM documents
+                  WHERE len(string_split(lower(text), ' ')) >= 2),
 g2 AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
        FROM (SELECT doc_id, words,
                     unnest(generate_series(1, greatest(len(words) - 1, 1))) AS i
@@ -1579,7 +1584,7 @@ def text_repetition_score(spark: SparkSession, d: str) -> DataFrame:
          GROUP BY vec_id)
        SELECT e.vec_id, n.l2_norm,
               list_transform(e.embedding,
-                             x -> CAST(x AS DOUBLE) / n.l2_norm) AS unit_vec
+                             x -> CAST(x AS DOUBLE) / NULLIF(n.l2_norm, 0.0)) AS unit_vec
        FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id""",
 )
 def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
@@ -1606,10 +1611,15 @@ def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
     withnorm = e.select(
         "vec_id", ad.alias("ad"), F.sqrt(dot.cast("double")).alias("l2_norm")
     )
+    # NULLIF: a zero vector has no unit direction — NULL elements in
+    # both engines instead of an ANSI DIVIDE_BY_ZERO (round-4
+    # adversarial probe)
     return withnorm.select(
         "vec_id",
         "l2_norm",
-        F.transform("ad", lambda x: x / F.col("l2_norm")).alias("unit_vec"),
+        F.transform(
+            "ad", lambda x: x / F.nullif(F.col("l2_norm"), F.lit(0.0))
+        ).alias("unit_vec"),
     )
 
 
@@ -2039,8 +2049,8 @@ def text_bpe_pair_count(spark: SparkSession, d: str) -> DataFrame:
 _RP_COS_SQL = """
        CAST(ROUND(CAST(
          list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+         NULLIF(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])), 0.0)
          AS DECIMAL(25,6)), 6) AS DOUBLE)"""
 
 
@@ -2205,7 +2215,9 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"), F.col("nrm").alias("nb")
     )
     cos = dround(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        _dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        6,
     )
     return (
         cand.join(ea, "id_a")

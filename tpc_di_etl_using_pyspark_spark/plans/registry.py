@@ -129,6 +129,25 @@ _PRIORITY = [
     "stream_incremental_dedup",
     "pipeline_incremental_dedup",
     "pipeline_pretrain_e2e",
+    # certified ops hardened by the round-4 adversarial probe (zero-
+    # norm NULLIF guards, lossless CSV/XML round-trip options, ±0.0
+    # canonicalization, per-user corr recentering, DECIMAL(38,6)
+    # widenings, data-derived SCD2 batch shift) — every one re-verified
+    # MATCH on the driver fixture at sf0.01 (full-registry sweep) the
+    # day it changed
+    "scan_csv_delim",
+    "scan_csv_header",
+    "scan_xml_flatten",
+    "win_nth_value",
+    "win_time_weighted_avg",
+    "win_rolling_corr",
+    "sim_cosine_topk",
+    "sim_rp_lsh_cosine",
+    "sim_ann_recall_eval",
+    "pipeline_rag_e2e",
+    "tpcdi_scd2_incremental",
+    "tpcdi_dim_broker",
+    "tpcdi_batch_e2e",
     # --- round-5 window (49) ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",

@@ -79,7 +79,7 @@ def tpcdi_scd2_dimcustomer(spark: SparkSession, d: str) -> DataFrame:
          FROM orders WHERE o_orderstatus = 'F'
          UNION ALL
          SELECT o_custkey, o_orderkey, o_orderstatus,
-                CAST(o_orderdate AS DATE) + 4000 AS eff
+                CAST(o_orderdate AS DATE) + CAST((SELECT datediff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) + 1 FROM orders) AS INTEGER) AS eff
          FROM orders WHERE o_orderstatus = 'O')
        SELECT CAST(o_custkey AS VARCHAR) || '-' ||
                 CAST(ROW_NUMBER() OVER w AS VARCHAR) AS sk,
@@ -104,8 +104,20 @@ def tpcdi_scd2_incremental(spark: SparkSession, d: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("eff"),
     )
     hist = v.filter(F.col("o_orderstatus") == "F")
-    batch = v.filter(F.col("o_orderstatus") == "O").withColumn(
-        "eff", F.date_add("eff", 4000)
+    # the batch's dates shift past ALL history by construction: the
+    # shift is the data's own date span + 1 day (a fixed 4000-day
+    # shift silently assumed a narrow span and tripped the
+    # late-arrival guard on wide date domains — round-4 adversarial
+    # probe); datediff of two scalar aggregates, identical in both
+    # engines
+    span = v.agg(
+        (F.datediff(F.max("eff"), F.min("eff")) + 1).alias("shift")
+    )
+    batch = (
+        v.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(span))
+        .withColumn("eff", F.expr("date_add(eff, shift)"))
+        .drop("shift")
     )
     dim = scd2_build(hist, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
     return scd2_apply_incremental(
@@ -853,8 +865,10 @@ def tpcdi_dim_broker(spark: SparkSession, d: str) -> DataFrame:
             F.lpad((F.col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"),
         ).alias("phone"),
     )
-    hr.write.mode("overwrite").csv(path, header=True)
-    hr2 = spark.read.csv(
+    from .core_scans import _CSV_LOSSLESS
+
+    hr.write.mode("overwrite").options(**_CSV_LOSSLESS).csv(path, header=True)
+    hr2 = spark.read.options(**_CSV_LOSSLESS).csv(
         path,
         header=True,
         schema=(
@@ -1288,7 +1302,7 @@ def tpcdi_holdings_pnl(spark: SparkSession, d: str) -> DataFrame:
     f"""WITH {_COMPANY_CTES},
 cust_actions AS (
   SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
-         CASE WHEN o_orderstatus = 'O' THEN CAST(o_orderdate AS DATE) + 4000
+         CASE WHEN o_orderstatus = 'O' THEN CAST(o_orderdate AS DATE) + CAST((SELECT datediff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) + 1 FROM orders) AS INTEGER)
               ELSE CAST(o_orderdate AS DATE) END AS eff
   FROM orders WHERE o_orderstatus IN ('F', 'O')),
 dim_customer AS (
@@ -1396,8 +1410,14 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     )
 
     # --- Batch2: incremental apply ---------------------------------
-    batch2 = v.filter(F.col("o_orderstatus") == "O").withColumn(
-        "eff", F.date_add("eff", 4000)
+    span = v.agg(
+        (F.datediff(F.max("eff"), F.min("eff")) + 1).alias("shift")
+    )
+    batch2 = (
+        v.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(span))
+        .withColumn("eff", F.expr("date_add(eff, shift)"))
+        .drop("shift")
     )
     dim_customer = scd2_apply_incremental(
         dim_customer, batch2, "o_custkey", "eff",

@@ -327,7 +327,7 @@ def udtf_sql_table_fn(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "udtf_python_lateral",
-    """SELECT p_partkey, word, CAST(strlen(word) AS INTEGER) AS n
+    """SELECT p_partkey, word, CAST(length(word) AS INTEGER) AS n
        FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
              FROM part)""",
 )
