@@ -108,16 +108,15 @@ def tpcdi_scd2_incremental(spark: SparkSession, d: str) -> DataFrame:
     # shift is the data's own date span + 1 day (a fixed 4000-day
     # shift silently assumed a narrow span and tripped the
     # late-arrival guard on wide date domains — round-4 adversarial
-    # probe); datediff of two scalar aggregates, identical in both
-    # engines
-    span = v.agg(
-        (F.datediff(F.max("eff"), F.min("eff")) + 1).alias("shift")
-    )
-    batch = (
-        v.filter(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(span))
-        .withColumn("eff", F.expr("date_add(eff, shift)"))
-        .drop("shift")
+    # probe). The shift is derived as ONE driver-side scalar (the
+    # watermark-derivation pattern — a 1-row aggregate, not a data
+    # collect) so the dataflow keeps a LITERAL shift and zero extra
+    # plan weight; the oracle derives the same scalar via subquery.
+    shift = int(
+        v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
+    ) + 1
+    batch = v.filter(F.col("o_orderstatus") == "O").withColumn(
+        "eff", F.date_add("eff", F.lit(shift))
     )
     dim = scd2_build(hist, "o_custkey", "eff", ["o_orderstatus"], "o_orderkey")
     return scd2_apply_incremental(
@@ -1410,14 +1409,15 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     )
 
     # --- Batch2: incremental apply ---------------------------------
-    span = v.agg(
-        (F.datediff(F.max("eff"), F.min("eff")) + 1).alias("shift")
-    )
-    batch2 = (
-        v.filter(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(span))
-        .withColumn("eff", F.expr("date_add(eff, shift)"))
-        .drop("shift")
+    # data-derived batch shift as ONE driver-side scalar (see
+    # tpcdi_scd2_incremental — the watermark-derivation pattern; an
+    # in-plan span relation re-printed its aggregation lineage into
+    # every phase branch and tripped the exchange-count assertion)
+    shift = int(
+        v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
+    ) + 1
+    batch2 = v.filter(F.col("o_orderstatus") == "O").withColumn(
+        "eff", F.date_add("eff", F.lit(shift))
     )
     dim_customer = scd2_apply_incremental(
         dim_customer, batch2, "o_custkey", "eff",
