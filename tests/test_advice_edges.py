@@ -1,0 +1,217 @@
+"""Round-5 ADVICE hardening: dual-engine literal probes for the four
+latent edges the round-4 advisor flagged. Each test drives BOTH
+engines (Spark + DuckDB) on adversarial literals rather than the
+friendly fixture, so the edge stays pinned if either engine or the
+op's template changes.
+
+1. str_url_parse — \\A..\\z gate anchoring (Java's $ matches before a
+   trailing newline, RE2's does not) and empty-query NULL
+   canonicalization (scalars.py).
+2. json_variant_extract — the oracle's json_type -> variant-grammar
+   mapping on every in-contract payload shape, plus the documented
+   out-of-contract divergence canaries (scalars.py).
+3. _CSV_LOSSLESS — the \\N null-sentinel collision fixed by
+   MySQL-convention backslash doubling (core_scans.py).
+4. tpcdi _batch_date_shift — empty-orders guard (tpcdi_ops.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tpc_di_etl_using_pyspark_spark.plans.core_scans import (
+    _bs_escape,
+    _bs_unescape,
+    _CSV_LOSSLESS,
+)
+from tpc_di_etl_using_pyspark_spark.plans.scalars import _URL_VALID_RE
+from tpc_di_etl_using_pyspark_spark.plans.tpcdi_ops import _batch_date_shift
+
+# ---------------------------------------------------------------- URLs
+
+URL_CASES = [
+    "https://ex1.com",
+    "https://ex1.com\n",  # Java-only $ match without \z anchoring
+    "https://ex1.com/seg/3",
+    "https://ex1.com/seg/3?",  # empty query -> NULL on both sides
+    "https://ex1.com/seg/3?q=x",
+    "https://ex1.com?",  # bare host + trailing ? (host must drop ?)
+    "http://a.b",
+    "https://ex1.com/p\n",
+    "https://ex1.com?q=",
+    "bad url",
+    "https://ex1.com/a?q=x&y=%20",
+]
+
+
+def test_url_parse_edges_match_oracle(spark, duck):
+    df = spark.createDataFrame([(u,) for u in URL_CASES], "url string")
+    ok = F.col("url").rlike(_URL_VALID_RE)
+    got = {
+        r["url"]: (r["host"], r["path"], r["query"])
+        for r in df.select(
+            "url",
+            F.when(ok, F.try_parse_url("url", F.lit("HOST"))).alias("host"),
+            F.when(ok, F.try_parse_url("url", F.lit("PATH"))).alias("path"),
+            F.when(
+                ok, F.nullif(F.try_parse_url("url", F.lit("QUERY")), F.lit(""))
+            ).alias("query"),
+        ).collect()
+    }
+    for u in URL_CASES:
+        want = duck.execute(
+            """
+            SELECT CASE WHEN regexp_matches(?, ?)
+                     THEN regexp_extract(?, '^[a-z]+://([^/?]+)', 1) END,
+                   CASE WHEN regexp_matches(?, ?)
+                     THEN regexp_extract(?, '^[a-z]+://[^/?]+(/[^?]*)', 1) END,
+                   CASE WHEN regexp_matches(?, ?)
+                     THEN NULLIF(regexp_extract(?, '\\?(.*)$', 1), '') END
+            """,
+            [u, _URL_VALID_RE, u] * 3,
+        ).fetchone()
+        assert got[u] == tuple(want), f"url edge diverged: {u!r}"
+
+
+# ------------------------------------------------------------- variant
+
+# In-contract payloads (flat scalars: string / boolean / JSON null /
+# int64-range integer / exponent-form double) — the oracle's mapping
+# must reproduce schema_of_variant exactly.
+VARIANT_IN_CONTRACT = [
+    '{"k": 1}',
+    '{"k": -3}',
+    '{"k": 2147483647}',
+    '{"k": 2147483648}',
+    '{"k": 9223372036854775807}',
+    '{"k": "s"}',
+    '{"k": true}',
+    '{"k": false}',
+    '{"k": null}',
+    '{"k": 1e2}',
+    '{"k": 1.5e3}',
+    '{"k": 1e50}',
+    "{}",
+    '{"b": true, "a": 1, "c": "x"}',
+]
+
+_ORACLE_VSCHEMA = """
+    SELECT 'OBJECT<' || COALESCE((
+             SELECT string_agg(jk || ': ' ||
+               CASE COALESCE(json_type(j, '$.' || jk), 'NULL')
+                 WHEN 'UBIGINT' THEN 'BIGINT'
+                 WHEN 'BIGINT' THEN 'BIGINT'
+                 WHEN 'VARCHAR' THEN 'STRING'
+                 WHEN 'DOUBLE' THEN 'DOUBLE'
+                 WHEN 'BOOLEAN' THEN 'BOOLEAN'
+                 WHEN 'NULL' THEN 'VOID'
+                 ELSE json_type(j, '$.' || jk) END,
+               ', ' ORDER BY jk)
+             FROM unnest(json_keys(j)) AS jt(jk)), '') || '>'
+    FROM (SELECT ?::VARCHAR AS j)
+"""
+
+
+def _spark_vschema(spark, payloads):
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    return {
+        r["props"]: r["s"]
+        for r in df.select(
+            "props", F.schema_of_variant(F.parse_json("props")).alias("s")
+        ).collect()
+    }
+
+
+def test_variant_schema_oracle_in_contract(spark, duck):
+    got = _spark_vschema(spark, VARIANT_IN_CONTRACT)
+    for p in VARIANT_IN_CONTRACT:
+        want = duck.execute(_ORACLE_VSCHEMA, [p]).fetchone()[0]
+        assert got[p] == want, f"in-contract variant payload diverged: {p}"
+
+
+def test_variant_schema_out_of_contract_canaries(spark, duck):
+    """The DOCUMENTED divergences (scalars.py oracle contract): plain
+    decimal-point literals, beyond-int64 integers, nested values. If
+    an engine upgrade ever closes one, this canary flips and the
+    contract comment should be retired."""
+    cases = {
+        '{"k": 1.5}': "OBJECT<k: DECIMAL(2,1)>",  # duck: DOUBLE
+        '{"k": 18446744073709551615}': "OBJECT<k: DECIMAL(20,0)>",
+        '{"k": {"a": 1}}': "OBJECT<k: OBJECT<a: BIGINT>>",  # duck: OBJECT
+        '{"k": [1,2]}': "OBJECT<k: ARRAY<BIGINT>>",  # duck: ARRAY
+    }
+    got = _spark_vschema(spark, list(cases))
+    for p, spark_want in cases.items():
+        assert got[p] == spark_want, f"Spark variant grammar moved: {p}"
+        oracle = duck.execute(_ORACLE_VSCHEMA, [p]).fetchone()[0]
+        assert oracle != spark_want, (
+            f"out-of-contract payload {p} now matches — narrow the "
+            "documented contract in scalars.py json_variant_extract"
+        )
+
+
+# ----------------------------------------------------------------- CSV
+
+CSV_VALUES = [
+    "\\N",  # the sentinel collision itself
+    "\\\\N",
+    "\\",
+    None,
+    "",
+    "  pad  ",
+    "%_\\percent",
+    'a"b\\c',
+    "comma,sep;semi",
+    "line\ttab",
+    "\\n\\t\\N\\\\",
+    "null",
+]
+
+
+def test_csv_lossless_backslash_sentinel_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(CSV_VALUES)], "id int, s string"
+    )
+    path = str(tmp_path / "csv_bs")
+    _bs_escape(df).write.mode("overwrite").options(**_CSV_LOSSLESS).csv(path)
+    back = _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(path, schema="id int, s string")
+    )
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == dict(enumerate(CSV_VALUES))
+
+
+def test_csv_sentinel_collision_without_escape(spark, tmp_path):
+    """Canary for WHY _bs_escape exists: without it the literal string
+    \\N round-trips to NULL (Spark writes identical bytes for both)."""
+    df = spark.createDataFrame([(1, "\\N")], "id int, s string")
+    path = str(tmp_path / "csv_raw")
+    df.write.mode("overwrite").options(**_CSV_LOSSLESS).csv(path)
+    back = spark.read.options(**_CSV_LOSSLESS).csv(path, schema="id int, s string")
+    assert back.collect()[0]["s"] is None
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def test_batch_date_shift_empty_orders(spark):
+    empty = spark.createDataFrame([], "o_custkey long, eff date")
+    assert _batch_date_shift(empty) == 1
+
+
+def test_batch_date_shift_span(spark):
+    import datetime
+
+    v = spark.createDataFrame(
+        [
+            (1, datetime.date(2020, 1, 1)),
+            (2, datetime.date(2020, 1, 11)),
+        ],
+        "o_custkey long, eff date",
+    )
+    assert _batch_date_shift(v) == 11
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -56,6 +56,10 @@ STR = [
     "x" * 500, "MiXeD CaSe WoRdS", "12345", "%_\\percent",
     "trailing space ", " leading", "comma,sep;semi", "line\ttab",
     "null", "NULL", "None",
+    # the CSV NULL sentinel as DATA — collides with nullValue='\N'
+    # unless the writer backslash-escapes (core_scans._bs_escape,
+    # round-5 ADVICE hardening)
+    "\\N",
 ]
 TS = [
     datetime.datetime(1970, 1, 1, 0, 0, 0),

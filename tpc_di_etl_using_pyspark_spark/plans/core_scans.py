@@ -71,11 +71,43 @@ def scan_parquet(spark: SparkSession, d: str) -> DataFrame:
 # read), and the reader maps empty fields to NULL — so whitespace-
 # significant strings silently lost spaces and '' flipped to NULL on
 # the round trip. A \N null sentinel keeps ''/NULL distinguishable.
+#
+# The sentinel alone COLLIDES with data: a string field whose actual
+# value is the two characters \N writes the same bytes as NULL (and
+# quoteAll does not help — Spark's writer emits identical escaped
+# bytes for both; probed empirically, round-5 ADVICE hardening). The
+# fix is the MySQL LOAD DATA convention: double every literal
+# backslash on write (_bs_escape) and halve on read (_bs_unescape).
+# Backslash-doubling is injective and its image never equals the
+# one-backslash \N sentinel, so literal '\N', '\\N', a lone '\', etc.
+# all round-trip exactly (adversarial STR pool carries '\N').
 _CSV_LOSSLESS = {
     "ignoreLeadingWhiteSpace": "false",
     "ignoreTrailingWhiteSpace": "false",
     "nullValue": "\\N",
 }
+
+
+def _bs_map(df: DataFrame, pat: str, rep: str) -> DataFrame:
+    return df.select(
+        *[
+            F.replace(F.col(f.name), F.lit(pat), F.lit(rep)).alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _bs_escape(df: DataFrame) -> DataFrame:
+    """Double literal backslashes in every string column before a CSV
+    write under _CSV_LOSSLESS (MySQL-convention NULL disambiguation)."""
+    return _bs_map(df, "\\", "\\\\")
+
+
+def _bs_unescape(df: DataFrame) -> DataFrame:
+    """Inverse of _bs_escape after a CSV read under _CSV_LOSSLESS."""
+    return _bs_map(df, "\\\\", "\\")
 
 
 @_op("scan_csv_delim", "SELECT * FROM nation")
@@ -84,11 +116,13 @@ def scan_csv_delim(spark: SparkSession, d: str) -> DataFrame:
     round-trip must equal the parquet table exactly (incl. whitespace
     and empty-vs-NULL: see _CSV_LOSSLESS)."""
     path = _scratch(d, "nation_pipe")
-    t(spark, d, "nation").write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
-        path, sep="|", header=False
-    )
-    return spark.read.options(**_CSV_LOSSLESS).csv(
-        path, sep="|", header=False, schema=schemas.NATION
+    _bs_escape(t(spark, d, "nation")).write.mode("overwrite").options(
+        **_CSV_LOSSLESS
+    ).csv(path, sep="|", header=False)
+    return _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path, sep="|", header=False, schema=schemas.NATION
+        )
     )
 
 
@@ -97,11 +131,13 @@ def scan_csv_header(spark: SparkSession, d: str) -> DataFrame:
     """Header CSV with typed read [SPEC: Prospect.csv/HR.csv];
     whitespace/NULL-lossless round trip (_CSV_LOSSLESS)."""
     path = _scratch(d, "customer_csv")
-    t(spark, d, "customer").write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
-        path, header=True
-    )
-    return spark.read.options(**_CSV_LOSSLESS).csv(
-        path, header=True, schema=schemas.CUSTOMER
+    _bs_escape(t(spark, d, "customer")).write.mode("overwrite").options(
+        **_CSV_LOSSLESS
+    ).csv(path, header=True)
+    return _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path, header=True, schema=schemas.CUSTOMER
+        )
     )
 
 
@@ -562,7 +598,9 @@ def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
     quoted single-char CSV (scan_csv_delim) is the lossless path for
     such values."""
     path = _scratch(d, "nation_dpipe")
-    n = t(spark, d, "nation")
+    # backslash-doubling on write keeps the \N null sentinel
+    # unambiguous in this quoteless format too (see _CSV_LOSSLESS)
+    n = _bs_escape(t(spark, d, "nation"))
     # hand-assembled lines cannot express quoting, so in-field '||' is
     # out of this export format's contract by construction; whitespace
     # fidelity on read still matters (round-4 adversarial probe)
@@ -570,8 +608,10 @@ def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
         "||", *[F.col(f.name).cast("string") for f in n.schema.fields]
     )
     n.select(line.alias("value")).write.mode("overwrite").text(path)
-    return spark.read.options(**_CSV_LOSSLESS).csv(
-        path, sep="||", header=False, schema=schemas.NATION
+    return _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path, sep="||", header=False, schema=schemas.NATION
+        )
     )
 
 
@@ -589,11 +629,13 @@ def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
     n = t(spark, d, "nation").select(
         "n_nationkey", F.concat("n_name", F.lit('|x"y')).alias("tricky")
     )
-    n.write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
+    _bs_escape(n).write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
         path, sep="|", header=True
     )
-    return spark.read.options(**_CSV_LOSSLESS).csv(
-        path, sep="|", header=True, schema="n_nationkey long, tricky string"
+    return _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path, sep="|", header=True, schema="n_nationkey long, tricky string"
+        )
     )
 
 

@@ -26,94 +26,39 @@ _MODULES = [
 
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
-# surface is FROZEN as of round 4 (VERDICT r3 item 1): no new ops until
-# every op has a driver row. The remaining never-certified backlog
-# (143 ops after r3) is partitioned into three mechanical windows:
+# surface is FROZEN as of round 4 (VERDICT r3 item 1): no new ops
+# until every op has a driver row. Cumulative r1-r4: 196 distinct ops
+# driver-certified green, zero regressions. Remaining backlog: 93
+# never-certified ops + 7 ops whose code/oracle changed in round 4
+# after their last driver row = 100 = exactly two 50-op windows.
 #
-#   round 4 (this round, 50): all 36 uncertified §2.H scalars, the 8
-#     uncertified §2.I streaming ops, the first 6 §2.J UDF ops.
-#   round 5 (next 49): §2.J tail (udf_sql_declarative,
-#     udtf_sql_table_fn, udtf_python_lateral), late-round-2 Spark-4
-#     surfaces (sql_pipe_syntax, scan/sink_python_datasource,
-#     multimodal_image_resize, join_dpp_partitioned, vec_quantize_pq),
-#     §2.L remainder (tpcdi_* dims/pnl/reference, events_*), §2.D
-#     aggregate tail, sorts/SQL surfaces, csv scan/sink tail. Plus,
-#     AT THE FRONT, the ops whose code or oracle changed in round 4
-#     (positions 51-57 below: dedup_eval_simhash_recall's sampled
-#     truth mode, win_ema_smooth's sign-aware rounding,
+#   round 5 (THIS round, positions 1-50): the 7 round-4-changed ops
+#     FIRST (VERDICT r4 item 1 ordering: dedup_eval_simhash_recall's
+#     sampled truth mode, win_ema_smooth's sign-aware rounding,
 #     text_snapshot_novelty + dedup_ngram_containment's short-doc
 #     guard, sink_compact_small_files' precondition asserts, the PCA
-#     pair's model-relation repartition(1) — queued right after the
-#     window so a >50 driver window certifies them immediately; all
-#     seven re-verified green at sf0.01 AND sf0.1 this round).
-#   round 6 (last 44): remaining scan/sink probes, join variants,
-#     window tail, §2.K local-green text/sim/multimodal tail.
+#     pair's model-relation repartition(1)), then the first 43 of the
+#     never-certified r5 window (SS2.J tail, Spark-4 surfaces, SS2.L
+#     remainder, SS2.D aggregate tail). A >50 driver window (VERDICT
+#     r4 item 6) immediately certifies the overflow below.
+#   round 6 (positions 51+): FIRST the 8 ops whose code or oracle
+#     changed during round 5 (ADVICE hardening + adversarial \N-pool
+#     findings — see the in-list comment; all re-verified MATCH at
+#     sf0.01 + sf0.1 + adversarial the day of the change), then the
+#     last 6 of the r5 window (sql_groupby_all .. sink_csv_quoted),
+#     then the 44-op r6 window (remaining scan/sink probes, join
+#     variants, window tail, SS2.K local-green text/sim/multimodal
+#     tail). A 50-op r6 window certifies through position 99; any
+#     remainder rolls to r7 unless the driver window widens.
 #
-# After the three windows every already-certified op follows in module
-# order via _collect(); nothing is ever dropped from the registry.
+# Behind the windows: the already-driver-certified ops re-verified
+# after round-4 hardening (gram-family heads, adversarial-probe
+# fixes) retain elevated positions for a fast re-cert if a window
+# ever widens; then every other certified op follows in module order
+# via _collect(). Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-4 certification window (exactly 50, ZERO previously
-    # certified ops; VERDICT r3 item 1) ---
-    # §2.H scalar family (36) — queued since round 1
-    "str_concat_phone",
-    "str_substr_trim",
-    "str_case_match",
-    "str_pad_format",
-    "str_regexp",
-    "str_split_explode",
-    "str_regexp_extract_all",
-    "str_levenshtein_link",
-    "str_encode_b64_hex",
-    "str_url_parse",
-    "str_collate_ci",
-    "date_parse",
-    "date_arith",
-    "date_extract",
-    "date_trunc_bucket",
-    "date_boundaries",
-    "date_spine_gapfill",
-    "math_round_money",
-    "math_ratio_guard",
-    "math_functions",
-    "math_trig",
-    "math_try_overflow",
-    "cond_case_when",
-    "null_coalesce",
-    "cast_types",
-    "hash_checksum",
-    "bit_ops",
-    "json_extract",
-    "json_nested_roundtrip",
-    "json_variant_extract",
-    "json_variant_explode",
-    "array_ops",
-    "array_fold_dot",
-    "array_posexplode",
-    "array_exists_forall",
-    "xml_roundtrip_builtin",
-    # §2.I streaming basics (8)
-    "stream_tumbling_count",
-    "stream_sliding_sum",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_state",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_totals",
-    "stream_transform_with_state",
-    # §2.J UDF/UDAF/UDTF head (6)
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "udf_arrow_scalar",
-    # --- positions 51-65: round-4 code-change re-cert candidates.
-    # 58-65 are the certified gram-family heads transitively touched
-    # by the round-4 shingles() short-doc convention change (docs
-    # under k words now emit ZERO shingles, matching every oracle's
-    # NULL-gram convention; zero behavioral delta on the ≥3-word
-    # fixture — all re-verified MATCH at sf0.01 AND sf0.1 the day of
-    # the change, plus on the adversarial fixture). ---
+    # --- round-5 certification window (50 = 7 changed + 43 new) ---
+    # round-4 code/oracle-changed ops needing fresh driver rows (7)
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -121,34 +66,7 @@ _PRIORITY = [
     "sink_compact_small_files",
     "vec_pca_power_iteration",
     "vec_pca_project",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_chunk_level",
-    "dedup_cross_source_matrix",
-    "stream_incremental_dedup",
-    "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
-    # certified ops hardened by the round-4 adversarial probe (zero-
-    # norm NULLIF guards, lossless CSV/XML round-trip options, ±0.0
-    # canonicalization, per-user corr recentering, DECIMAL(38,6)
-    # widenings, data-derived SCD2 batch shift) — every one re-verified
-    # MATCH on the driver fixture at sf0.01 (full-registry sweep) the
-    # day it changed
-    "scan_csv_delim",
-    "scan_csv_header",
-    "scan_xml_flatten",
-    "win_nth_value",
-    "win_time_weighted_avg",
-    "win_rolling_corr",
-    "sim_cosine_topk",
-    "sim_rp_lsh_cosine",
-    "sim_ann_recall_eval",
-    "pipeline_rag_e2e",
-    "tpcdi_scd2_incremental",
-    "tpcdi_dim_broker",
-    "tpcdi_batch_e2e",
-    # --- round-5 window (49) ---
+    # never-driver-certified r5 window head (43)
     "udf_sql_declarative",
     "udtf_sql_table_fn",
     "udtf_python_lateral",
@@ -192,13 +110,28 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
+    # --- round-5 changed ops: code or oracle edited AFTER their last
+    # driver row (ADVICE hardening + adversarial findings: ASCII-gated
+    # collation fixture, dim_broker \N-safe CSV hop, \A..\z URL gate +
+    # empty-query NULL, variant NULL->VOID mapping, _bs_escape CSV
+    # round trips, _batch_date_shift guard). All re-verified MATCH at
+    # sf0.01 + sf0.1 + adversarial the day of the change; queued here
+    # so the NEXT window (or a >50 window now) re-certifies them. ---
+    "str_collate_ci",
+    "tpcdi_dim_broker",
+    "str_url_parse",
+    "json_variant_extract",
+    "scan_csv_delim",
+    "scan_csv_header",
+    "tpcdi_scd2_incremental",
+    "tpcdi_batch_e2e",
+    # --- round-6 certification window (50 = 6 overflow + 44) ---
     "sql_groupby_all",
     "sql_scalar_subquery_corr",
     "sql_lateral_topk",
     "sql_recursive_hierarchy",
     "scan_csv_multichar_delim",
     "sink_csv_quoted",
-    # --- round-6 window (44) ---
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
@@ -243,6 +176,74 @@ _PRIORITY = [
     "sample_temperature_mixture",
     "vec_centroid_per_label",
     "text_bpe_pair_count",
+    # --- certified ops re-verified after round-4 hardening (21) ---
+    # gram-family heads transitively touched by the r4 shingles()
+    # short-doc convention change (re-verified MATCH sf0.01 + sf0.1)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_chunk_level",
+    "dedup_cross_source_matrix",
+    "stream_incremental_dedup",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    # adversarial-probe hardening re-verifications (r4, all MATCH)
+    "scan_xml_flatten",
+    "win_nth_value",
+    "win_time_weighted_avg",
+    "win_rolling_corr",
+    "sim_cosine_topk",
+    "sim_rp_lsh_cosine",
+    "sim_ann_recall_eval",
+    "pipeline_rag_e2e",
+    # --- round-4 window, certified r4 (50) ---
+    "str_concat_phone",
+    "str_substr_trim",
+    "str_case_match",
+    "str_pad_format",
+    "str_regexp",
+    "str_split_explode",
+    "str_regexp_extract_all",
+    "str_levenshtein_link",
+    "str_encode_b64_hex",
+    "date_parse",
+    "date_arith",
+    "date_extract",
+    "date_trunc_bucket",
+    "date_boundaries",
+    "date_spine_gapfill",
+    "math_round_money",
+    "math_ratio_guard",
+    "math_functions",
+    "math_trig",
+    "math_try_overflow",
+    "cond_case_when",
+    "null_coalesce",
+    "cast_types",
+    "hash_checksum",
+    "bit_ops",
+    "json_extract",
+    "json_nested_roundtrip",
+    "json_variant_explode",
+    "array_ops",
+    "array_fold_dot",
+    "array_posexplode",
+    "array_exists_forall",
+    "xml_roundtrip_builtin",
+    "stream_tumbling_count",
+    "stream_sliding_sum",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_totals",
+    "stream_transform_with_state",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "udf_arrow_scalar",
 ]
 
 

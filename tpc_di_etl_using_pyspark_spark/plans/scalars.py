@@ -594,10 +594,14 @@ def str_encode_b64_hex(spark: SparkSession, d: str) -> DataFrame:
 # BOTH regex engines (Java / RE2), so "invalid" means the same thing on
 # both sides: scheme, host of [A-Za-z0-9.-], optional unreserved-ish
 # path and query. Anything outside (spaces, unicode, quotes, commas,
-# backslashes) NULLs the parsed components in both engines.
+# backslashes) NULLs the parsed components in both engines. Anchored
+# \A..\z (supported identically by Java and RE2) instead of ^..$:
+# Java's $ matches before a trailing newline while RE2's does not, so
+# a bare-host URL ending in '\n' would pass only the Spark gate — \z
+# closes that engine divergence (round-5 ADVICE hardening).
 _URL_VALID_RE = (
-    r"^https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~%/-]*)?"
-    r"(\?[A-Za-z0-9._~%=&-]*)?$"
+    r"\Ahttps?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~%/-]*)?"
+    r"(\?[A-Za-z0-9._~%=&-]*)?\z"
 )
 
 
@@ -611,11 +615,11 @@ _URL_VALID_RE = (
          FROM customer)
        SELECT c_custkey, url,
               CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
-                   THEN regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS host,
+                   THEN regexp_extract(url, '^[a-z]+://([^/?]+)', 1) END AS host,
               CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
-                   THEN regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) END AS path,
+                   THEN regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) END AS path,
               CASE WHEN regexp_matches(url, '{_URL_VALID_RE}')
-                   THEN regexp_extract(url, '\\?(.*)$', 1) END AS query
+                   THEN NULLIF(regexp_extract(url, '\\?(.*)$', 1), '') END AS query
        FROM u""",
 )
 def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
@@ -627,7 +631,12 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
     the segment, the round-4 adversarial-probe crash case — yield NULL
     components in both engines instead of a thrown INVALID_URL
     (try_parse_url makes the Spark side total; at 100 TB one malformed
-    URL must not kill a stage)."""
+    URL must not kill a stage). Edge contract, probed with literal
+    strings against both engines (round-5 ADVICE hardening): a
+    trailing-newline URL fails the \\A..\\z-anchored gate in BOTH
+    engines; an empty query ('...?') is canonicalized to NULL on both
+    sides (nullif here, NULLIF in the oracle) because try_parse_url
+    returns '' where a no-match regexp_extract cannot."""
     c = t(spark, d, "customer")
     url = F.concat(
         F.lit("https://ex"), F.col("c_nationkey").cast("string"),
@@ -645,7 +654,8 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
         "url",
         part("HOST").alias("host"),
         part("PATH").alias("path"),
-        part("QUERY").alias("query"),
+        F.when(ok, F.nullif(F.try_parse_url("url", F.lit("QUERY")), F.lit("")))
+         .alias("query"),
     )
 
 
@@ -824,18 +834,35 @@ def json_nested_roundtrip(spark: SparkSession, d: str) -> DataFrame:
     # {"k": int} shape — the former literal 'OBJECT<k: BIGINT>'
     # diverged on {} / {"j": 1} / multi-key payloads (round-4
     # adversarial probe). Verified identical to Spark's
-    # schema_of_variant grammar on empty, multi-key, negative-int and
-    # int32-max payloads.
+    # schema_of_variant grammar on empty, multi-key, negative-int,
+    # int32-max, JSON-null, and exponent-form double payloads
+    # (tests/test_advice_edges.py probes both engines on literals).
+    #
+    # ORACLE CONTRACT (round-5 ADVICE hardening): props values must be
+    # FLAT SCALARS — string / boolean / JSON null / int64-range
+    # integer / exponent-form double. Out of contract, Spark stays
+    # correct but DuckDB's json_type cannot reproduce the variant
+    # grammar: plain decimal-point literals become DECIMAL(p,s) in
+    # Spark ('1.5' -> DECIMAL(2,1)) while DuckDB normalizes the
+    # literal text away ('0.500' -> 0.5 DOUBLE, unrecoverable);
+    # beyond-int64 integers become DECIMAL(20,0) vs DOUBLE; nested
+    # objects/arrays print Spark's recursive grammar vs bare
+    # 'OBJECT'/'ARRAY'. The driver fixture carries int/string
+    # payloads — in contract.
     """SELECT event_id,
               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
               'OBJECT<' || COALESCE((
                  SELECT string_agg(jk || ': ' ||
-                   CASE json_type(props, '$.' || jk)
+                   -- COALESCE: DuckDB's json_type with a NON-constant
+                   -- path returns SQL NULL (not 'NULL') for JSON null
+                   -- values; the key is known to exist (json_keys)
+                   CASE COALESCE(json_type(props, '$.' || jk), 'NULL')
                      WHEN 'UBIGINT' THEN 'BIGINT'
                      WHEN 'BIGINT' THEN 'BIGINT'
                      WHEN 'VARCHAR' THEN 'STRING'
                      WHEN 'DOUBLE' THEN 'DOUBLE'
                      WHEN 'BOOLEAN' THEN 'BOOLEAN'
+                     WHEN 'NULL' THEN 'VOID'
                      ELSE json_type(props, '$.' || jk) END,
                    ', ' ORDER BY jk)
                  FROM unnest(json_keys(props)) AS jt(jk)), '') || '>'
@@ -888,8 +915,16 @@ def math_try_overflow(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "str_collate_ci",
+    # the mixed-case construction upper() is ASCII-GATED: Java
+    # upper('ß')='SS' but DuckDB upper('ß')='ẞ' (U+1E9E), so an
+    # unconditional upper() diverges BEFORE any collation compares
+    # (round-5 adversarial probe, surfaced by the \N pool re-pairing).
+    # Non-ASCII names pass through unmodified and compare
+    # accent-sensitively in both engines.
     """WITH m AS (SELECT p_brand,
-                         CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                         CASE WHEN p_partkey % 2 = 0
+                                   AND regexp_matches(p_name, '^[\\x00-\\x7F]*$')
+                              THEN upper(p_name)
                               ELSE p_name END AS name_mixed
                   FROM part)
        SELECT p_brand,
@@ -903,11 +938,15 @@ def str_collate_ci(spark: SparkSession, d: str) -> DataFrame:
     hashing/codegen) instead of wrapping every operand in lower() — at
     scale that keeps the optimizer's statistics and pushdowns on the
     raw column. Distinct-count under UNICODE_CI vs binary collation;
-    oracle mirrors with lower() (ASCII fixture ⇒ identical folding)."""
+    oracle mirrors with lower(). Contract: the case-flip half of the
+    fixture is ASCII-gated (see oracle comment — Java and DuckDB
+    upper() disagree on ß), and for ASCII strings UNICODE_CI equality
+    coincides with lower()-fold equality, so the bridge is exact."""
     p = t(spark, d, "part")
-    mixed = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name")).otherwise(
-        F.col("p_name")
-    )
+    is_ascii = F.col("p_name").rlike(r"^[\x00-\x7F]*$")
+    mixed = F.when(
+        (F.col("p_partkey") % 2 == 0) & is_ascii, F.upper("p_name")
+    ).otherwise(F.col("p_name"))
     return (
         p.select("p_brand", mixed.alias("name_mixed"))
         .groupBy("p_brand")

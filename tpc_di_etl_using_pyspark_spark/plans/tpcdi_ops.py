@@ -39,6 +39,25 @@ def _op(name, oracle=None):
     return deco
 
 
+def _batch_date_shift(v: DataFrame) -> int:
+    """Data-derived SCD2 batch shift: the orders date span + 1 day,
+    derived as ONE driver-side scalar (the watermark-derivation
+    pattern — a 1-row min/max aggregate, not a data collect), so the
+    dataflow keeps a LITERAL shift and zero extra plan weight.
+
+    Two deliberate properties:
+    - Plan CONSTRUCTION is eager for callers: building the DataFrame
+      runs one narrow 1-row Spark job. Tolerated in
+      tests/test_plan_lint.py (instead of SIDE_EFFECT-skipping the
+      callers) so the built plans stay lint-covered.
+    - On an EMPTY orders table the span aggregate is NULL; fall back
+      to a 1-day shift instead of raising TypeError — both SCD2
+      inputs are empty then, so the result is empty either way.
+    """
+    s = v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
+    return (int(s) if s is not None else 0) + 1
+
+
 @_op(
     "tpcdi_scd2_dimcustomer",
     """SELECT CAST(o_custkey AS VARCHAR) || '-' || CAST(
@@ -108,13 +127,10 @@ def tpcdi_scd2_incremental(spark: SparkSession, d: str) -> DataFrame:
     # shift is the data's own date span + 1 day (a fixed 4000-day
     # shift silently assumed a narrow span and tripped the
     # late-arrival guard on wide date domains — round-4 adversarial
-    # probe). The shift is derived as ONE driver-side scalar (the
-    # watermark-derivation pattern — a 1-row aggregate, not a data
-    # collect) so the dataflow keeps a LITERAL shift and zero extra
-    # plan weight; the oracle derives the same scalar via subquery.
-    shift = int(
-        v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
-    ) + 1
+    # probe). See _batch_date_shift for the driver-scalar rationale,
+    # the tolerated construction-time 1-row job, and the empty-input
+    # guard; the oracle derives the same scalar via subquery.
+    shift = _batch_date_shift(v)
     batch = v.filter(F.col("o_orderstatus") == "O").withColumn(
         "eff", F.date_add("eff", F.lit(shift))
     )
@@ -864,16 +880,22 @@ def tpcdi_dim_broker(spark: SparkSession, d: str) -> DataFrame:
             F.lpad((F.col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"),
         ).alias("phone"),
     )
-    from .core_scans import _CSV_LOSSLESS
+    from .core_scans import _bs_escape, _bs_unescape, _CSV_LOSSLESS
 
-    hr.write.mode("overwrite").options(**_CSV_LOSSLESS).csv(path, header=True)
-    hr2 = spark.read.options(**_CSV_LOSSLESS).csv(
-        path,
-        header=True,
-        schema=(
-            "employee_id bigint, manager_id bigint, job_code int, "
-            "last_name string, branch string, office string, phone string"
-        ),
+    # _bs_escape/_bs_unescape: a last_name equal to the \N null
+    # sentinel must survive the CSV hop (see _CSV_LOSSLESS)
+    _bs_escape(hr).write.mode("overwrite").options(**_CSV_LOSSLESS).csv(
+        path, header=True
+    )
+    hr2 = _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path,
+            header=True,
+            schema=(
+                "employee_id bigint, manager_id bigint, job_code int, "
+                "last_name string, branch string, office string, phone string"
+            ),
+        )
     )
     # rename the grouped key before the self-join: both sides share the
     # hr2 lineage and an unaliased manager_id is ambiguous to Spark
@@ -1410,12 +1432,10 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
 
     # --- Batch2: incremental apply ---------------------------------
     # data-derived batch shift as ONE driver-side scalar (see
-    # tpcdi_scd2_incremental — the watermark-derivation pattern; an
+    # _batch_date_shift — the watermark-derivation pattern; an
     # in-plan span relation re-printed its aggregation lineage into
     # every phase branch and tripped the exchange-count assertion)
-    shift = int(
-        v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
-    ) + 1
+    shift = _batch_date_shift(v)
     batch2 = v.filter(F.col("o_orderstatus") == "O").withColumn(
         "eff", F.date_add("eff", F.lit(shift))
     )
