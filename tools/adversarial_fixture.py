@@ -60,6 +60,14 @@ STR = [
     # unless the writer backslash-escapes (core_scans._bs_escape,
     # round-5 ADVICE hardening)
     "\\N",
+    # astral-plane (4-byte UTF-8) codepoints — exercise codepoint-vs-
+    # byte unit divergences (DuckDB levenshtein counts bytes; length/
+    # substring/reverse count codepoints in both engines). COMPOSED
+    # forms only: combining sequences / ZWJ clusters are out of the
+    # reverse-parity contract (DuckDB reverses graphemes) — round-5
+    # adversarial wave.
+    "émoji 🎵🚀 mix𝄞",
+    "𝕬𝖘𝖙𝖗𝖆𝖑 math 𝔸𝔹ℂ",
 ]
 TS = [
     datetime.datetime(1970, 1, 1, 0, 0, 0),

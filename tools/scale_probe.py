@@ -112,6 +112,54 @@ PROBE = [
     "events_path_trigrams",
     "dedup_eval_simhash_recall",
     "dedup_ngram_jaccard",
+    # round-5 window ops (full certification-window scale coverage)
+    "sink_compact_small_files",
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
+    "udtf_python_lateral",
+    "sql_pipe_syntax",
+    "scan_python_datasource",
+    "sink_python_datasource",
+    "multimodal_image_resize",
+    "join_dpp_partitioned",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_prospect_match",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dim_trade",
+    "tpcdi_dimessages",
+    "tpcdi_scd2_hybrid_type1",
+    "tpcdi_reference_dims",
+    "events_funnel",
+    "events_retention",
+    "agg_first_last",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_transpose_matrix",
+    "agg_moments_exact",
+    "agg_filter_clause",
+    "agg_bitmap_distinct",
+    "agg_count_distinct_multi",
+    "agg_percentile",
+    "agg_unpivot",
+    "agg_collect_sorted",
+    "agg_string_concat_group",
+    "agg_weighted_avg",
+    "agg_pivot_dynamic",
+    "agg_median_mode",
+    "agg_regression_exact",
+    "agg_histogram_fixed",
+    "sketch_approx_topk",
+    "sort_limit_offset",
+    "str_collate_ci",
+    "tpcdi_dim_broker",
+    "str_url_parse",
+    "json_variant_extract",
+    "scan_csv_delim",
+    "scan_csv_header",
+    "tpcdi_scd2_incremental",
 ]
 
 

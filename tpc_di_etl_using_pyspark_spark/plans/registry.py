@@ -41,10 +41,11 @@ _MODULES = [
 #     never-certified r5 window (SS2.J tail, Spark-4 surfaces, SS2.L
 #     remainder, SS2.D aggregate tail). A >50 driver window (VERDICT
 #     r4 item 6) immediately certifies the overflow below.
-#   round 6 (positions 51+): FIRST the 8 ops whose code or oracle
+#   round 6 (positions 51+): FIRST the 9 ops whose code or oracle
 #     changed during round 5 (ADVICE hardening + adversarial \N-pool
-#     findings — see the in-list comment; all re-verified MATCH at
-#     sf0.01 + sf0.1 + adversarial the day of the change), then the
+#     and astral-wave findings — see the in-list comments; all
+#     re-verified MATCH at sf0.01 + sf0.1 + adversarial the day of
+#     the change), then the
 #     last 6 of the r5 window (sql_groupby_all .. sink_csv_quoted),
 #     then the 44-op r6 window (remaining scan/sink probes, join
 #     variants, window tail, SS2.K local-green text/sim/multimodal
@@ -125,6 +126,9 @@ _PRIORITY = [
     "scan_csv_header",
     "tpcdi_scd2_incremental",
     "tpcdi_batch_e2e",
+    # astral-wave fix: ASCII-gated linkage (DuckDB levenshtein counts
+    # bytes, Spark codepoints) — re-verified sf0.01 + sf0.1 + hostile
+    "str_levenshtein_link",
     # --- round-6 certification window (50 = 6 overflow + 44) ---
     "sql_groupby_all",
     "sql_scalar_subquery_corr",
@@ -204,7 +208,6 @@ _PRIORITY = [
     "str_regexp",
     "str_split_explode",
     "str_regexp_extract_all",
-    "str_levenshtein_link",
     "str_encode_b64_hex",
     "date_parse",
     "date_arith",

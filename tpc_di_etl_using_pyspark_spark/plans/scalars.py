@@ -456,24 +456,37 @@ def hash_checksum(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "str_levenshtein_link",
+    # linkage is ASCII-GATED on both sides: Spark's levenshtein counts
+    # CODEPOINTS while DuckDB's counts BYTES, so a non-ASCII pair
+    # within 2 codepoint edits can sit beyond 2 byte edits ('a🎵' vs
+    # 'ab': Spark 1, DuckDB 5 — round-5 adversarial probe). For ASCII
+    # the two metrics coincide; non-ASCII names are unlinkable in BOTH
+    # engines by the same regexp gate.
     """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
               levenshtein(a.c_name, b.c_name) AS edit_dist
        FROM customer a JOIN customer b
          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-       WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+       WHERE regexp_matches(a.c_name, '^[\\x00-\\x7F]*$')
+         AND regexp_matches(b.c_name, '^[\\x00-\\x7F]*$')
+         AND levenshtein(a.c_name, b.c_name) <= 2""",
 )
 def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
     """Fuzzy record linkage [SPEC: Prospect matching generalized from
     exact-UPPER to edit-distance]: candidate pairs blocked on nation
     (the equi key bounds the quadratic join), kept when the names are
-    within 2 edits. Both engines ship the same Levenshtein builtin."""
+    within 2 edits. Contract: linkage applies to ASCII names only —
+    the gate (mirrored in the oracle) exists because the engines'
+    Levenshtein units differ off-ASCII (codepoints vs bytes, see
+    oracle comment); at 100 TB a name-linkage pass would normalize/
+    transliterate first anyway."""
     c = t(spark, d, "customer")
-    a = c.select(
+    ascii_ok = F.col("c_name").rlike(r"^[\x00-\x7F]*$")
+    a = c.filter(ascii_ok).select(
         F.col("c_nationkey").alias("blk"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
     )
-    b = c.select(
+    b = c.filter(ascii_ok).select(
         F.col("c_nationkey").alias("blk"),
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),

@@ -247,6 +247,12 @@ def udtf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
     "udf_arrow_scalar",
     # length() = CHARACTERS (Python len semantics); strlen() is BYTES
     # and diverged on unicode names (round-4 adversarial probe).
+    # reverse(): DuckDB reverses GRAPHEMES while Python [::-1] (and
+    # Spark's reverse) flips CODEPOINTS — identical whenever every
+    # grapheme is one codepoint. Contract: names may contain astral
+    # (4-byte UTF-8) chars but not combining sequences or ZWJ
+    # clusters, where the two reversals genuinely differ (round-5
+    # adversarial probe; the pool's unicode strings are composed).
     """SELECT c_custkey,
               CAST(length(c_name) AS INTEGER) || ':' || reverse(c_name)
                 AS tagged
