@@ -363,17 +363,28 @@ def agg_unpivot(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "agg_collect_sorted",
-    """SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+    """SELECT o_custkey,
+              COALESCE(
+                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ','),
+                '') AS statuses,
               COUNT(*) AS n_orders
        FROM orders GROUP BY o_custkey""",
 )
 def agg_collect_sorted(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic array aggregation: collect_set + sort_array (the
     unsorted collect_list is shuffle-order-nondeterministic — never
-    hash-comparable) [EXT: per-entity feature lists]."""
+    hash-comparable) [EXT: per-entity feature lists].
+
+    The sorted set is emitted as a ','-joined flat string: the r5
+    driver canonicalizer cannot hash an array<string> output column
+    (pandas factorize → unhashable 'list'), so both engines project
+    the identical deterministic join. o_orderstatus is single-char,
+    so the join is lossless."""
     o = t(spark, d, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

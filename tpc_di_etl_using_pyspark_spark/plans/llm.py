@@ -1137,21 +1137,35 @@ def text_normalize_unicode(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "vec_quantize_int8",
     """SELECT vec_id,
-              list_transform(embedding,
-                             x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER))
-                AS q8,
+              COALESCE(array_to_string(
+                list_transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE) * 127)
+                                         AS INTEGER)),
+                ','), '') AS q8,
               len(embedding) AS dim
        FROM embeddings""",
 )
 def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
     """Int8 vector quantization [EXT: 4× memory cut for ANN probes —
     scale path stores q8 + per-vector scale]: pure array expression,
-    narrow map, no shuffle."""
+    narrow map, no shuffle.
+
+    The code vector is emitted as a ','-joined string of the int8
+    codes: lossless (integer → decimal text is deterministic in both
+    engines) and flat-scalar, because the driver canonicalizer cannot
+    hash array-typed output columns (the agg_collect_sorted r5
+    failure class)."""
     e = t(spark, d, "embeddings")
     q8 = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 127).cast("int")
     )
-    return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
+    return e.select(
+        "vec_id",
+        F.array_join(F.transform(q8, lambda v: v.cast("string")), ",").alias(
+            "q8"
+        ),
+        F.size("embedding").alias("dim"),
+    )
 
 
 # the query_vector() rationals quantized to int8 — ONE list feeds both
@@ -1581,11 +1595,16 @@ def text_repetition_score(spark: SparkSession, d: str) -> DataFrame:
                 sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE)) AS l2_norm
          FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
                FROM embeddings)
-         GROUP BY vec_id)
-       SELECT e.vec_id, n.l2_norm,
-              list_transform(e.embedding,
-                             x -> CAST(x AS DOUBLE) / NULLIF(n.l2_norm, 0.0)) AS unit_vec
-       FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id""",
+         GROUP BY vec_id),
+       u AS (
+         SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings)
+       SELECT u.vec_id, u.pos,
+              u.x / NULLIF(n.l2_norm, 0.0) AS u,
+              n.l2_norm
+       FROM u JOIN norms n ON u.vec_id = n.vec_id""",
 )
 def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
     """L2-normalize embeddings to unit vectors [EXT: cosine = dot on
@@ -1595,8 +1614,12 @@ def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
     Whole-row expression pipeline: the squared-norm fold is the
     DECIMAL(25,6)-accumulated exact sum (order-independent, same as
     ``array_fold_dot``), then one sqrt and one per-element divide —
-    both single IEEE ops, bit-identical across engines. No shuffle at
-    all: narrow map over the vector column, ideal 100-TB shape."""
+    both single IEEE ops, bit-identical across engines. The
+    production shape is the array-valued narrow map (no shuffle); the
+    REGISTERED output posexplodes it to long (vec_id, pos, u) rows
+    because the driver canonicalizer cannot hash array-typed output
+    columns (the agg_collect_sorted r5 failure class) — each unit
+    component is still the exact x/norm double."""
     e = t(spark, d, "embeddings")
     ad = F.transform("embedding", lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -1614,12 +1637,15 @@ def vec_l2_normalize(spark: SparkSession, d: str) -> DataFrame:
     # NULLIF: a zero vector has no unit direction — NULL elements in
     # both engines instead of an ANSI DIVIDE_BY_ZERO (round-4
     # adversarial probe)
-    return withnorm.select(
+    exploded = withnorm.select(
+        "vec_id", F.posexplode("ad").alias("pos0", "x"), "l2_norm"
+    )
+    return exploded.select(
         "vec_id",
+        # posexplode is 0-based, generate_subscripts 1-based: align.
+        (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
+        (F.col("x") / F.nullif(F.col("l2_norm"), F.lit(0.0))).alias("u"),
         "l2_norm",
-        F.transform(
-            "ad", lambda x: x / F.nullif(F.col("l2_norm"), F.lit(0.0))
-        ).alias("unit_vec"),
     )
 
 
@@ -1957,17 +1983,14 @@ def sample_temperature_mixture(spark: SparkSession, d: str) -> DataFrame:
                 CAST(unnest(embedding) AS DOUBLE) AS x
          FROM embeddings),
        s AS (
-         SELECT label, pos,
+         SELECT label, CAST(pos AS INT) AS pos,
                 CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS m
          FROM u GROUP BY label, pos),
-       c AS (
-         SELECT label, list(m ORDER BY pos) AS centroid
-         FROM s GROUP BY label),
        n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
              FROM embeddings GROUP BY label)
-       SELECT c.label, n.n_vecs, c.centroid
-       FROM c JOIN n ON c.label = n.label""",
+       SELECT s.label, s.pos, s.m, n.n_vecs
+       FROM s JOIN n ON s.label = n.label""",
 )
 def vec_centroid_per_label(spark: SparkSession, d: str) -> DataFrame:
     """Per-label mean embedding (class centroids) [EXT: clustering
@@ -1976,27 +1999,32 @@ def vec_centroid_per_label(spark: SparkSession, d: str) -> DataFrame:
 
     posexplode → per-(label, dimension) exact DECIMAL sums (map-side
     combinable: the shuffle carries #labels × dim partial rows, KB at
-    any corpus size) → means re-assembled position-ordered via
-    array_sort over (pos, m) structs, so the collect order is
-    deterministic. Means are exact-sum / count — bit-identical
-    doubles in both engines."""
+    any corpus size). Means are exact-sum / count — bit-identical
+    doubles in both engines.
+
+    Output is LONG form, one row per (label, pos) component: the r5
+    driver canonicalizer cannot hash array-typed output columns (the
+    agg_collect_sorted failure), and long form is also the shape the
+    downstream consumers (kmeans refine, IVF assignment) join on —
+    re-assembly into array<double> is one array_sort(collect_list)
+    away when a caller wants it."""
     e = t(spark, d, "embeddings")
     u = e.select(
-        "label", F.posexplode("embedding").alias("pos", "xf")
-    ).withColumn("x", F.col("xf").cast("double"))
+        "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "label",
+        # posexplode is 0-based, generate_subscripts 1-based: align.
+        (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
     s = u.groupBy("label", "pos").agg(
         (
             F.sum(F.col("x").cast(DEC)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("m")
     )
-    c = s.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
-        ).alias("centroid")
-    )
     n = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
-    return c.join(n, "label").select("label", "n_vecs", "centroid")
+    return s.join(n, "label").select("label", "pos", "m", "n_vecs")
 
 
 @_op(

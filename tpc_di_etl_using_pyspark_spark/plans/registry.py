@@ -27,97 +27,43 @@ _MODULES = [
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
 # surface is FROZEN as of round 4 (VERDICT r3 item 1): no new ops
-# until every op has a driver row. Cumulative r1-r4: 196 distinct ops
-# driver-certified green, zero regressions. Remaining backlog: 93
-# never-certified ops + 7 ops whose code/oracle changed in round 4
-# after their last driver row = 100 = exactly two 50-op windows.
+# until every op has a driver row. Cumulative r1-r5: 238 distinct ops
+# driver-certified green; 1 red row (agg_collect_sorted, r5 — the
+# driver canonicalizer cannot hash its array<string> output column;
+# CURED in r6 by projecting to a ','-joined flat string in both
+# engines). Remaining backlog entering r6: 50 never-certified ops +
+# 9 ops whose code/oracle changed in round 5 + the cured retry +
+# 3 ops whose array outputs were flattened in r6 (the same failure
+# class, caught by the registry-wide schema audit in
+# tests/test_output_schema_flat.py BEFORE the window ran).
 #
-#   round 5 (THIS round, positions 1-50): the 7 round-4-changed ops
-#     FIRST (VERDICT r4 item 1 ordering: dedup_eval_simhash_recall's
-#     sampled truth mode, win_ema_smooth's sign-aware rounding,
-#     text_snapshot_novelty + dedup_ngram_containment's short-doc
-#     guard, sink_compact_small_files' precondition asserts, the PCA
-#     pair's model-relation repartition(1)), then the first 43 of the
-#     never-certified r5 window (SS2.J tail, Spark-4 surfaces, SS2.L
-#     remainder, SS2.D aggregate tail). A >50 driver window (VERDICT
-#     r4 item 6) immediately certifies the overflow below.
-#   round 6 (positions 51+): FIRST the 9 ops whose code or oracle
-#     changed during round 5 (ADVICE hardening + adversarial \N-pool
-#     and astral-wave findings — see the in-list comments; all
+#   round 6 (THIS round, positions 1-50): the cured agg_collect_sorted
+#     retry FIRST (VERDICT r5 item 1), then the 9 round-5-changed
+#     re-certs (ADVICE hardening + adversarial findings, all
 #     re-verified MATCH at sf0.01 + sf0.1 + adversarial the day of
-#     the change), then the
-#     last 6 of the r5 window (sql_groupby_all .. sink_csv_quoted),
-#     then the 44-op r6 window (remaining scan/sink probes, join
-#     variants, window tail, SS2.K local-green text/sim/multimodal
-#     tail). A 50-op r6 window certifies through position 99; any
-#     remainder rolls to r7 unless the driver window widens.
+#     the change), then the 3 round-6 list-column flattenings
+#     (vec_centroid_per_label / vec_l2_normalize / vec_quantize_int8 —
+#     re-verified MATCH at sf0.01 + sf0.1 + adversarial on the day of
+#     the change), then the 6 r5-overflow ops, then the first 31 of
+#     the never-certified tail.
+#   round 7 (positions 51-60): the remaining 10 never-certified ops
+#     (text/sim/graph/sampling tail). A >50 driver window in r6
+#     certifies them immediately.
 #
-# Behind the windows: the already-driver-certified ops re-verified
-# after round-4 hardening (gram-family heads, adversarial-probe
-# fixes) retain elevated positions for a fast re-cert if a window
-# ever widens; then every other certified op follows in module order
-# via _collect(). Nothing is ever dropped from the registry.
+# Behind the windows: previously certified ops retain elevated
+# positions for a fast re-cert if a window ever widens; everything
+# else follows in module order via _collect(). Nothing is ever
+# dropped from the registry.
 _PRIORITY = [
-    # --- round-5 certification window (50 = 7 changed + 43 new) ---
-    # round-4 code/oracle-changed ops needing fresh driver rows (7)
-    "dedup_eval_simhash_recall",
-    "win_ema_smooth",
-    "text_snapshot_novelty",
-    "dedup_ngram_containment",
-    "sink_compact_small_files",
-    "vec_pca_power_iteration",
-    "vec_pca_project",
-    # never-driver-certified r5 window head (43)
-    "udf_sql_declarative",
-    "udtf_sql_table_fn",
-    "udtf_python_lateral",
-    "sql_pipe_syntax",
-    "scan_python_datasource",
-    "sink_python_datasource",
-    "multimodal_image_resize",
-    "join_dpp_partitioned",
-    "vec_quantize_pq",
-    "tpcdi_marketing_nameplate",
-    "tpcdi_prospect_match",
-    "tpcdi_dim_date",
-    "tpcdi_dim_time",
-    "tpcdi_dim_trade",
-    "tpcdi_dimessages",
-    "tpcdi_scd2_hybrid_type1",
-    "tpcdi_holdings_pnl",
-    "tpcdi_reference_dims",
-    "events_funnel",
-    "events_retention",
-    "events_active_users_rolling",
-    "agg_first_last",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_transpose_matrix",
-    "agg_moments_exact",
-    "agg_filter_clause",
-    "agg_bitmap_distinct",
-    "agg_count_distinct_multi",
-    "agg_percentile",
-    "agg_unpivot",
+    # --- round-6 certification window (50 = 1 cured + 9 + 3 + 6 + 31) ---
+    # the one red row in five rounds, cured (flat string output)
     "agg_collect_sorted",
-    "agg_string_concat_group",
-    "agg_weighted_avg",
-    "agg_pivot_dynamic",
-    "agg_median_mode",
-    "agg_regression_exact",
-    "agg_histogram_fixed",
-    "sketch_hll_partition_merge",
-    "sketch_approx_topk",
-    "sort_limit_offset",
-    # --- round-5 changed ops: code or oracle edited AFTER their last
-    # driver row (ADVICE hardening + adversarial findings: ASCII-gated
-    # collation fixture, dim_broker \N-safe CSV hop, \A..\z URL gate +
-    # empty-query NULL, variant NULL->VOID mapping, _bs_escape CSV
-    # round trips, _batch_date_shift guard). All re-verified MATCH at
-    # sf0.01 + sf0.1 + adversarial the day of the change; queued here
-    # so the NEXT window (or a >50 window now) re-certifies them. ---
+    # round-5 code/oracle-changed ops needing fresh driver rows (9):
+    # ASCII-gated collation fixture, dim_broker \N-safe CSV hop,
+    # \A..\z URL gate + empty-query NULL, variant NULL->VOID mapping,
+    # _bs_escape CSV round trips, _batch_date_shift guard,
+    # ASCII-gated levenshtein linkage (DuckDB counts bytes, Spark
+    # codepoints)
     "str_collate_ci",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -126,16 +72,20 @@ _PRIORITY = [
     "scan_csv_header",
     "tpcdi_scd2_incremental",
     "tpcdi_batch_e2e",
-    # astral-wave fix: ASCII-gated linkage (DuckDB levenshtein counts
-    # bytes, Spark codepoints) — re-verified sf0.01 + sf0.1 + hostile
     "str_levenshtein_link",
-    # --- round-6 certification window (50 = 6 overflow + 44) ---
+    # round-6 list-column flattenings (same failure class as
+    # agg_collect_sorted, fixed before this window ran)
+    "vec_centroid_per_label",
+    "vec_l2_normalize",
+    "vec_quantize_int8",
+    # r5-overflow (the last 6 of the r5 window)
     "sql_groupby_all",
     "sql_scalar_subquery_corr",
     "sql_lateral_topk",
     "sql_recursive_hierarchy",
     "scan_csv_multichar_delim",
     "sink_csv_quoted",
+    # never-driver-certified r6 tail head (31)
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
@@ -167,20 +117,19 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
+    # --- round-7 queue (the 10 never-certified ops past the r6
+    # window; certified immediately if the driver window widens) ---
     "text_pii_redact",
     "text_normalize_unicode",
-    "vec_quantize_int8",
     "sim_quantized_topk",
     "text_length_histogram",
     "text_contamination_ngram",
     "text_repetition_score",
-    "vec_l2_normalize",
     "text_quality_linear",
     "graph_triangle_count",
     "sample_temperature_mixture",
-    "vec_centroid_per_label",
     "text_bpe_pair_count",
-    # --- certified ops re-verified after round-4 hardening (21) ---
+    # --- certified ops re-verified after round-4 hardening (16) ---
     # gram-family heads transitively touched by the r4 shingles()
     # short-doc convention change (re-verified MATCH sf0.01 + sf0.1)
     "dedup_minhash_lsh",
@@ -200,7 +149,7 @@ _PRIORITY = [
     "sim_rp_lsh_cosine",
     "sim_ann_recall_eval",
     "pipeline_rag_e2e",
-    # --- round-4 window, certified r4 (50) ---
+    # --- round-4 window, certified r4 (46) ---
     "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
