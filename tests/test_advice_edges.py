@@ -213,5 +213,83 @@ def test_batch_date_shift_span(spark):
     assert _batch_date_shift(v) == 11
 
 
+# ------------------------------------------- round-6 ADVICE canaries
+# (round-5 advisor items: pin the documented out-of-contract engine
+# divergences and the multichar-delim NULL serialization fix)
+
+
+def test_collate_ci_icu_vs_lower_fold_divergence_canary(spark, duck):
+    """str_collate_ci's oracle bridge (Spark UNICODE_CI ≈ DuckDB
+    lower()-fold) is exact ONLY for ASCII. Measured on this Spark/ICU
+    build: UNICODE_CI equates 'σ'/'ς' (final sigma) and 'ﬁ'/'fi'
+    (ligature expansion) where lower() does not — those pairs are out
+    of contract. ('ß'/'SS' does NOT diverge here: both engines keep
+    them distinct.) Pin the divergence so a fixture-pool change that
+    introduces such pairs fails HERE with a named cause, not as a
+    parity-hash mystery."""
+    pairs = [("σ", "ς"), ("ﬁ", "fi")]
+    for a, b in pairs:
+        df = spark.createDataFrame([(a,), (b,)], "s string")
+        n_ci = df.select(
+            F.count_distinct(F.collate(F.col("s"), "UNICODE_CI")).alias("n")
+        ).collect()[0]["n"]
+        assert n_ci == 1, f"ICU should equate {a!r}/{b!r}"
+        n_lower = duck.execute(
+            "SELECT COUNT(DISTINCT lower(s)) FROM (VALUES (?), (?)) t(s)",
+            [a, b],
+        ).fetchone()[0]
+        assert n_lower == 2, f"lower() fold should NOT equate {a!r}/{b!r}"
+    # and the bridge IS exact for ASCII case flips
+    df = spark.createDataFrame([("Alpha",), ("ALPHA",)], "s string")
+    assert (
+        df.select(
+            F.count_distinct(F.collate(F.col("s"), "UNICODE_CI")).alias("n")
+        ).collect()[0]["n"]
+        == 1
+    )
+
+
+def test_levenshtein_codepoint_semantics_nonascii(spark, duck):
+    """str_levenshtein_link ASCII-gates linkage because the engines'
+    Levenshtein units differ; this pins Spark's REAL (codepoint-based,
+    unicode-capable) semantics on non-ASCII so the operator behavior
+    stays asserted even though the oracle gate excludes it."""
+    df = spark.createDataFrame([("a🎵", "ab")], "x string, y string")
+    d_spark = df.select(F.levenshtein("x", "y").alias("d")).collect()[0]["d"]
+    assert d_spark == 1  # one codepoint substitution
+    d_duck = duck.execute("SELECT levenshtein('a🎵', 'ab')").fetchone()[0]
+    assert d_duck > 2  # byte-based: beyond the ≤2 link threshold
+
+
+def test_multichar_delim_null_field_roundtrip(spark, tmp_path):
+    """scan_csv_multichar_delim serializes NULL fields as the \\N
+    sentinel (concat_ws silently DROPS null operands — an unguarded
+    NULL would shift every following field left on read). A NULL in
+    the middle of the row must round-trip without misaligning the
+    columns, alongside a literal '\\N' string kept distinct by
+    backslash doubling."""
+    df = spark.createDataFrame(
+        [(1, None, "z"), (2, "mid", "q"), (3, "\\N", "w")],
+        "id int, s string, tail string",
+    )
+    esc = _bs_escape(df)
+    line = F.concat_ws(
+        "||",
+        *[
+            F.coalesce(F.col(f.name).cast("string"), F.lit("\\N"))
+            for f in esc.schema.fields
+        ],
+    )
+    path = str(tmp_path / "dpipe_null")
+    esc.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = _bs_unescape(
+        spark.read.options(**_CSV_LOSSLESS).csv(
+            path, sep="||", header=False, schema="id int, s string, tail string"
+        )
+    )
+    got = {r["id"]: (r["s"], r["tail"]) for r in back.collect()}
+    assert got == {1: (None, "z"), 2: ("mid", "q"), 3: ("\\N", "w")}
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

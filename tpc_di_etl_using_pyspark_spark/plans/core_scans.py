@@ -603,9 +603,18 @@ def scan_csv_multichar_delim(spark: SparkSession, d: str) -> DataFrame:
     n = _bs_escape(t(spark, d, "nation"))
     # hand-assembled lines cannot express quoting, so in-field '||' is
     # out of this export format's contract by construction; whitespace
-    # fidelity on read still matters (round-4 adversarial probe)
+    # fidelity on read still matters (round-4 adversarial probe).
+    # coalesce to the \N sentinel BEFORE concat_ws: concat_ws silently
+    # DROPS null operands, so an unguarded NULL field would shift every
+    # following field left on read (round-5 ADVICE; latent only because
+    # the nation fixture is NULL-free). After _bs_escape, one-backslash
+    # \N is unambiguous — no escaped literal can collide with it.
     line = F.concat_ws(
-        "||", *[F.col(f.name).cast("string") for f in n.schema.fields]
+        "||",
+        *[
+            F.coalesce(F.col(f.name).cast("string"), F.lit("\\N"))
+            for f in n.schema.fields
+        ],
     )
     n.select(line.alias("value")).write.mode("overwrite").text(path)
     return _bs_unescape(

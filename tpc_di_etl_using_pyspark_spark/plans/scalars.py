@@ -932,8 +932,13 @@ def math_try_overflow(spark: SparkSession, d: str) -> DataFrame:
     # upper('ß')='SS' but DuckDB upper('ß')='ẞ' (U+1E9E), so an
     # unconditional upper() diverges BEFORE any collation compares
     # (round-5 adversarial probe, surfaced by the \N pool re-pairing).
-    # Non-ASCII names pass through unmodified and compare
-    # accent-sensitively in both engines.
+    # Non-ASCII names pass through unmodified; the lower()-fold oracle
+    # bridge is EXACT only for ASCII. Off-ASCII it is approximate:
+    # Spark UNICODE_CI (ICU) equates pairs like 'σ'/'ς' (final sigma)
+    # and 'ﬁ'/'fi' (ligature) that DuckDB lower() does not (measured —
+    # 'ß'/'SS' does NOT diverge on this build). Such pairs are out of
+    # contract (canary-pinned in tests/test_advice_edges.py) and
+    # absent from the fixture pool.
     """WITH m AS (SELECT p_brand,
                          CASE WHEN p_partkey % 2 = 0
                                    AND regexp_matches(p_name, '^[\\x00-\\x7F]*$')
