@@ -64,6 +64,8 @@ PROBE = [
     "win_sessionize_gap",
     "graph_triangle_count",
     "vec_l2_normalize",
+    "vec_quantize_int8",
+    "vec_centroid_per_label",
     "sketch_hll_partition_merge",
     "sim_rp_lsh_cosine",
     "pipeline_incremental_dedup",
