@@ -30,6 +30,11 @@ def test_every_registry_output_schema_is_flat_scalar(spark, sf_dir):
     violations = []
     for op, fn in sorted(all_queries().items()):
         df = fn(spark, sf_dir)
+        names = [f.name for f in df.schema.fields]
+        # duplicate names would make the canonicalizer's column-sorted
+        # value hash ambiguous (pandas mangles duplicates on toPandas)
+        if len(set(names)) != len(names):
+            violations.append(f"{op}: duplicate column names {names}")
         for f in df.schema.fields:
             if isinstance(f.dataType, _CONTAINER):
                 violations.append(

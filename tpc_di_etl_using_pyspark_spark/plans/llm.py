@@ -2024,7 +2024,9 @@ def vec_centroid_per_label(spark: SparkSession, d: str) -> DataFrame:
         ).alias("m")
     )
     n = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
-    return s.join(n, "label").select("label", "pos", "m", "n_vecs")
+    # n is #labels rows (tiny at any corpus size): broadcast it so the
+    # labels×dim mean relation never reshuffles for the join
+    return s.join(F.broadcast(n), "label").select("label", "pos", "m", "n_vecs")
 
 
 @_op(
