@@ -1519,8 +1519,11 @@ def text_contamination_ngram(spark: SparkSession, d: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "shingle"
     )
     corpus = g.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    # explicit hint: post-explode stats are unknown to the optimizer,
+    # so without it the small benchmark gram side plans as a
+    # SortMergeJoin and shuffles the whole corpus gram relation
     hits = (
-        corpus.join(bench, "shingle")
+        corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
