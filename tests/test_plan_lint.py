@@ -57,6 +57,9 @@ SIDE_EFFECT = {
     "sink_compact_small_files",
     "scan_python_datasource",
     "sink_python_datasource",
+    # construction runs the full write→merge→overwrite cycle (two
+    # partitioned write jobs + a localCheckpoint), like the compaction op
+    "sink_merge_upsert",
 }
 
 _PY_NODES = (

@@ -775,3 +775,113 @@ def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_checksum"),
     )
+
+
+@_op(
+    "sink_merge_upsert",
+    # the relational MERGE truth: base rows whose key is not updated,
+    # plus the update/insert batch verbatim. Update keys are %40 == 0,
+    # so every touched row lands in hash bucket key%8 == 0 — the
+    # partition-pruning invariant the Spark side exploits.
+    """WITH base AS (
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+       upd AS (
+         SELECT c_custkey, c_name,
+                c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+                c_mktsegment
+         FROM base WHERE c_custkey % 40 = 0),
+       ins AS (
+         SELECT ((SELECT MAX(c_custkey) FROM base) // 40 + r) * 40
+                  AS c_custkey,
+                'NEW#' || CAST(r AS VARCHAR) AS c_name,
+                CAST(0.0 AS DOUBLE) AS c_acctbal,
+                'MERGED' AS c_mktsegment
+         FROM (SELECT unnest(range(1, 4)) AS r)),
+       updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+       keep AS (
+         SELECT b.* FROM base b
+         WHERE b.c_custkey NOT IN (SELECT c_custkey FROM updates)),
+       merged AS (SELECT * FROM keep UNION ALL SELECT * FROM updates)
+       SELECT c_custkey, c_name,
+              CAST(c_custkey % 8 AS INTEGER) AS c_bucket,
+              c_acctbal, c_mktsegment
+       FROM merged""",
+)
+def sink_merge_upsert(spark: SparkSession, d: str) -> DataFrame:
+    """Parquet-native MERGE (upsert) via dynamic partition overwrite
+    [SPEC: the TPC-DI incremental-apply surface as a FILE-FORMAT sink —
+    tpcdi_cdc_apply / stream_foreachbatch_upsert express the same
+    semantics relationally; this op lands them on a partitioned
+    parquet table, the pre-lakehouse cluster pattern].
+
+    Shape at 100 TB: (1) the update batch determines the affected
+    hash-bucket partitions (here: update keys are %40 == 0, so only
+    bucket key%8 == 0 is touched); (2) the TARGET TABLE is read back
+    partition-pruned to those buckets via a broadcast semi-join (same
+    DPP mechanics as join_dpp_partitioned); (3) kept rows =
+    partition-local ANTI-join against the update keys; (4) kept ∪
+    updates is written with partitionOverwriteMode=dynamic, replacing
+    ONLY the affected partition directories — 7 of 8 buckets are never
+    read and never rewritten. localCheckpoint materializes the merged
+    rows before the overwrite because a file-source write may not read
+    from the path it replaces (on a cluster the same role is played by
+    a staging prefix or the transaction log). The conf flip is scoped
+    and restored — the driver's session is left untouched."""
+    path = _scratch(d, "sink_merge_upsert")
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_bucket"]
+    cust = t(spark, d, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = cust.withColumn(
+        "c_bucket", (F.col("c_custkey") % 8).cast("int")
+    )
+    base.write.mode("overwrite").partitionBy("c_bucket").parquet(path)
+
+    # update batch: existing keys get a balance adjustment (IEEE double
+    # add — bit-identical in both engines); three inserts beyond MAX,
+    # key-aligned to the same %40 family so they share the bucket
+    upd = base.filter(F.col("c_custkey") % 40 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    mx = cust.agg(F.max("c_custkey").alias("mx"))
+    ins = (
+        spark.range(1, 4)
+        .select(F.col("id").alias("r"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(mx div 40 + r) * 40").alias("c_custkey"),
+            F.concat(F.lit("NEW#"), F.col("r").cast("string")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("MERGED").alias("c_mktsegment"),
+        )
+        .withColumn("c_bucket", (F.col("c_custkey") % 8).cast("int"))
+    )
+    updates = upd.select(*cols).unionByName(ins.select(*cols))
+
+    # read-modify-write of ONLY the affected partitions
+    target = spark.read.parquet(path)
+    affected = updates.select("c_bucket").distinct()
+    pruned = target.join(F.broadcast(affected), "c_bucket", "semi")
+    kept = pruned.join(updates.select("c_custkey"), "c_custkey", "anti")
+    merged = kept.select(*cols).unionByName(updates.select(*cols))
+    merged = merged.localCheckpoint()  # materialize before self-overwrite
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        merged.write.mode("overwrite").partitionBy("c_bucket").parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+    back = spark.read.parquet(path)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_bucket").cast("int").alias("c_bucket"),
+        "c_acctbal",
+        "c_mktsegment",
+    )

@@ -4780,3 +4780,43 @@ def dedup_eval_simhash_recall(spark: SparkSession, d: str) -> DataFrame:
             ).otherwise(F.lit(1000000)).alias("recall_ppm"),
         )
     )
+
+
+@_op(
+    "vec_pca_domain_check",
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+              CAST(COUNT(*) AS BIGINT) AS n_components,
+              MAX(ABS(CAST(x AS DOUBLE))) AS max_abs,
+              CAST(SUM(CASE WHEN ABS(CAST(x AS DOUBLE)) > 2.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+              SUM(CASE WHEN ABS(CAST(x AS DOUBLE)) > 2.0
+                       THEN 1 ELSE 0 END) = 0 AS domain_ok
+       FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)""",
+)
+def vec_pca_domain_check(spark: SparkSession, d: str) -> DataFrame:
+    """PCA-family domain precondition [EXT: the unit-scale contract
+    |x| ≤ 2 that vec_pca_power_iteration / vec_pca_project's integer
+    fixed-point exactness bound (Σw·q² < 2^63) assumes — VERDICT r4/r5
+    carried risk: out-of-domain corpora previously surfaced only as a
+    loud ANSI overflow mid-iteration].
+
+    Run BEFORE the PCA ops: one combinable aggregate over the exploded
+    components (map-side partials, a single 1-row shuffle at any
+    corpus size) reporting the max |component|, the violation count,
+    and a domain_ok verdict — a cheap gate a 1000-executor pipeline
+    checks once instead of risking a failed hour-long PCA stage.
+    MAX/COUNT/SUM-of-ints are order-independent and exact, so the
+    relation is bit-identical in both engines, including on hostile
+    corpora where domain_ok is false."""
+    e = t(spark, d, "embeddings")
+    u = e.select(
+        "vec_id", F.explode("embedding").alias("xf")
+    ).select("vec_id", F.col("xf").cast("double").alias("x"))
+    viol = F.when(F.abs(F.col("x")) > 2.0, 1).otherwise(0)
+    return u.agg(
+        F.count_distinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.max(F.abs(F.col("x"))).alias("max_abs"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        (F.sum(viol) == 0).alias("domain_ok"),
+    )

@@ -26,8 +26,11 @@ _MODULES = [
 
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
-# surface is FROZEN as of round 4 (VERDICT r3 item 1): no new ops
-# until every op has a driver row. Cumulative r1-r5: 238 distinct ops
+# surface is FROZEN as of round 4 (VERDICT r3 item 1) with ONE
+# sanctioned exception: VERDICT r5 item 8 names sink_merge_upsert and
+# the PCA precondition op as permissible "strictly behind
+# certification" — both added in r6 at positions 61-62, behind the r7
+# queue (see the in-list comment). Cumulative r1-r5: 238 distinct ops
 # driver-certified green; 1 red row (agg_collect_sorted, r5 — the
 # driver canonicalizer cannot hash its array<string> output column;
 # CURED in r6 by projecting to a ','-joined flat string in both
@@ -129,6 +132,16 @@ _PRIORITY = [
     "graph_triangle_count",
     "sample_temperature_mixture",
     "text_bpe_pair_count",
+    # --- round-6 additions, STRICTLY BEHIND certification (VERDICT r5
+    # item 8 sanctioned exactly these two as the only permissible new
+    # surface): the one missing TPC-DI-adjacent sink (file-format
+    # MERGE) and the PCA-domain precondition gate. Placed AFTER the
+    # r7 queue so they consume zero r6/r7 window slots — the r7 window
+    # (10-op queue + these 2 = 12 of ~50 slots) still certifies every
+    # op. Both verified MATCH at sf0.001 + sf0.01 + sf0.1 +
+    # adversarial + the driver-canonicalizer probe on day of add. ---
+    "sink_merge_upsert",
+    "vec_pca_domain_check",
     # --- certified ops re-verified after round-4 hardening (16) ---
     # gram-family heads transitively touched by the r4 shingles()
     # short-doc convention change (re-verified MATCH sf0.01 + sf0.1)
