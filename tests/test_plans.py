@@ -461,3 +461,43 @@ def test_merge_upsert_rewrites_only_affected_partitions(spark, sf_dir):
     assert min(rewritten) > max(untouched), (
         "dynamic overwrite rewrote an unaffected bucket"
     )
+
+
+def test_pca_domain_check_flags_out_of_domain(spark, tmp_path):
+    """domain_ok must flip to false (with an exact violation count) on
+    a corpus containing components beyond the |x| <= 2 contract."""
+    import os
+
+    from tpc_di_etl_using_pyspark_spark.plans.llm import vec_pca_domain_check
+
+    d = str(tmp_path / "sf_hostile")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, [0.5, -1.5], "a"), (2, [2.5, 0.0], "a"), (3, [-3.0, 3.0], "b")],
+        "vec_id long, embedding array<double>, label string",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    row = vec_pca_domain_check(spark, d).collect()[0]
+    assert row["n_vecs"] == 3 and row["n_components"] == 6
+    assert row["n_violations"] == 3 and row["domain_ok"] is False
+    assert row["max_abs"] == 3.0
+
+
+def test_merge_upsert_restores_session_conf(spark, sf_dir):
+    """The op flips partitionOverwriteMode to dynamic for its own
+    write only — the (driver's) session must come back exactly as it
+    was, set or unset."""
+    from tpc_di_etl_using_pyspark_spark.plans.core_scans import sink_merge_upsert
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    sink_merge_upsert(spark, sf_dir)
+    assert spark.conf.get(key, None) == before
+    spark.conf.set(key, "static")
+    try:
+        sink_merge_upsert(spark, sf_dir)
+        assert spark.conf.get(key, None) == "static"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)

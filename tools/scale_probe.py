@@ -162,6 +162,9 @@ PROBE = [
     "scan_csv_delim",
     "scan_csv_header",
     "tpcdi_scd2_incremental",
+    # round-6 additions
+    "sink_merge_upsert",
+    "vec_pca_domain_check",
 ]
 
 
