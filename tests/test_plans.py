@@ -451,10 +451,12 @@ def test_merge_upsert_rewrites_only_affected_partitions(spark, sf_dir):
     assert df.filter("c_mktsegment = 'MERGED'").count() == 3
     path = _scratch(sf_dir, "sink_merge_upsert")
 
-    def mtimes(bucket: int) -> list[float]:
+    def mtimes(bucket: int) -> list[int]:
         fs = glob.glob(os.path.join(path, f"c_bucket={bucket}", "part-*"))
         assert fs, f"bucket {bucket} missing"
-        return [os.path.getmtime(f) for f in fs]
+        # st_mtime_ns: the two writes are one job apart — float-second
+        # mtime could tie on coarse filesystems (review finding)
+        return [os.stat(f).st_mtime_ns for f in fs]
 
     rewritten = mtimes(0)
     untouched = [m for b in range(1, 8) for m in mtimes(b)]

@@ -59,6 +59,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a typo'd op name must not exit 0 as "0/0 sortable"
+            print(f"unknown op names: {unknown}")
+            sys.exit(2)
     names = [x for x in qs if not only or x in only]
     fails: list[tuple[str, str, str]] = []
     for i, op in enumerate(names):

@@ -1136,12 +1136,17 @@ def text_normalize_unicode(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "vec_quantize_int8",
+    # CASE gates the empty-array COALESCE ('' like Spark's array_join)
+    # so a NULL embedding stays NULL in BOTH engines — an unconditional
+    # COALESCE would turn DuckDB's NULL-input NULL into '' while Spark
+    # keeps NULL (round-6 review finding)
     """SELECT vec_id,
-              COALESCE(array_to_string(
-                list_transform(embedding,
-                               x -> CAST(round(CAST(x AS DOUBLE) * 127)
-                                         AS INTEGER)),
-                ','), '') AS q8,
+              CASE WHEN embedding IS NULL THEN NULL
+                   ELSE COALESCE(array_to_string(
+                     list_transform(embedding,
+                                    x -> CAST(round(CAST(x AS DOUBLE) * 127)
+                                              AS INTEGER)),
+                     ','), '') END AS q8,
               len(embedding) AS dim
        FROM embeddings""",
 )
@@ -1519,11 +1524,14 @@ def text_contamination_ngram(spark: SparkSession, d: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "shingle"
     )
     corpus = g.filter(F.col("source") != "src0").select("doc_id", "shingle")
-    # explicit hint: post-explode stats are unknown to the optimizer,
-    # so without it the small benchmark gram side plans as a
-    # SortMergeJoin and shuffles the whole corpus gram relation
+    # deliberately NO broadcast hint: in THIS fixture the src0 proxy is
+    # a fixed 1/20 SLICE of the corpus, so its gram relation grows
+    # linearly with the data and a forced broadcast would OOM exactly
+    # where the op must survive (round-6 review finding). In production
+    # the benchmark set is fixed-size — broadcast it THERE; here the
+    # gram-keyed shuffle join is the shape that holds at any volume.
     hits = (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench, "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
