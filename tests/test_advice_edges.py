@@ -291,5 +291,54 @@ def test_multichar_delim_null_field_roundtrip(spark, tmp_path):
     assert got == {1: (None, "z"), 2: ("mid", "q"), 3: ("\\N", "w")}
 
 
+# ------------------------------------------- round-7 ADVICE closure
+# (round-6 advisor item: vec_quantize_int8's flat q8 string must not
+# silently DROP NULL elements — both Spark array_join and DuckDB
+# array_to_string skip them unless told otherwise, so the joined code
+# vector would carry fewer components than `dim` reports)
+
+
+def test_vec_quantize_int8_null_element_lossless(spark, tmp_path):
+    """Run the REAL registered op + oracle pair over a hostile
+    embeddings table (NULL element mid-vector, all-NULL embedding,
+    empty array) and assert (a) both engines agree cell-for-cell and
+    (b) the q8 component count always equals dim — the lossless
+    contract the round-6 advisor flagged as silently violated."""
+    import duckdb as _duckdb
+
+    from tpc_di_etl_using_pyspark_spark.plans.llm import ORACLES, QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, None, -1.0], 0),
+            (2, None, 1),
+            (3, [], 2),
+            (4, [0.25], 3),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "nullvec")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    got = {
+        r["vec_id"]: (r["q8"], r["dim"])
+        for r in QUERIES["vec_quantize_int8"](spark, d).collect()
+    }
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        vid: (q8, dim)
+        for vid, q8, dim in con.sql(ORACLES["vec_quantize_int8"]).fetchall()
+    }
+    assert got == want
+    # lossless: component count == dim whenever the embedding is non-NULL
+    assert got[1] == ("64,\\N,-127", 3)
+    assert got[2] == (None, None)
+    assert got[3] == ("", 0)
+    assert got[4] == ("32", 1)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

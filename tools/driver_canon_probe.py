@@ -8,7 +8,9 @@ before hashing, and pandas lexsort cannot factorize container-typed
 cells (`TypeError: unhashable type: 'list'` — the exact failure that
 red-rowed agg_collect_sorted in round 5 even though its VALUES
 matched). This probe runs the pandas-sort step itself on BOTH engines'
-outputs for every registry op, so any column pandas cannot sort —
+outputs for every registry op — then value-hashes the sorted frame
+(`pd.util.hash_pandas_object`), covering BOTH halves of the driver's
+canonicalization — so any column pandas cannot sort OR hash —
 containers, mixed-type objects, anything future — fails HERE before a
 driver window burns a certification row on it.
 
@@ -35,15 +37,30 @@ TABLES = (
 ).split()
 
 
-def _driver_sort(pdf) -> None:
-    # the driver's canonicalizer: sort by every column before hashing
-    pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+def _driver_canon(pdf) -> None:
+    # the driver's canonicalizer: sort by every column, THEN value-hash
+    # the sorted frame. Both halves must succeed — a column can sort
+    # fine yet hash non-reproducibly (e.g. object dtype holding
+    # unhashable cells), so probing sort_values alone under-covers
+    # (round-6 ADVICE item).
+    import pandas as pd
+
+    s = pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+    pd.util.hash_pandas_object(s, index=False)
 
 
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
-    if args and os.path.isdir(args[0]):
+    # A path-like first arg is ALWAYS an sf_dir: a typo'd fixture path
+    # must fail loudly as "no such directory", not be silently
+    # reinterpreted as an unknown op name (round-6 ADVICE item).
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        if not os.path.isdir(args[0]):
+            print(f"no such directory: {args[0]}")
+            sys.exit(2)
+        sf_dir, args = args[0], args[1:]
+    elif args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
     only = set(args) or None
 
@@ -73,7 +90,7 @@ def main() -> None:
             ("duckdb", lambda: con.sql(oracles[op]).df()),
         ):
             try:
-                _driver_sort(get())
+                _driver_canon(get())
             except Exception as exc:  # noqa: BLE001 — report, don't die
                 fails.append((op, engine, f"{type(exc).__name__}: {exc}"))
         status = "OK" if not any(f[0] == op for f in fails) else "FAIL"

@@ -1139,13 +1139,19 @@ def text_normalize_unicode(spark: SparkSession, d: str) -> DataFrame:
     # CASE gates the empty-array COALESCE ('' like Spark's array_join)
     # so a NULL embedding stays NULL in BOTH engines — an unconditional
     # COALESCE would turn DuckDB's NULL-input NULL into '' while Spark
-    # keeps NULL (round-6 review finding)
+    # keeps NULL (round-6 review finding). The inner per-element
+    # COALESCE(..., '\N') mirrors Spark's array_join nullReplacement:
+    # without it BOTH engines silently SKIP NULL elements, so the
+    # joined code vector would carry fewer components than `dim`
+    # reports (round-6 ADVICE — lossless requires count(q8) == dim).
     """SELECT vec_id,
               CASE WHEN embedding IS NULL THEN NULL
                    ELSE COALESCE(array_to_string(
                      list_transform(embedding,
-                                    x -> CAST(round(CAST(x AS DOUBLE) * 127)
-                                              AS INTEGER)),
+                                    x -> COALESCE(
+                                      CAST(CAST(round(CAST(x AS DOUBLE) * 127)
+                                                AS INTEGER) AS VARCHAR),
+                                      '\\N')),
                      ','), '') END AS q8,
               len(embedding) AS dim
        FROM embeddings""",
@@ -1157,7 +1163,10 @@ def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
 
     The code vector is emitted as a ','-joined string of the int8
     codes: lossless (integer → decimal text is deterministic in both
-    engines) and flat-scalar, because the driver canonicalizer cannot
+    engines, and a NULL element serializes as the '\\N' sentinel so
+    component count always equals `dim` — fixture embeddings contain
+    no NULL elements today, but the encoding must not silently drop
+    them) and flat-scalar, because the driver canonicalizer cannot
     hash array-typed output columns (the agg_collect_sorted r5
     failure class)."""
     e = t(spark, d, "embeddings")
@@ -1166,9 +1175,9 @@ def vec_quantize_int8(spark: SparkSession, d: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.array_join(F.transform(q8, lambda v: v.cast("string")), ",").alias(
-            "q8"
-        ),
+        F.array_join(
+            F.transform(q8, lambda v: v.cast("string")), ",", "\\N"
+        ).alias("q8"),
         F.size("embedding").alias("dim"),
     )
 
