@@ -27,46 +27,101 @@ _MODULES = [
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
 # surface is FROZEN as of round 4 (VERDICT r3 item 1) with ONE
-# sanctioned exception: VERDICT r5 item 8 names sink_merge_upsert and
-# the PCA precondition op as permissible "strictly behind
-# certification" — both added in r6 at positions 61-62, behind the r7
-# queue (see the in-list comment). Cumulative r1-r5: 238 distinct ops
-# driver-certified green; 1 red row (agg_collect_sorted, r5 — the
-# driver canonicalizer cannot hash its array<string> output column;
-# CURED in r6 by projecting to a ','-joined flat string in both
-# engines). Remaining backlog entering r6: 50 never-certified ops +
-# 9 ops whose code/oracle changed in round 5 + the cured retry +
-# 3 ops whose array outputs were flattened in r6 (the same failure
-# class, caught by the registry-wide schema audit in
-# tests/test_output_schema_flat.py BEFORE the window ran).
+# sanctioned exception: VERDICT r5 item 8 named sink_merge_upsert and
+# the PCA precondition op, both landed in r6 behind certification.
+# Cumulative r1-r6: 279 / 291 distinct ops driver-certified green
+# (r6 window went 50/50 including the cured agg_collect_sorted retry
+# — zero red rows outstanding anywhere).
 #
-#   round 6 (THIS round, positions 1-50): the cured agg_collect_sorted
-#     retry FIRST (VERDICT r5 item 1), then the 9 round-5-changed
-#     re-certs (ADVICE hardening + adversarial findings, all
-#     re-verified MATCH at sf0.01 + sf0.1 + adversarial the day of
-#     the change), then the 3 round-6 list-column flattenings
-#     (vec_centroid_per_label / vec_l2_normalize / vec_quantize_int8 —
-#     re-verified MATCH at sf0.01 + sf0.1 + adversarial on the day of
-#     the change), then the 6 r5-overflow ops, then the first 31 of
-#     the never-certified tail.
-#   round 7 (positions 51-60): the remaining 10 never-certified ops
-#     (text/sim/graph/sampling tail). A >50 driver window in r6
-#     certifies them immediately.
+#   round 7 (THIS round, positions 1-50 = 12 + 1 + 37):
+#     1-12: the LAST 12 never-driver-certified ops (VERDICT r6 item 1)
+#       — the 10-op text/sim/graph/sampling queue plus the two r6
+#       additions. Green rows here → 291/291, every registry op
+#       driver-certified.
+#     13: vec_quantize_int8 re-cert — its q8 encoding gained the \N
+#       NULL-element sentinel this round (round-6 ADVICE closure;
+#       re-verified MATCH at sf0.001 + sf0.01 + sf0.1 + adversarial +
+#       canon probe on the day of the change).
+#     14-50: regression backfill (VERDICT r6 item 3) — 37 of the 46
+#       ops whose only driver row is ROUND 1, oldest certs first,
+#       re-witnessed on the current fixture generation (the driver
+#       regenerates /root/testdata each round).
+#   positions 51-59: the remaining 9 round-1-certified ops —
+#     certified immediately if the driver window widens past 50.
 #
 # Behind the windows: previously certified ops retain elevated
-# positions for a fast re-cert if a window ever widens; everything
-# else follows in module order via _collect(). Nothing is ever
-# dropped from the registry.
+# positions (most recent cert first) for a fast re-cert if a window
+# ever widens; everything else follows in module order via
+# _collect(). Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-6 certification window (50 = 1 cured + 9 + 3 + 6 + 31) ---
-    # the one red row in five rounds, cured (flat string output)
+    # --- round-7 certification window (50 = 12 + 1 + 37) ---
+    # the final 12 never-certified ops (10-op r6 queue + 2 r6 adds)
+    "text_pii_redact",
+    "text_normalize_unicode",
+    "sim_quantized_topk",
+    "text_length_histogram",
+    "text_contamination_ngram",
+    "text_repetition_score",
+    "text_quality_linear",
+    "graph_triangle_count",
+    "sample_temperature_mixture",
+    "text_bpe_pair_count",
+    "sink_merge_upsert",
+    "vec_pca_domain_check",
+    # round-7-changed re-cert: \N NULL-element sentinel in q8 (ADVICE)
+    "vec_quantize_int8",
+    # round-1-certified regression backfill (37 of 46; oldest driver
+    # rows in the registry, re-witnessed on the current fixtures)
+    "scan_parquet",
+    "scan_jsonl",
+    "scan_orc",
+    "scan_csv_malformed",
+    "scan_text_fixedwidth",
+    "scan_xml_flatten",
+    "sink_parquet",
+    "sink_partitioned",
+    "sink_bucketed",
+    "sink_table_overwrite_append",
+    "project_select",
+    "project_derive",
+    "project_rename_drop",
+    "filter_simple",
+    "filter_compound",
+    "filter_null",
+    "filter_like_regexp",
+    "join_inner_equi",
+    "join_multi_key",
+    "join_left_outer",
+    "join_right_full",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "join_range_between",
+    "join_asof_latest",
+    "join_theta_inequality",
+    "join_self_versioning",
+    "join_cross",
+    "join_skew_salted",
+    "agg_groupby_basic",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_having",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    # --- r1-backfill overflow (9): certified if the window widens ---
+    "set_except",
+    "set_symmetric_diff",
+    "dedup_exact",
+    "dedup_latest_by_key",
+    "sort_multi",
+    "limit_n",
+    "topk_per_group",
+    "sql_api_revenue_ranking",
+    "sql_exists_decorrelated",
+    # --- round-6 window, certified r6 (49, minus the re-elevated
+    # vec_quantize_int8) ---
     "agg_collect_sorted",
-    # round-5 code/oracle-changed ops needing fresh driver rows (9):
-    # ASCII-gated collation fixture, dim_broker \N-safe CSV hop,
-    # \A..\z URL gate + empty-query NULL, variant NULL->VOID mapping,
-    # _bs_escape CSV round trips, _batch_date_shift guard,
-    # ASCII-gated levenshtein linkage (DuckDB counts bytes, Spark
-    # codepoints)
     "str_collate_ci",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -76,19 +131,14 @@ _PRIORITY = [
     "tpcdi_scd2_incremental",
     "tpcdi_batch_e2e",
     "str_levenshtein_link",
-    # round-6 list-column flattenings (same failure class as
-    # agg_collect_sorted, fixed before this window ran)
     "vec_centroid_per_label",
     "vec_l2_normalize",
-    "vec_quantize_int8",
-    # r5-overflow (the last 6 of the r5 window)
     "sql_groupby_all",
     "sql_scalar_subquery_corr",
     "sql_lateral_topk",
     "sql_recursive_hierarchy",
     "scan_csv_multichar_delim",
     "sink_csv_quoted",
-    # never-driver-certified r6 tail head (31)
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
@@ -120,29 +170,7 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
-    # --- round-7 queue (the 10 never-certified ops past the r6
-    # window; certified immediately if the driver window widens) ---
-    "text_pii_redact",
-    "text_normalize_unicode",
-    "sim_quantized_topk",
-    "text_length_histogram",
-    "text_contamination_ngram",
-    "text_repetition_score",
-    "text_quality_linear",
-    "graph_triangle_count",
-    "sample_temperature_mixture",
-    "text_bpe_pair_count",
-    # --- round-6 additions, STRICTLY BEHIND certification (VERDICT r5
-    # item 8 sanctioned exactly these two as the only permissible new
-    # surface): the one missing TPC-DI-adjacent sink (file-format
-    # MERGE) and the PCA-domain precondition gate. Placed AFTER the
-    # r7 queue so they consume zero r6/r7 window slots — the r7 window
-    # (10-op queue + these 2 = 12 of ~50 slots) still certifies every
-    # op. Both verified MATCH at sf0.001 + sf0.01 + sf0.1 +
-    # adversarial + the driver-canonicalizer probe on day of add. ---
-    "sink_merge_upsert",
-    "vec_pca_domain_check",
-    # --- certified ops re-verified after round-4 hardening (16) ---
+    # --- certified ops re-verified after round-4 hardening (15) ---
     # gram-family heads transitively touched by the r4 shingles()
     # short-doc convention change (re-verified MATCH sf0.01 + sf0.1)
     "dedup_minhash_lsh",
@@ -154,7 +182,6 @@ _PRIORITY = [
     "pipeline_incremental_dedup",
     "pipeline_pretrain_e2e",
     # adversarial-probe hardening re-verifications (r4, all MATCH)
-    "scan_xml_flatten",
     "win_nth_value",
     "win_time_weighted_avg",
     "win_rolling_corr",
