@@ -165,6 +165,17 @@ PROBE = [
     # round-6 additions
     "sink_merge_upsert",
     "vec_pca_domain_check",
+    # round-7 window: the remaining first-certification queue ops
+    # (graph_triangle_count and the two additions are already above)
+    "text_pii_redact",
+    "text_normalize_unicode",
+    "sim_quantized_topk",
+    "text_length_histogram",
+    "text_contamination_ngram",
+    "text_repetition_score",
+    "text_quality_linear",
+    "sample_temperature_mixture",
+    "text_bpe_pair_count",
 ]
 
 
