@@ -19,6 +19,20 @@ from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 KEEP_DETAIL = ("PushedFilters", "ReadSchema", "PartitionFilters", "Bucketed")
 
 
+def _ref(op: str) -> str:
+    """Live file:line for a registered op (inspect, never hand-pinned —
+    the hand-pinned refs in this table drifted two rounds running)."""
+    import inspect
+
+    fn = all_queries()[op]
+    path = os.path.relpath(
+        inspect.getsourcefile(fn),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tpc_di_etl_using_pyspark_spark"),
+    )
+    return f"{path}:{inspect.getsourcelines(fn)[1]}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan-audit")
@@ -44,24 +58,25 @@ def main() -> None:
         "",
         "| Recomputing op | Model relation production persists | Index-at-rest variant |",
         "| --- | --- | --- |",
-        "| `vec_pca_project` (plans/llm.py:4535) | 64-row PCA direction from"
-        " `vec_pca_power_iteration` (plans/llm.py:4447) | the direction IS the"
+        f"| `vec_pca_project` ({_ref('vec_pca_project')}) | 64-row PCA direction from"
+        f" `vec_pca_power_iteration` ({_ref('vec_pca_power_iteration')}) | the direction IS the"
         " artifact — tiny table or broadcast file |",
-        "| `sim_ivf_topk` / `sim_ivf_multiprobe_topk` (plans/llm.py:796/783) |"
+        f"| `sim_ivf_topk` / `sim_ivf_multiprobe_topk` ({_ref('sim_ivf_topk')} /"
+        f" {_ref('sim_ivf_multiprobe_topk')}) |"
         " centroids + cell assignments | `sim_ivf_index_partitioned`"
-        " (plans/llm.py:1230) writes the cell-partitioned index and asserts"
+        f" ({_ref('sim_ivf_index_partitioned')}) writes the cell-partitioned index and asserts"
         " partition pruning on probe |",
-        "| `stream_incremental_dedup` (plans/streaming_ops.py:308) | capped"
-        " band-bucket index + shingle sets (streaming/ops.py:317"
+        f"| `stream_incremental_dedup` ({_ref('stream_incremental_dedup')}) | capped"
+        " band-bucket index + shingle sets (streaming/ops.py"
         " `build_corpus_index`) | `pipeline_incremental_dedup`"
-        " (plans/llm.py:2240) exercises the standing-index probe; production"
+        f" ({_ref('pipeline_incremental_dedup')}) exercises the standing-index probe; production"
         " writes the index partitioned by band |",
-        "| `vec_kmeans_refine` (plans/llm.py:2309) | k×dim centroid relation"
+        f"| `vec_kmeans_refine` ({_ref('vec_kmeans_refine')}) | k×dim centroid relation"
         " per iteration | centroids are the artifact; each refine step reads"
         " the previous iteration's table |",
-        "| `vec_quantize_pq` (plans/llm.py:2582) | 32-row PQ codebook |"
+        f"| `vec_quantize_pq` ({_ref('vec_quantize_pq')}) | 32-row PQ codebook |"
         " codebook broadcasts from a persisted tiny table |",
-        "| `dedup_eval_simhash_recall` (plans/llm.py:4619) | the"
+        f"| `dedup_eval_simhash_recall` ({_ref('dedup_eval_simhash_recall')}) | the"
         " dedup_simhash prediction pair set (it IS the dedup output, already"
         " persisted by any production dedup run) — the truth side samples per"
         " run by md5(doc_id) and persists nothing | n/a (measurement, not a"
