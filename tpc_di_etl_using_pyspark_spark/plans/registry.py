@@ -26,101 +26,228 @@ _MODULES = [
 
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
-# surface is FROZEN as of round 4 (VERDICT r3 item 1) with ONE
-# sanctioned exception: VERDICT r5 item 8 named sink_merge_upsert and
-# the PCA precondition op, both landed in r6 behind certification.
-# Cumulative r1-r6: 279 / 291 distinct ops driver-certified green
-# (r6 window went 50/50 including the cured agg_collect_sorted retry
-# — zero red rows outstanding anywhere).
+# surface is FROZEN at 291 (VERDICT r3 item 1; re-ratified every round
+# since, most recently VERDICT r7 item 2). As of round 7 the cumulative
+# r1-r7 union is 291/291 driver-certified green with zero red rows —
+# the windows are now pure regression defense, rotated by CERT AGE.
 #
-#   round 7 (THIS round, positions 1-50 = 12 + 1 + 37):
-#     1-12: the LAST 12 never-driver-certified ops (VERDICT r6 item 1)
-#       — the 10-op text/sim/graph/sampling queue plus the two r6
-#       additions. Green rows here → 291/291, every registry op
-#       driver-certified.
-#     13: vec_quantize_int8 re-cert — its q8 encoding gained the \N
-#       NULL-element sentinel this round (round-6 ADVICE closure;
-#       re-verified MATCH at sf0.001 + sf0.01 + sf0.1 + adversarial +
-#       canon probe on the day of the change).
-#     14-50: regression backfill (VERDICT r6 item 3) — 37 of the 46
-#       ops whose only driver row is ROUND 1, oldest certs first,
-#       re-witnessed on the current fixture generation (the driver
-#       regenerates /root/testdata each round).
-#   positions 51-59: the remaining 9 round-1-certified ops —
-#     certified immediately if the driver window widens past 50.
+# _PRIORITY below is the FULL 291-op order, oldest driver cert first
+# (ties broken by position within that round's correctness file). The
+# rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g):
 #
-# Behind the windows: previously certified ops retain elevated
-# positions (most recent cert first) for a fast re-cert if a window
-# ever widens; everything else follows in module order via
-# _collect(). Nothing is ever dropped from the registry.
+#   round 8 (THIS round): 9 r1-only ops + 41 of the 46 r2 ops
+#   round 9: remaining 5 r2 ops + r3 block (42) + head of r4
+#   rounds 10-13: r4 (46), r5 (49), r6 (49), r7 (50) blocks in turn
+#   round 14+: restart from whatever is then oldest (each block's
+#     green rows this cycle reset its age) — steady state keeps every
+#     op's cert age <= 6 rounds.
+#
+# Standing rule (VERDICT r7 item 3): any op whose CODE changes in a
+# round is elevated to the window front for a fresh driver row that
+# same round (the r7 vec_quantize_int8 pattern). Nothing is ever
+# dropped from the registry.
 _PRIORITY = [
-    # --- round-7 certification window (50 = 12 + 1 + 37) ---
-    # the final 12 never-certified ops (10-op r6 queue + 2 r6 adds)
-    "text_pii_redact",
-    "text_normalize_unicode",
-    "sim_quantized_topk",
-    "text_length_histogram",
-    "text_contamination_ngram",
-    "text_repetition_score",
-    "text_quality_linear",
-    "graph_triangle_count",
-    "sample_temperature_mixture",
-    "text_bpe_pair_count",
-    "sink_merge_upsert",
-    "vec_pca_domain_check",
-    # round-7-changed re-cert: \N NULL-element sentinel in q8 (ADVICE)
-    "vec_quantize_int8",
-    # round-1-certified regression backfill (37 of 46; oldest driver
-    # rows in the registry, re-witnessed on the current fixtures)
-    "scan_parquet",
-    "scan_jsonl",
-    "scan_orc",
-    "scan_csv_malformed",
-    "scan_text_fixedwidth",
-    "scan_xml_flatten",
-    "sink_parquet",
-    "sink_partitioned",
-    "sink_bucketed",
-    "sink_table_overwrite_append",
-    "project_select",
-    "project_derive",
-    "project_rename_drop",
-    "filter_simple",
-    "filter_compound",
-    "filter_null",
-    "filter_like_regexp",
-    "join_inner_equi",
-    "join_multi_key",
-    "join_left_outer",
-    "join_right_full",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "join_range_between",
-    "join_asof_latest",
-    "join_theta_inequality",
-    "join_self_versioning",
-    "join_cross",
-    "join_skew_salted",
-    "agg_groupby_basic",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_having",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    # --- r1-backfill overflow (9): certified if the window widens ---
-    "set_except",
-    "set_symmetric_diff",
-    "dedup_exact",
-    "dedup_latest_by_key",
+    # --- round-8 certification window (50 = 9 + 41), VERDICT r7 item 1 ---
+    # 1-9: the nine ops whose ONLY driver row is round 1 — the stalest
+    # certs in the repo (seven fixture regenerations old).
     "sort_multi",
     "limit_n",
     "topk_per_group",
+    "set_except",
+    "dedup_exact",
+    "dedup_latest_by_key",
     "sql_api_revenue_ranking",
+    "set_symmetric_diff",
     "sql_exists_decorrelated",
-    # --- round-6 window, certified r6 (49, minus the re-elevated
-    # vec_quantize_int8) ---
+    # 10-50: the 41 oldest round-2-certified ops, r2-window order.
+    "agg_conditional",
+    "agg_pivot",
+    "agg_bool",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "map_ops",
+    "sim_ivf_topk",
+    "sim_ivf_index_partitioned",
+    "tpcdi_dim_company",
+    "tpcdi_dim_security",
+    "tpcdi_financial",
+    "tpcdi_fact_watches",
+    "tpcdi_scd2_dimaccount",
+    "tpcdi_audit_reconciliation",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lead_scd2",
+    "win_lag_change",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_52wk",
+    "win_first_last_value",
+    "win_ntile_pct",
+    "win_cume_dist",
+    "win_forward_fill",
+    "win_ratio_total",
+    "win_nth_value",
+    "win_streaks",
+    "text_tfidf",
+    "sim_cosine_topk",
+    "dedup_cluster_cc",
+    "pipeline_corpus_curation",
+    "text_label_quality",
+    "dedup_exact_hash",
+    "stream_stream_join",
+    "udtf_map_in_arrow",
+    "graph_pagerank",
+    "text_unigram_logprob",
+    "pack_sequences_greedy",
+    "sample_stratified_exact",
+    "win_running_distinct",
+    # --- r2-block remainder (5): head of the round-9 window ---
+    "win_pattern_vshape",
+    "tpcdi_scd2_dimcustomer",
+    "tpcdi_fact_cash_balances",
+    "tpcdi_fact_market_history",
+    "tpcdi_fact_holdings",
+    # --- round-3-certified block (42): round-9 window tail ---
+    "text_bm25_topk",
+    "sketch_count_min",
+    "win_rolling_corr",
+    "sketch_bloom_filter",
+    "agg_mad_anomaly",
+    "events_path_trigrams",
+    "text_ngram_topk",
+    "dedup_chunk_level",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "stream_quality_gate",
+    "stream_incremental_dedup",
+    "events_attribution_last_touch",
+    "audit_data_quality",
+    "pipeline_ccnet_e2e",
+    "sample_epoch_shuffle",
+    "events_markov_transitions",
+    "pipeline_rag_e2e",
+    "dedup_url_canonical",
+    "text_chunk_overlap",
+    "text_perplexity_bucket",
+    "vec_covariance_matrix",
+    "dedup_substring_windows",
+    "text_keyword_topk",
+    "multimodal_phash_neardup",
+    "dedup_cross_source_matrix",
+    "text_quality_gopher",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "sim_rp_lsh_cosine",
+    "vec_kmeans_refine",
+    "sample_negative_pairs",
+    "join_bloom_runtime_filter",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    "sim_ann_recall_eval",
+    "sim_ivf_multiprobe_topk",
+    "multimodal_dedup_sha",
+    "graph_label_propagation",
+    "pipeline_multimodal_e2e",
+    "win_time_weighted_avg",
+    "tpcdi_cdc_apply",
+    # --- round-4-certified block (46): round-10 window ---
+    "str_concat_phone",
+    "str_substr_trim",
+    "str_case_match",
+    "str_pad_format",
+    "str_regexp",
+    "str_split_explode",
+    "str_regexp_extract_all",
+    "str_encode_b64_hex",
+    "date_parse",
+    "date_arith",
+    "date_extract",
+    "date_trunc_bucket",
+    "date_boundaries",
+    "date_spine_gapfill",
+    "math_round_money",
+    "math_ratio_guard",
+    "math_functions",
+    "math_trig",
+    "math_try_overflow",
+    "cond_case_when",
+    "null_coalesce",
+    "cast_types",
+    "hash_checksum",
+    "bit_ops",
+    "json_extract",
+    "json_nested_roundtrip",
+    "json_variant_explode",
+    "array_ops",
+    "array_fold_dot",
+    "array_posexplode",
+    "array_exists_forall",
+    "xml_roundtrip_builtin",
+    "stream_tumbling_count",
+    "stream_sliding_sum",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_totals",
+    "stream_transform_with_state",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "udf_arrow_scalar",
+    # --- round-5-certified block (49): round-11 window ---
+    "dedup_eval_simhash_recall",
+    "win_ema_smooth",
+    "text_snapshot_novelty",
+    "dedup_ngram_containment",
+    "sink_compact_small_files",
+    "vec_pca_power_iteration",
+    "vec_pca_project",
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
+    "udtf_python_lateral",
+    "sql_pipe_syntax",
+    "scan_python_datasource",
+    "sink_python_datasource",
+    "multimodal_image_resize",
+    "join_dpp_partitioned",
+    "vec_quantize_pq",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_prospect_match",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dim_trade",
+    "tpcdi_dimessages",
+    "tpcdi_scd2_hybrid_type1",
+    "tpcdi_holdings_pnl",
+    "tpcdi_reference_dims",
+    "events_funnel",
+    "events_retention",
+    "events_active_users_rolling",
+    "agg_first_last",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_transpose_matrix",
+    "agg_moments_exact",
+    "agg_filter_clause",
+    "agg_bitmap_distinct",
+    "agg_count_distinct_multi",
+    "agg_percentile",
+    "agg_unpivot",
+    "agg_string_concat_group",
+    "agg_weighted_avg",
+    "agg_pivot_dynamic",
+    "agg_median_mode",
+    "agg_regression_exact",
+    "agg_histogram_fixed",
+    "sketch_hll_partition_merge",
+    "sketch_approx_topk",
+    "sort_limit_offset",
+    # --- round-6-certified block (49): round-12 window ---
     "agg_collect_sorted",
     "str_collate_ci",
     "tpcdi_dim_broker",
@@ -170,72 +297,57 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
-    # --- certified ops re-verified after round-4 hardening (15) ---
-    # gram-family heads transitively touched by the r4 shingles()
-    # short-doc convention change (re-verified MATCH sf0.01 + sf0.1)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_chunk_level",
-    "dedup_cross_source_matrix",
-    "stream_incremental_dedup",
-    "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
-    # adversarial-probe hardening re-verifications (r4, all MATCH)
-    "win_nth_value",
-    "win_time_weighted_avg",
-    "win_rolling_corr",
-    "sim_cosine_topk",
-    "sim_rp_lsh_cosine",
-    "sim_ann_recall_eval",
-    "pipeline_rag_e2e",
-    # --- round-4 window, certified r4 (46) ---
-    "str_concat_phone",
-    "str_substr_trim",
-    "str_case_match",
-    "str_pad_format",
-    "str_regexp",
-    "str_split_explode",
-    "str_regexp_extract_all",
-    "str_encode_b64_hex",
-    "date_parse",
-    "date_arith",
-    "date_extract",
-    "date_trunc_bucket",
-    "date_boundaries",
-    "date_spine_gapfill",
-    "math_round_money",
-    "math_ratio_guard",
-    "math_functions",
-    "math_trig",
-    "math_try_overflow",
-    "cond_case_when",
-    "null_coalesce",
-    "cast_types",
-    "hash_checksum",
-    "bit_ops",
-    "json_extract",
-    "json_nested_roundtrip",
-    "json_variant_explode",
-    "array_ops",
-    "array_fold_dot",
-    "array_posexplode",
-    "array_exists_forall",
-    "xml_roundtrip_builtin",
-    "stream_tumbling_count",
-    "stream_sliding_sum",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_state",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_totals",
-    "stream_transform_with_state",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "udf_arrow_scalar",
+    # --- round-7-certified block (50): round-13 window ---
+    "text_pii_redact",
+    "text_normalize_unicode",
+    "sim_quantized_topk",
+    "text_length_histogram",
+    "text_contamination_ngram",
+    "text_repetition_score",
+    "text_quality_linear",
+    "graph_triangle_count",
+    "sample_temperature_mixture",
+    "text_bpe_pair_count",
+    "sink_merge_upsert",
+    "vec_pca_domain_check",
+    "vec_quantize_int8",
+    "scan_parquet",
+    "scan_jsonl",
+    "scan_orc",
+    "scan_csv_malformed",
+    "scan_text_fixedwidth",
+    "scan_xml_flatten",
+    "sink_parquet",
+    "sink_partitioned",
+    "sink_bucketed",
+    "sink_table_overwrite_append",
+    "project_select",
+    "project_derive",
+    "project_rename_drop",
+    "filter_simple",
+    "filter_compound",
+    "filter_null",
+    "filter_like_regexp",
+    "join_inner_equi",
+    "join_multi_key",
+    "join_left_outer",
+    "join_right_full",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "join_range_between",
+    "join_asof_latest",
+    "join_theta_inequality",
+    "join_self_versioning",
+    "join_cross",
+    "join_skew_salted",
+    "agg_groupby_basic",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_having",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
 ]
 
 
