@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Protocol (BASELINE.md): per-query wall-clock, median of 3 runs (first
 run doubles as warm-up), full materialization via the noop sink (no
 driver collect cost), AQE on.
+
+The JSON line carries `loadavg_start` (1-min loadavg sampled BEFORE
+the session starts) so every recorded bench self-documents its
+machine-load conditions: runs at loadavg < 0.1 are idle-protocol
+numbers; anything higher sits in the ±25–35% drift band BASELINE.md
+quantified, and round-over-round adjudication can tell the two apart
+without re-litigating the band (VERDICT r7 item 5).
 """
 
 from __future__ import annotations
@@ -61,9 +68,14 @@ HEADLINE = [
 ]
 
 RUNS = 3
+LOADAVG_START = -1.0  # set by main() before the JVM starts
 
 
 def main() -> None:
+    global LOADAVG_START
+    # sample BEFORE the JVM starts — the bench's own executors would
+    # otherwise dominate the 1-min average and hide pre-existing load
+    LOADAVG_START = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("tpcdi-engine-bench")
@@ -106,6 +118,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spark": spark.version,
                 "runs_per_query": RUNS,
+                "loadavg_start": LOADAVG_START,
             }
         )
     )

@@ -57,7 +57,7 @@ def main() -> None:
     # reinterpreted as an unknown op name (round-6 ADVICE item).
     if args and (os.sep in args[0] or args[0].startswith(".")):
         if not os.path.isdir(args[0]):
-            print(f"no such directory: {args[0]}")
+            print(f"no such directory: {args[0]}", file=sys.stderr)
             sys.exit(2)
         sf_dir, args = args[0], args[1:]
     elif args and os.path.isdir(args[0]):
@@ -79,8 +79,14 @@ def main() -> None:
     if only:
         unknown = sorted(only - set(qs))
         if unknown:
-            # a typo'd op name must not exit 0 as "0/0 sortable"
-            print(f"unknown op names: {unknown}")
+            # a typo'd op name must not exit 0 as "0/0 sortable"; a
+            # bare misspelled fixture dir (e.g. 'sf001', no os.sep)
+            # also lands here — name that possibility (r7 ADVICE)
+            hint = (
+                " (if one of these was meant as a fixture directory,"
+                " it does not exist)"
+            )
+            print(f"unknown op names: {unknown}{hint}", file=sys.stderr)
             sys.exit(2)
     names = [x for x in qs if not only or x in only]
     fails: list[tuple[str, str, str]] = []

@@ -8,8 +8,12 @@ Encodes the pre-close protocol SURVEY §7.4 hands from round to round
   2. full-registry parity at sf0.001 (cheap full-surface pass)
   3. driver-canonicalizer probe (sort + hash halves) on every op
   4. entry() smoke on a VANILLA local[8] session (rows + schema)
-  5. pytest collect-only count (the suite itself runs separately —
-     this just pins the count so a silent collection break is loud)
+  5. pytest collect-only count >= EXPECTED_MIN_TESTS (the suite
+     itself runs separately — this pins the COUNT, not just the exit
+     code, so a silently-dropped test file is loud; round-7 ADVICE)
+  6. docs drift: regenerate OPERATORS.md + PLANS.md and fail if the
+     working tree changes (VERDICT r7 item 4 — two r7 commits were
+     manual line-number refreshes; a stale index must never ship)
 
 Heavier evidence (sf0.1 / adversarial sweeps, hostile combos, bench)
 stays manual — it needs judgment about machine load; this script is
@@ -24,6 +28,7 @@ Exit 0 = all steps green.
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 
@@ -31,6 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PY = sys.executable
+
+# Floor for step 5: the suite had this many tests when the floor was
+# last raised (round 8). Raise it whenever tests are added; a collect
+# run BELOW it means a file silently fell out of collection.
+EXPECTED_MIN_TESTS = 711
 
 
 def window_ops(n: int) -> list[str]:
@@ -40,11 +50,23 @@ def window_ops(n: int) -> list[str]:
 
 
 def run(label: str, cmd: list[str]) -> tuple[str, bool, str]:
-    p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
-    )
-    tail = (p.stdout or p.stderr).strip().splitlines()
-    return label, p.returncode == 0, tail[-1] if tail else ""
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
+        )
+    except subprocess.TimeoutExpired:
+        # a hung step is a FAIL row, not a checklist crash (r7 ADVICE)
+        return label, False, "timeout after 7200s"
+    if p.returncode == 0:
+        tail = (p.stdout or p.stderr).strip().splitlines()
+        return label, True, tail[-1] if tail else ""
+    # on failure the real error is usually on stderr — prefer it, but
+    # keep the stdout tail too so a tool that reports failures on
+    # stdout (e.g. parity_sweep's MISMATCH lines) stays visible
+    err_tail = [ln for ln in p.stderr.strip().splitlines() if ln.strip()]
+    out_tail = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    parts = [t[-1] for t in (err_tail, out_tail) if t]
+    return label, False, " | ".join(parts)
 
 
 def main() -> None:
@@ -88,11 +110,25 @@ def main() -> None:
             "pytest collection intact",
             [PY, "-m", "pytest", "tests/", "--collect-only", "-q"],
         ),
+        ("regen OPERATORS.md", [PY, "tools/gen_operators_md.py"]),
+        ("regen PLANS.md", [PY, "tools/gen_plans_md.py"]),
+        (
+            "docs drift (tree clean after regen)",
+            ["git", "diff", "--stat", "--exit-code",
+             "OPERATORS.md", "PLANS.md"],
+        ),
     ]
     results = [run(label, cmd) for label, cmd in steps]
     print()
     ok = True
     for label, good, tail in results:
+        if label == "pytest collection intact" and good:
+            # exit 0 is not enough: compare the COLLECTED COUNT
+            # against the pinned floor (a dropped file still exits 0)
+            m = re.search(r"(\d+) tests collected", tail)
+            count = int(m.group(1)) if m else -1
+            good = count >= EXPECTED_MIN_TESTS
+            tail = f"{count} tests collected (floor {EXPECTED_MIN_TESTS})"
         print(f"[{'PASS' if good else 'FAIL'}] {label}: {tail}")
         ok &= good
     sys.exit(0 if ok else 1)
