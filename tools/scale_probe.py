@@ -176,6 +176,49 @@ PROBE = [
     "text_quality_linear",
     "sample_temperature_mixture",
     "text_bpe_pair_count",
+    # round-8 window: the 40 r1/r2-certified ops not yet in the probe
+    # (full certification-window scale coverage, r5 precedent — these
+    # ops' scale behavior was otherwise last measured 6-7 rounds ago)
+    "sort_multi",
+    "limit_n",
+    "topk_per_group",
+    "set_except",
+    "dedup_exact",
+    "sql_api_revenue_ranking",
+    "set_symmetric_diff",
+    "sql_exists_decorrelated",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_bool",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "map_ops",
+    "sim_ivf_topk",
+    "sim_ivf_index_partitioned",
+    "tpcdi_dim_company",
+    "tpcdi_financial",
+    "tpcdi_audit_reconciliation",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lead_scd2",
+    "win_lag_change",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_first_last_value",
+    "win_ntile_pct",
+    "win_cume_dist",
+    "win_forward_fill",
+    "win_ratio_total",
+    "win_nth_value",
+    "win_streaks",
+    "text_label_quality",
+    "dedup_exact_hash",
+    "stream_stream_join",
+    "udtf_map_in_arrow",
+    "text_unigram_logprob",
+    "pack_sequences_greedy",
+    "sample_stratified_exact",
+    "win_running_distinct",
 ]
 
 
