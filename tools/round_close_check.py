@@ -11,7 +11,13 @@ Encodes the pre-close protocol SURVEY §7.4 hands from round to round
   5. pytest collect-only count >= EXPECTED_MIN_TESTS (the suite
      itself runs separately — this pins the COUNT, not just the exit
      code, so a silently-dropped test file is loud; round-7 ADVICE)
-  6. docs drift: regenerate OPERATORS.md + PLANS.md and fail if the
+  6. adversarial-fixture parity over the certification window: the
+     hostile-values fixture is regenerated fresh (deterministic value
+     pools) and the window ops must match DuckDB on it, so the
+     window's cross-engine agreement is re-proven each round to be a
+     property of the EXPRESSIONS, not of the friendly fixture
+     (round-8 addition; previously a manual sweep)
+  7. docs drift: regenerate OPERATORS.md + PLANS.md and fail if the
      working tree changes (VERDICT r7 item 4 — two r7 commits were
      manual line-number refreshes; a stale index must never ship)
 
@@ -109,6 +115,14 @@ def main() -> None:
         (
             "pytest collection intact",
             [PY, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        ),
+        (
+            "regen adversarial fixture",
+            [PY, "tools/adversarial_fixture.py", "/tmp/spark_graft_adversarial"],
+        ),
+        (
+            f"window[{n}] parity @ adversarial",
+            [PY, "tools/parity_sweep.py", "/tmp/spark_graft_adversarial", *ops],
         ),
         ("regen OPERATORS.md", [PY, "tools/gen_operators_md.py"]),
         ("regen PLANS.md", [PY, "tools/gen_plans_md.py"]),
