@@ -322,3 +322,133 @@ def test_latest_by_key_seconds_truncation_winner(spark, edge_dir):
     assert rows[(1, "click")] == 30, rows
     assert rows[(1, "view")] == 40, rows  # later second beats larger id
     assert rows[(2, "view")] == 50, rows  # pre-1970 sole row wins
+
+
+# ---------------------------------------------------------------------------
+# Property-based randomized parity (hypothesis): beyond the hand-built
+# fixture above, re-prove cross-engine agreement on ARBITRARY
+# tie/NULL-heavy inputs. Value domains are deliberately tiny so ties,
+# NULL keys, and same-second timestamp collisions occur in almost
+# every example — the shapes where a determinism contract would break.
+# (sql_api_revenue_ranking is covered by the hand-built fixture only:
+# its hazard lives in lineitem rev ties, already pinned above.)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ORDERS_PROP_OPS = [
+    "sort_multi",
+    "limit_n",
+    "topk_per_group",
+    "set_except",
+    "set_symmetric_diff",
+    "sql_exists_decorrelated",
+]
+
+_rand_orders = st.lists(
+    st.tuples(
+        st.sampled_from([None, 1, 2, 3]),  # o_custkey: tiny domain + NULL
+        st.sampled_from([None, "F", "O", "P"]),  # o_orderstatus
+        # o_totalprice: heavy ties, NULL, and one value above the
+        # sql_exists 300000 threshold
+        st.sampled_from([None, 1.0, 2.5, 99.0, 300001.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_orders_fixture(d, rows):
+    schema = _SCHEMAS["orders"]
+    full = [
+        (i + 1, ck, status, price, _ts(2024, 1, (i % 28) + 1), "1-URGENT")
+        for i, (ck, status, price) in enumerate(rows)
+    ]
+    cols = list(zip(*full))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        ),
+        f"{d}/orders.parquet",
+    )
+    cust_schema = _SCHEMAS["customer"]
+    cust = [(ck, f"c{ck}", 1, 0.0, "MACHINERY") for ck in (1, 2, 3)]
+    ccols = list(zip(*cust))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(ccols, cust_schema)],
+            schema=cust_schema,
+        ),
+        f"{d}/customer.parquet",
+    )
+
+
+@_HSETTINGS
+@given(_rand_orders)
+def test_orders_ops_randomized_parity(spark, tmp_path_factory, rows):
+    d = str(tmp_path_factory.mktemp("prop_orders"))
+    _write_orders_fixture(d, rows)
+    con = duckdb.connect()
+    try:
+        for name in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{d}/{name}.parquet')"
+            )
+        for op in _ORDERS_PROP_OPS:
+            assert_parity(_QUERIES[op](spark, d), con, _ORACLES[op], op)
+    finally:
+        con.close()
+
+
+_rand_events = st.lists(
+    st.tuples(
+        st.sampled_from([None, 1, 2]),  # user_id
+        st.sampled_from([None, "a", "b"]),  # event_type
+        st.sampled_from([0, 1]),  # base second (collisions frequent)
+        st.sampled_from([0, 100000, 900000]),  # microseconds within it
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_HSETTINGS
+@given(_rand_events)
+def test_events_ops_randomized_parity(spark, tmp_path_factory, rows):
+    """dedup_exact / dedup_latest_by_key on random NULL-keyed events
+    whose timestamps collide at seconds granularity: the winner must
+    come from the seconds-truncation + event_id tiebreak on BOTH
+    engines, for every generated collision pattern."""
+    d = str(tmp_path_factory.mktemp("prop_events"))
+    schema = _SCHEMAS["events"]
+    full = [
+        (i + 1, _ts(2024, 3, 1, 12, 0, sec, us), uid, et, 1.0, "{}")
+        for i, (uid, et, sec, us) in enumerate(rows)
+    ]
+    cols = list(zip(*full))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        ),
+        f"{d}/events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for op in ("dedup_exact", "dedup_latest_by_key"):
+            assert_parity(_QUERIES[op](spark, d), con, _ORACLES[op], op)
+    finally:
+        con.close()
