@@ -421,6 +421,8 @@ _rand_events = st.lists(
         st.sampled_from([None, "a", "b"]),  # event_type
         st.sampled_from([0, 1]),  # base second (collisions frequent)
         st.sampled_from([0, 100000, 900000]),  # microseconds within it
+        # value: tiny domain so V-shape troughs + plateaus both occur
+        st.sampled_from([0.5, 1.0, 2.0]),
     ),
     min_size=1,
     max_size=25,
@@ -433,12 +435,15 @@ def test_events_ops_randomized_parity(spark, tmp_path_factory, rows):
     """dedup_exact / dedup_latest_by_key on random NULL-keyed events
     whose timestamps collide at seconds granularity: the winner must
     come from the seconds-truncation + event_id tiebreak on BOTH
-    engines, for every generated collision pattern."""
+    engines, for every generated collision pattern. win_pattern_vshape
+    (r9-window front) rides the same generator: V-shape detection via
+    lag/lead over (ts, event_id) with identical-full-timestamp
+    collisions forcing the event_id tiebreak to decide neighbors."""
     d = str(tmp_path_factory.mktemp("prop_events"))
     schema = _SCHEMAS["events"]
     full = [
-        (i + 1, _ts(2024, 3, 1, 12, 0, sec, us), uid, et, 1.0, "{}")
-        for i, (uid, et, sec, us) in enumerate(rows)
+        (i + 1, _ts(2024, 3, 1, 12, 0, sec, us), uid, et, val, "{}")
+        for i, (uid, et, sec, us, val) in enumerate(rows)
     ]
     cols = list(zip(*full))
     pq.write_table(
@@ -454,7 +459,111 @@ def test_events_ops_randomized_parity(spark, tmp_path_factory, rows):
             f"CREATE VIEW events AS SELECT * FROM "
             f"read_parquet('{d}/events.parquet')"
         )
-        for op in ("dedup_exact", "dedup_latest_by_key"):
+        for op in ("dedup_exact", "dedup_latest_by_key", "win_pattern_vshape"):
+            assert_parity(_QUERIES[op](spark, d), con, _ORACLES[op], op)
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# r9-window-front ops (§7.5 proposal 4, executed one round early): the
+# 5 r2-certified ops rotating into the r9 driver window get the same
+# randomized dual-engine treatment before their re-cert round.
+# win_pattern_vshape rides the events generator above; the four below
+# ride orders/lineitem generators tuned to THEIR hazards — same-day
+# SCD2 versions (o_orderkey tiebreak), composite-key running
+# positions, and struct-extreme ties in the 52-week high/low dates.
+# Keys and prices stay non-NULL: NULL natural keys / NULL money are
+# out of these ops' documented contract (FIXTURES.md columns are
+# non-null there); the hazard is TIES, not NULLs.
+# ---------------------------------------------------------------------------
+
+_rand_scd2_orders = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),  # o_custkey: 2 keys → deep histories
+        st.sampled_from(["F", "O"]),  # status (attr + incremental split)
+        st.sampled_from([1.0, 2.5, 99.0]),  # price ties
+        st.sampled_from([1, 2, 3]),  # day: tiny → same-eff-date versions
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_HSETTINGS
+@given(_rand_scd2_orders)
+def test_scd2_fact_orders_ops_randomized_parity(spark, tmp_path_factory, rows):
+    d = str(tmp_path_factory.mktemp("prop_scd2"))
+    schema = _SCHEMAS["orders"]
+    full = [
+        (i + 1, ck, status, price, _ts(2024, 1, day), "1-URGENT")
+        for i, (ck, status, price, day) in enumerate(rows)
+    ]
+    cols = list(zip(*full))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        ),
+        f"{d}/orders.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet')"
+        )
+        for op in (
+            "tpcdi_scd2_dimcustomer",
+            "tpcdi_scd2_incremental",
+            "tpcdi_fact_cash_balances",
+        ):
+            assert_parity(_QUERIES[op](spark, d), con, _ORACLES[op], op)
+    finally:
+        con.close()
+
+
+_rand_lineitem = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),  # l_partkey (security)
+        st.sampled_from([1, 2]),  # l_suppkey (account)
+        st.sampled_from([1.0, 2.0]),  # quantity
+        st.sampled_from([10.0, 20.0]),  # price: ties → struct extremes
+        st.sampled_from(["N", "R"]),  # returnflag: signed positions
+        st.sampled_from([1, 2, 200]),  # ship day (200 exits 52wk range)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_HSETTINGS
+@given(_rand_lineitem)
+def test_fact_lineitem_ops_randomized_parity(spark, tmp_path_factory, rows):
+    d = str(tmp_path_factory.mktemp("prop_li"))
+    schema = _SCHEMAS["lineitem"]
+    full = [
+        (
+            i + 1, pk, sk, 1, qty, price, 0.0, 0.0, rf, "O",
+            _ts(2024, 1, 1) + datetime.timedelta(days=day),
+        )
+        for i, (pk, sk, qty, price, rf, day) in enumerate(rows)
+    ]
+    cols = list(zip(*full))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        for op in ("tpcdi_fact_market_history", "tpcdi_fact_holdings"):
             assert_parity(_QUERIES[op](spark, d), con, _ORACLES[op], op)
     finally:
         con.close()
