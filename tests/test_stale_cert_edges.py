@@ -49,8 +49,6 @@ from .conftest import assert_parity
 _QUERIES = all_queries()
 _ORACLES = all_oracles()
 
-UTC = datetime.timezone.utc
-
 
 def _ts(y, mo, d, h=0, mi=0, s=0, us=0):
     # naive UTC instants, matching the driver fixture's parquet
