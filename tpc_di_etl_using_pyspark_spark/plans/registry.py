@@ -27,87 +27,38 @@ _MODULES = [
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
 # surface is FROZEN at 291 (VERDICT r3 item 1; re-ratified every round
-# since, most recently VERDICT r7 item 2). As of round 7 the cumulative
-# r1-r7 union is 291/291 driver-certified green with zero red rows —
-# the windows are now pure regression defense, rotated by CERT AGE.
+# since, most recently VERDICT r8 item 2). The cumulative r1-r8 union
+# is 291/291 driver-certified green with zero red rows — the windows
+# are pure regression defense, rotated by CERT AGE.
 #
 # _PRIORITY below is the FULL 291-op order, oldest driver cert first
 # (ties broken by position within that round's correctness file). The
-# rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g):
+# rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g; mechanized in
+# tools/cert_age_check.py as round_close_check step 11):
 #
-#   round 8 (THIS round): 9 r1-only ops + 41 of the 46 r2 ops
-#   round 9: remaining 5 r2 ops + r3 block (42) + head of r4
-#   rounds 10-13: r4 (46), r5 (49), r6 (49), r7 (50) blocks in turn
+#   round 9 (THIS round): 5 deferred r2 ops + r3 block (42) + 3 oldest r4
+#   round 10: rest of the r4 block (43) + 7 oldest r5
+#   round 11: rest of r5 (42) + 8 oldest r6
+#   round 12: rest of r6 (41) + 9 oldest r7
+#   round 13: rest of r7 (41) + 9 oldest r8
 #   round 14+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
 #
-# Standing rule (VERDICT r7 item 3): any op whose CODE changes in a
-# round is elevated to the window front for a fresh driver row that
-# same round (the r7 vec_quantize_int8 pattern). Nothing is ever
-# dropped from the registry.
+# Standing rule (VERDICT r7 item 3, re-ratified r8 item 6): any op
+# whose CODE changes in a round is elevated to the window front for a
+# fresh driver row that same round (the r7 vec_quantize_int8 pattern).
+# Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-8 certification window (50 = 9 + 41), VERDICT r7 item 1 ---
-    # 1-9: the nine ops whose ONLY driver row is round 1 — the stalest
-    # certs in the repo (seven fixture regenerations old).
-    "sort_multi",
-    "limit_n",
-    "topk_per_group",
-    "set_except",
-    "dedup_exact",
-    "dedup_latest_by_key",
-    "sql_api_revenue_ranking",
-    "set_symmetric_diff",
-    "sql_exists_decorrelated",
-    # 10-50: the 41 oldest round-2-certified ops, r2-window order.
-    "agg_conditional",
-    "agg_pivot",
-    "agg_bool",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "map_ops",
-    "sim_ivf_topk",
-    "sim_ivf_index_partitioned",
-    "tpcdi_dim_company",
-    "tpcdi_dim_security",
-    "tpcdi_financial",
-    "tpcdi_fact_watches",
-    "tpcdi_scd2_dimaccount",
-    "tpcdi_audit_reconciliation",
-    "win_row_number",
-    "win_rank_dense",
-    "win_lead_scd2",
-    "win_lag_change",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_52wk",
-    "win_first_last_value",
-    "win_ntile_pct",
-    "win_cume_dist",
-    "win_forward_fill",
-    "win_ratio_total",
-    "win_nth_value",
-    "win_streaks",
-    "text_tfidf",
-    "sim_cosine_topk",
-    "dedup_cluster_cc",
-    "pipeline_corpus_curation",
-    "text_label_quality",
-    "dedup_exact_hash",
-    "stream_stream_join",
-    "udtf_map_in_arrow",
-    "graph_pagerank",
-    "text_unigram_logprob",
-    "pack_sequences_greedy",
-    "sample_stratified_exact",
-    "win_running_distinct",
-    # --- r2-block remainder (5): head of the round-9 window ---
+    # --- round-9 certification window (50 = 5 + 42 + 3), VERDICT r8 item 1 ---
+    # 1-5: the five r2-certified ops deferred from the r8 window — the
+    # stalest certs in the repo (six fixture regenerations old).
     "win_pattern_vshape",
     "tpcdi_scd2_dimcustomer",
     "tpcdi_fact_cash_balances",
     "tpcdi_fact_market_history",
     "tpcdi_fact_holdings",
-    # --- round-3-certified block (42): round-9 window tail ---
+    # 6-47: the round-3-certified block, r3-window order.
     "text_bm25_topk",
     "sketch_count_min",
     "win_rolling_corr",
@@ -150,10 +101,11 @@ _PRIORITY = [
     "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     "tpcdi_cdc_apply",
-    # --- round-4-certified block (46): round-10 window ---
+    # 48-50: the three oldest round-4-certified ops.
     "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
+    # --- round-4-certified remainder (43): head of the round-10 window ---
     "str_pad_format",
     "str_regexp",
     "str_split_explode",
@@ -197,7 +149,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- round-5-certified block (49): round-11 window ---
+    # --- round-5-certified block (49): round-10 tail + round-11 head ---
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -247,7 +199,7 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (49): round-12 window ---
+    # --- round-6-certified block (49): round-11 tail + round-12 head ---
     "agg_collect_sorted",
     "str_collate_ci",
     "tpcdi_dim_broker",
@@ -297,7 +249,7 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
-    # --- round-7-certified block (50): round-13 window ---
+    # --- round-7-certified block (50): round-12 tail + round-13 head ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -348,6 +300,57 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
+    # --- round-8-certified block (50): the r8 window, youngest certs ---
+    "sort_multi",
+    "limit_n",
+    "topk_per_group",
+    "set_except",
+    "dedup_exact",
+    "dedup_latest_by_key",
+    "sql_api_revenue_ranking",
+    "set_symmetric_diff",
+    "sql_exists_decorrelated",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_bool",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "map_ops",
+    "sim_ivf_topk",
+    "sim_ivf_index_partitioned",
+    "tpcdi_dim_company",
+    "tpcdi_dim_security",
+    "tpcdi_financial",
+    "tpcdi_fact_watches",
+    "tpcdi_scd2_dimaccount",
+    "tpcdi_audit_reconciliation",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lead_scd2",
+    "win_lag_change",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_52wk",
+    "win_first_last_value",
+    "win_ntile_pct",
+    "win_cume_dist",
+    "win_forward_fill",
+    "win_ratio_total",
+    "win_nth_value",
+    "win_streaks",
+    "text_tfidf",
+    "sim_cosine_topk",
+    "dedup_cluster_cc",
+    "pipeline_corpus_curation",
+    "text_label_quality",
+    "dedup_exact_hash",
+    "stream_stream_join",
+    "udtf_map_in_arrow",
+    "graph_pagerank",
+    "text_unigram_logprob",
+    "pack_sequences_greedy",
+    "sample_stratified_exact",
+    "win_running_distinct",
 ]
 
 
