@@ -59,9 +59,27 @@ def canon(v) -> str:
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    if args and os.path.isdir(args[0]):
+    # Anything path-shaped is an explicit sf_dir: a MISSING dir must be
+    # a loud usage error, never silently reinterpreted as an op name —
+    # round_close_check step 7 passes a regenerated fixture dir here,
+    # and a failed regen previously made the window sweep fall through
+    # to the friendly default fixture and print a vacuous PASS row
+    # (round-8 ADVICE, same class as the driver_canon_probe guard).
+    if args and (os.sep in args[0] or args[0] in (".", "..") or os.path.isdir(args[0])):
+        if not os.path.isdir(args[0]):
+            print(f"error: fixture dir does not exist: {args[0]}", file=sys.stderr)
+            sys.exit(2)
         sf_dir, args = args[0], args[1:]
     only = set(args) or None
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a mistyped op name must not silently shrink the sweep;
+            # checked before the JVM starts so the error is immediate
+            print(f"error: unknown op name(s): {unknown}", file=sys.stderr)
+            sys.exit(2)
 
     # Hostile-config knobs: the driver chooses its own session, so
     # results must be identical under any parallelism / partition
@@ -87,7 +105,6 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = E.queries(), E.oracle_sql()
     names = [x for x in qs if not only or x in only]
     fails: list[tuple[str, str]] = []
     for i, op in enumerate(names):

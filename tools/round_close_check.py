@@ -20,6 +20,13 @@ Encodes the pre-close protocol SURVEY §7.4 hands from round to round
   7. docs drift: regenerate OPERATORS.md + PLANS.md and fail if the
      working tree changes (VERDICT r7 item 4 — two r7 commits were
      manual line-number refreshes; a stale index must never ship)
+  8. cert-age ledger: recompute latest-green per op from the
+     CORRECTNESS_r*.json files and fail if any op's cert age would
+     exceed 6 rounds after the upcoming round, any latest row is red,
+     or the staged front window deviates from the §7.4g rotation
+     schedule (VERDICT r8 item 3 — the schedule can no longer drift
+     silently between sessions; edited-op elevations are declared via
+     CERT_AGE_ELEVATED, which this runner inherits from the env)
 
 Heavier evidence (sf0.1 / adversarial sweeps, hostile combos, bench)
 stays manual — it needs judgment about machine load; this script is
@@ -44,9 +51,9 @@ sys.path.insert(0, REPO)
 PY = sys.executable
 
 # Floor for step 5: the suite had this many tests when the floor was
-# last raised (round 8). Raise it whenever tests are added; a collect
+# last raised (round 9). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 726
+EXPECTED_MIN_TESTS = 754
 
 
 def window_ops(n: int) -> list[str]:
@@ -130,6 +137,10 @@ def main() -> None:
             "docs drift (tree clean after regen)",
             ["git", "diff", "--stat", "--exit-code",
              "OPERATORS.md", "PLANS.md"],
+        ),
+        (
+            "cert-age ledger & rotation schedule",
+            [PY, "tools/cert_age_check.py", "--window", str(n)],
         ),
     ]
     results = [run(label, cmd) for label, cmd in steps]
