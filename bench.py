@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from tpc_di_etl_using_pyspark_spark.plans.registry import all_queries  # noqa: E402
 from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 
@@ -71,6 +73,28 @@ RUNS = 3
 LOADAVG_START = -1.0  # set by main() before the JVM starts
 
 
+def calibration_sec(spark) -> float:
+    """Fixed host-speed probe (VERDICT r8 item 5): a constant
+    never-rotated in-memory range+agg with NO file IO, so every
+    recorded bench carries a machine-speed divisor. The r8 idle
+    plateau moved +17% with byte-identical code; this makes
+    cross-session totals comparable instead of adjudicated. Partition
+    count is pinned (64) so session confs can't change the work."""
+    q = (
+        spark.range(0, 1 << 28, 1, 64)
+        .selectExpr("id", "id * 2654435761 % 1000003 AS h")
+        .groupBy((F.col("h") % 64).alias("b"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    runs = []
+    for i in range(RUNS + 1):  # first run is the JIT warm-up
+        t0 = time.perf_counter()
+        q.write.mode("overwrite").format("noop").save()
+        if i > 0:
+            runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     global LOADAVG_START
     # sample BEFORE the JVM starts — the bench's own executors would
@@ -80,6 +104,10 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("tpcdi-engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # calibration runs FIRST, always at the same session position, so
+    # its number is comparable across rounds regardless of what the
+    # headline set does afterwards
+    calib = calibration_sec(spark)
     queries = all_queries()
 
     # Global JIT warm-up pass (round 3 protocol addition): one untimed
@@ -119,6 +147,7 @@ def main() -> None:
                 "spark": spark.version,
                 "runs_per_query": RUNS,
                 "loadavg_start": LOADAVG_START,
+                "calibration_sec": calib,
             }
         )
     )
