@@ -338,9 +338,10 @@ from hypothesis import strategies as st  # noqa: E402
 import os  # noqa: E402
 
 # 12 examples per suite run; the space was mined once at 100 examples
-# per test at round-8 close (all green) so the small CI sample is a
+# per test at round-8 close and again at 200 examples per test at
+# round-9 open (all green both times) so the small CI sample is a
 # canary, not the only exploration. Override for a deep re-mine:
-#   STALE_EDGE_EXAMPLES=100 pytest tests/test_stale_cert_edges.py
+#   STALE_EDGE_EXAMPLES=200 pytest tests/test_stale_cert_edges.py
 _HSETTINGS = settings(
     max_examples=int(os.environ.get("STALE_EDGE_EXAMPLES", "12")),
     deadline=None,
