@@ -140,16 +140,53 @@ def test_age_exactly_at_cap_passes():
 
 def test_live_repo_ledger_is_healthy():
     """The shipped registry + real CORRECTNESS files must pass — this
-    is the same invocation round_close_check runs as its final step."""
+    is the same invocation round_close_check runs as its final step,
+    INCLUDING its CERT_AGE_ELEVATED declaration (the single source of
+    truth for this round's edited-op elevations)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from round_close_check import ROUND_ELEVATIONS
+    finally:
+        sys.path.pop(0)
+    env = dict(os.environ, CERT_AGE_ELEVATED=ROUND_ELEVATIONS)
     p = subprocess.run(
         [sys.executable, "tools/cert_age_check.py"],
         cwd=REPO,
         capture_output=True,
         text=True,
         timeout=300,
+        env=env,
     )
     assert p.returncode == 0, p.stdout + p.stderr
     assert "FAIL" not in p.stdout
+
+
+def test_live_repo_elevations_without_declaration_fail_loudly():
+    """Guard the guard: if ops are elevated in _PRIORITY, the bare
+    (undeclared) invocation must FAIL on the schedule deviation rather
+    than silently accepting an arbitrary window order. Skips the
+    assertion content when no elevation is declared (steady-state
+    rounds), where bare == declared and both must pass."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from round_close_check import ROUND_ELEVATIONS
+    finally:
+        sys.path.pop(0)
+    env = dict(os.environ)
+    env.pop("CERT_AGE_ELEVATED", None)
+    p = subprocess.run(
+        [sys.executable, "tools/cert_age_check.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    if ROUND_ELEVATIONS:
+        assert p.returncode == 1, p.stdout + p.stderr
+        assert "deviates" in p.stdout
+    else:
+        assert p.returncode == 0, p.stdout + p.stderr
 
 
 def test_missing_fixture_dir_is_usage_error():

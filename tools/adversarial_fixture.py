@@ -100,6 +100,18 @@ TS_EVENTS = [
     datetime.datetime(1970, 1, 15, 0, 0, 0),  # exact duplicate
     datetime.datetime(1969, 12, 1, 0, 0, 0),
     datetime.datetime(1970, 1, 7, 3, 14, 7),
+    # PRE-EPOCH SUB-SECOND instants (r9 wave): F.unix_timestamp
+    # truncates these toward zero while FLOOR(EPOCH()) — and Spark's
+    # own window alignment — floor them; the class that forced the
+    # _util.epoch_s floor rewrite. Kept in-pool so every events.ts
+    # consumer stays probed registry-wide.
+    datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),  # epoch −1 µs
+    datetime.datetime(1969, 12, 31, 23, 59, 59, 1),
+    datetime.datetime(1969, 12, 31, 23, 45, 0, 500000),
+    # positive sub-second controls (truncate == floor here; a fix that
+    # broke the positive side would show immediately)
+    datetime.datetime(1970, 1, 15, 0, 0, 0, 500000),
+    datetime.datetime(1970, 1, 7, 3, 14, 7, 999999),
 ]
 N = 64
 

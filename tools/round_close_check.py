@@ -53,7 +53,22 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 9). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 754
+EXPECTED_MIN_TESTS = 775
+
+# Standing edited-op rule: ops whose CODE changed this round sit at the
+# window front for a same-round re-cert; declared to cert_age_check
+# (and to tests/test_cert_age_check.py's live-repo invocation) via the
+# CERT_AGE_ELEVATED env. r9: the two exact-boundary fix classes —
+# session-gap strict `>` and floor epoch-seconds (registry.py
+# _PRIORITY header). Cleared when the next rotation folds the
+# elevation into the normal schedule.
+ROUND_ELEVATIONS = (
+    "stream_session_window,agg_first_last,join_asof_latest,"
+    "join_asof_tolerance,dedup_latest_by_key,win_lag_change,"
+    "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
+    "stream_watermark_late,stream_foreachbatch_upsert,"
+    "stream_stream_join,tpcdi_dim_trade,events_funnel"
+)
 
 
 def window_ops(n: int) -> list[str]:
@@ -143,6 +158,7 @@ def main() -> None:
             [PY, "tools/cert_age_check.py", "--window", str(n)],
         ),
     ]
+    os.environ.setdefault("CERT_AGE_ELEVATED", ROUND_ELEVATIONS)
     results = [run(label, cmd) for label, cmd in steps]
     print()
     ok = True

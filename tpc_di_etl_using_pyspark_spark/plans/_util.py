@@ -147,9 +147,28 @@ def sql_dround(expr: str, n: int) -> str:
 
 
 def epoch_s(col) -> Column:
-    """Timestamp → epoch seconds (bigint), identical across ns/µs storage."""
+    """Timestamp → FLOOR epoch seconds (bigint), identical across ns/µs
+    storage and session timezones.
+
+    NOT ``F.unix_timestamp``: that truncates toward zero, so a
+    pre-epoch sub-second instant (1969-12-31 23:59:59.999999) maps to
+    0 while every oracle's ``FLOOR(EPOCH(ts))`` — and Spark's own
+    ``F.window`` alignment — map it to second −1 (measured, r9
+    boundary probe; pinned in tests/test_r4_window_edges.py). The
+    µs-difference-from-epoch form floors exactly for any sign and is
+    timezone-free for TIMESTAMP_NTZ/date inputs (``timestampdiff`` is
+    pure calendar arithmetic — no LTZ hop), unlike a
+    ``cast("timestamp").cast("long")`` chain whose NTZ→LTZ step shifts
+    by the session offset. All-integer until the final exact division
+    (the µs delta is a multiple of 1e6 after the pmod subtraction, and
+    |seconds| < 2^53, so the double quotient is exact)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.unix_timestamp(c)
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+    return ((us - F.pmod(us, F.lit(1_000_000))) / 1_000_000).cast("long")
 
 
 # DuckDB: epoch() on a timestamp returns seconds; floor+cast makes the

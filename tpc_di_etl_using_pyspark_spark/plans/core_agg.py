@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import DEC, SQL_DEC, davg, dround, dsum, sql_davg, sql_dround, sql_dsum, t
+from ._util import DEC, SQL_DEC, davg, dround, dsum, epoch_s, sql_davg, sql_dround, sql_dsum, t
 
 QUERIES = {}
 ORACLES = {}
@@ -182,7 +182,7 @@ def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
     # Deterministic first/last per key: ordered by a single total-order
     # scalar (epoch-sec ⊕ unique event_id), not by arrival order.
     e = t(spark, d, "events")
-    ordkey = F.unix_timestamp("ts") * 10000000 + F.col("event_id")
+    ordkey = epoch_s("ts") * 10000000 + F.col("event_id")
     return e.groupBy("user_id").agg(
         F.min_by("value", ordkey).alias("first_value"),
         F.max_by("value", ordkey).alias("last_value"),

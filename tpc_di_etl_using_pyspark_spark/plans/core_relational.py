@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import epoch_s, t
 
 QUERIES = {}
 ORACLES = {}
@@ -355,7 +355,7 @@ def join_asof_latest(spark: SparkSession, d: str) -> DataFrame:
     forward with last_value(ignorenulls).
     """
     e = t(spark, d, "events")
-    sec = F.unix_timestamp("ts").alias("sec")
+    sec = epoch_s("ts").alias("sec")
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", sec, "event_id", F.col("event_id").alias("view_id")
     )
@@ -580,7 +580,7 @@ def dedup_latest_by_key(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic latest-record-wins [SPEC: apply highest CDC_DSN]."""
     e = t(spark, d, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.unix_timestamp("ts").desc(), F.col("event_id").desc()
+        epoch_s("ts").desc(), F.col("event_id").desc()
     )
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -768,13 +768,13 @@ def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:
     and the tolerance is applied as a post-window filter expression,
     so the tolerance costs nothing extra at scale."""
     e = t(spark, d, "events")
-    sec = F.unix_timestamp("ts").alias("sec")
+    sec = epoch_s("ts").alias("sec")
     views = e.filter(F.col("event_type") == "view").select(
         "user_id",
         sec,
         "event_id",
         F.col("event_id").alias("view_id"),
-        F.unix_timestamp("ts").alias("view_sec"),
+        epoch_s("ts").alias("view_sec"),
     )
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id",

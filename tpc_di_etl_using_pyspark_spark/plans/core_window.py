@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DEC, SQL_DEC, dround, t
+from ._util import DEC, SQL_DEC, dround, epoch_s, t
 
 QUERIES = {}
 ORACLES = {}
@@ -100,7 +100,7 @@ def win_lead_scd2(spark: SparkSession, d: str) -> DataFrame:
 def win_lag_change(spark: SparkSession, d: str) -> DataFrame:
     """Change detection vs previous version via lag [SPEC: incremental UPDCUST handling]."""
     e = t(spark, d, "events")
-    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    w = Window.partitionBy("user_id").orderBy(epoch_s("ts"), "event_id")
     return e.select(
         "user_id",
         "event_id",
@@ -426,7 +426,7 @@ def win_running_distinct(spark: SparkSession, d: str) -> DataFrame:
     f = e.withColumn("occ", F.row_number().over(w_first))
     return f.select(
         "event_type",
-        F.unix_timestamp("ts").alias("ts_sec"),
+        epoch_s("ts").alias("ts_sec"),
         "event_id",
         F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
         .over(w_run)
@@ -465,7 +465,7 @@ def win_pattern_vshape(spark: SparkSession, d: str) -> DataFrame:
     s = e.select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").alias("ts_sec"),
+        epoch_s("ts").alias("ts_sec"),
         F.lag("value").over(w).alias("prev_v"),
         F.col("value"),
         F.lead("value").over(w).alias("next_v"),
@@ -518,7 +518,7 @@ def win_sessionize_gap(spark: SparkSession, d: str) -> DataFrame:
     partitioning, so Spark plans a single exchange. Timestamps are
     normalized to epoch seconds (ns/µs storage parity, _util)."""
     e = t(spark, d, "events")
-    ts_s = F.unix_timestamp("ts")
+    ts_s = epoch_s("ts")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
         "user_id",
@@ -573,7 +573,7 @@ def win_range_time_interval(spark: SparkSession, d: str) -> DataFrame:
     base = e.select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("ts_s"),
+        epoch_s("ts").alias("ts_s"),
         "value",
     )
     w = (
@@ -636,7 +636,7 @@ def win_interpolate_linear(spark: SparkSession, d: str) -> DataFrame:
     e = t(spark, d, "events").select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("ts_s"),
+        epoch_s("ts").alias("ts_s"),
         "event_type",
         "value",
     )
@@ -1041,7 +1041,7 @@ def win_rolling_corr(spark: SparkSession, d: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s"),
+        epoch_s("ts").alias("s"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
     m = m0.select(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming.ops import sessionize, sliding_sums, tumbling_counts
-from ._util import t
+from ._util import epoch_s, t
 
 QUERIES = {}
 ORACLES = {}
@@ -75,7 +75,7 @@ def stream_sliding_sum(spark: SparkSession, d: str) -> DataFrame:
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        marked AS (
          SELECT user_id, ts, value,
-                CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000
+                CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
                      THEN 1 ELSE 0 END AS new_sess
          FROM o),
        ids AS (
@@ -90,9 +90,14 @@ def stream_sliding_sum(spark: SparkSession, d: str) -> DataFrame:
        FROM ids GROUP BY user_id, sess_id""",
 )
 def stream_session_window(spark: SparkSession, d: str) -> DataFrame:
-    """session_window gap semantics: a new session starts when the gap
-    to the previous event is ≥ the 30-min gap (session end is
-    exclusive); the oracle is the classic gap-and-island rewrite."""
+    """session_window gap semantics: a new session starts only when the
+    gap to the previous event STRICTLY exceeds the 30-min gap — Spark
+    merges an event landing exactly on the previous window's end
+    (measured: 2 events exactly 1800 s apart form ONE session; 1800 s
+    + 1 µs forms two). The oracle is the classic gap-and-island
+    rewrite with the matching strict `>`; the original `>=` diverged
+    at the exact boundary, which no driver fixture ever produced
+    (r9 exact-boundary probe, pinned in tests/test_r4_window_edges.py)."""
     return sessionize(t(spark, d, "events"), "30 minutes")
 
 
@@ -117,16 +122,22 @@ def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
     """
     e = t(spark, d, "events")
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # events.ts is TIMESTAMP_NTZ at rest; unix_micros needs LTZ. The
-    # session TZ is pinned UTC so the cast is an exact reinterpretation.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # events.ts is TIMESTAMP_NTZ at rest; µs-since-epoch via
+    # timestampdiff is timezone-free (no NTZ→LTZ hop — the previous
+    # unix_micros(cast) form shifted by the session offset, which only
+    # cancelled in the max_us − us comparison while both instants had
+    # the SAME offset; a DST boundary between them broke the
+    # cancellation).
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
     return (
         e.withColumn("max_us", F.max(us).over(w))
         .filter(us >= F.col("max_us") - 600 * 1000000)
         .select(
             "event_id",
             "user_id",
-            F.unix_timestamp("ts").alias("ts_sec"),
+            epoch_s("ts").alias("ts_sec"),
             "value",
         )
     )
@@ -173,7 +184,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, d: str) -> DataFrame:
     e = t(spark, d, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         (F.col("event_id") % 2).desc(),
-        F.unix_timestamp("ts").desc(),
+        epoch_s("ts").desc(),
         F.col("event_id").desc(),
     )
     return (

@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans._util import epoch_s
+
 # ---- shared transformations (valid on batch & streaming inputs) ----------
 
 
@@ -55,7 +57,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_timestamp("sess.start").alias("sess_start_sec"),
+            epoch_s("sess.start").alias("sess_start_sec"),
             "n_events",
             "sess_value",
         )
@@ -206,7 +208,7 @@ def view_purchase_interval_join(views: DataFrame, purchases: DataFrame) -> DataF
         "view_id",
         "purchase_id",
         "user_id",
-        (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias("gap_sec"),
+        (epoch_s("pts") - epoch_s("vts")).alias("gap_sec"),
     )
 
 
