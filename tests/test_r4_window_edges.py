@@ -277,6 +277,36 @@ def test_cast_trunc_toward_zero_and_blank_null(spark, r4_edge_dir):
     assert rows[30001] == (None, 0)  # 'x'
 
 
+def test_epoch_s_zone_free_at_dst_gap(spark):
+    """Canary for the r9 epoch_s construction: a TIMESTAMP_NTZ wall
+    clock INSIDE a DST spring-forward gap (2024-03-10 02:30 does not
+    exist in America/New_York local time) must map to the same floor
+    epoch second under any session timezone — the calendar-field form
+    does; the rejected timestampdiff/cast-to-LTZ form shifted it by
+    the gap width (+3600), and F.unix_timestamp floors wrongly
+    pre-epoch. Session TZ is flipped via runtime conf and restored."""
+    import datetime
+
+    from tpc_di_etl_using_pyspark_spark.plans._util import epoch_s
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 3, 10, 2, 30, 0),),
+            (datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),),
+        ],
+        "ts timestamp_ntz",
+    )
+    expected = [1710037800, -1]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Australia/Lord_Howe"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = [r[0] for r in df.select(epoch_s("ts")).collect()]
+            assert got == expected, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_iso_week_year_boundaries(spark, r4_edge_dir):
     """weekofyear is ISO on both engines: 2021-01-01 -> 53 (of 2020),
     2024-12-30 -> 1 (of 2025); leap-day rows extract cleanly."""

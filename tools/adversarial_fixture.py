@@ -112,6 +112,12 @@ TS_EVENTS = [
     # broke the positive side would show immediately)
     datetime.datetime(1970, 1, 15, 0, 0, 0, 500000),
     datetime.datetime(1970, 1, 7, 3, 14, 7, 999999),
+    # a wall clock inside the 1970 US spring-forward DST gap
+    # (1970-04-26 02:30 does not exist in America/New_York local time):
+    # under a DST-zone hostile sweep, any epoch-seconds path that hops
+    # through LTZ shifts this row by the gap width (r9 probe — see
+    # _util.epoch_s)
+    datetime.datetime(1970, 4, 26, 2, 30, 0),
 ]
 N = 64
 

@@ -53,7 +53,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 9). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 775
+EXPECTED_MIN_TESTS = 776
 
 # Standing edited-op rule: ops whose CODE changed this round sit at the
 # window front for a same-round re-cert; declared to cert_age_check

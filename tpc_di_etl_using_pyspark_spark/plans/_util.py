@@ -154,21 +154,28 @@ def epoch_s(col) -> Column:
     pre-epoch sub-second instant (1969-12-31 23:59:59.999999) maps to
     0 while every oracle's ``FLOOR(EPOCH(ts))`` — and Spark's own
     ``F.window`` alignment — map it to second −1 (measured, r9
-    boundary probe; pinned in tests/test_r4_window_edges.py). The
-    µs-difference-from-epoch form floors exactly for any sign and is
-    timezone-free for TIMESTAMP_NTZ/date inputs (``timestampdiff`` is
-    pure calendar arithmetic — no LTZ hop), unlike a
-    ``cast("timestamp").cast("long")`` chain whose NTZ→LTZ step shifts
-    by the session offset. All-integer until the final exact division
-    (the µs delta is a multiple of 1e6 after the pmod subtraction, and
-    |seconds| < 2^53, so the double quotient is exact)."""
+    boundary probe; pinned in tests/test_r4_window_edges.py).
+
+    Built from CALENDAR FIELDS (datediff days + hour/minute/second),
+    never an LTZ hop: a ``timestampdiff``/``cast("timestamp")`` form
+    resolves the session zone into the expression, and a wall-clock
+    value inside a DST spring-forward GAP (2024-03-10 02:30 under
+    America/New_York) shifts by the gap width — measured +3600 s vs
+    the UTC session, where DuckDB's ``EPOCH`` on NTZ is pure calendar
+    (r9 probe; canary-pinned in tests/test_r4_window_edges.py). Field
+    extraction on TIMESTAMP_NTZ reads the stored wall clock directly,
+    so the result is zone-free by construction, and the day/field
+    split floors exactly for any sign: −1 µs → day −1 + 86 399 s
+    = −1, never 0."""
     c = col if isinstance(col, Column) else F.col(col)
-    us = F.timestamp_diff(
-        "MICROSECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        c.cast("timestamp_ntz"),
+    nc = c.cast("timestamp_ntz")
+    days = F.datediff(nc.cast("date"), F.lit("1970-01-01").cast("date"))
+    return (
+        days.cast("long") * 86400
+        + F.hour(nc).cast("long") * 3600
+        + F.minute(nc).cast("long") * 60
+        + F.second(nc).cast("long")
     )
-    return ((us - F.pmod(us, F.lit(1_000_000))) / 1_000_000).cast("long")
 
 
 # DuckDB: epoch() on a timestamp returns seconds; floor+cast makes the

@@ -122,14 +122,21 @@ def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
     """
     e = t(spark, d, "events")
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # events.ts is TIMESTAMP_NTZ at rest; µs-since-epoch via
-    # timestampdiff is timezone-free (no NTZ→LTZ hop — the previous
-    # unix_micros(cast) form shifted by the session offset, which only
-    # cancelled in the max_us − us comparison while both instants had
-    # the SAME offset; a DST boundary between them broke the
-    # cancellation).
-    us = F.timestamp_diff(
-        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    # events.ts is TIMESTAMP_NTZ at rest; µs-since-epoch from CALENDAR
+    # FIELDS (same construction as _util.epoch_s, plus the fractional
+    # second via date_part) — zone-free by construction. The previous
+    # unix_micros(cast("timestamp")) form resolved the session zone
+    # into the expression: its offset only cancelled in the
+    # max_us − us comparison while both instants shared the SAME
+    # offset, and a wall-clock value inside a DST gap shifted by the
+    # gap width (r9 probe — see epoch_s docstring).
+    ts = F.col("ts")
+    days = F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date"))
+    us = (
+        days.cast("long") * 86_400_000_000
+        + F.hour(ts).cast("long") * 3_600_000_000
+        + F.minute(ts).cast("long") * 60_000_000
+        + (F.date_part(F.lit("SECOND"), ts) * 1_000_000).cast("long")
     )
     return (
         e.withColumn("max_us", F.max(us).over(w))
