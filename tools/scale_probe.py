@@ -114,6 +114,15 @@ PROBE = [
     "events_path_trigrams",
     "dedup_eval_simhash_recall",
     "dedup_ngram_jaccard",
+    # round-9 boundary-fix elevations not already probed above (the
+    # other 9 edited ops were in the list from earlier rounds)
+    "stream_session_window",
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "win_interpolate_linear",
+    "stream_watermark_late",
+    "stream_foreachbatch_upsert",
+    "win_pattern_vshape",
     # round-5 window ops (full certification-window scale coverage)
     "sink_compact_small_files",
     "udf_sql_declarative",
