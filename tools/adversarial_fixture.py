@@ -68,6 +68,14 @@ STR = [
     # adversarial wave.
     "émoji 🎵🚀 mix𝄞",
     "𝕬𝖘𝖙𝖗𝖆𝖑 math 𝔸𝔹ℂ",
+    # strings ENDING in a Java-only line terminator (U+0085 NEL,
+    # U+2028 LS): Java's non-multiline '$' matches before a final
+    # terminator while RE2's matches end-of-text only, so a ^..$
+    # ASCII gate classified these one-sided (r9 probe — forced the
+    # \A..\z gate migration in scalars.py). Kept in-pool so every
+    # anchored-regex consumer stays probed registry-wide.
+    "ends nel\u0085",
+    "ends ls\u2028",
 ]
 TS = [
     datetime.datetime(1970, 1, 1, 0, 0, 0),

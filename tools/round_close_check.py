@@ -53,21 +53,25 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 9). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 776
+EXPECTED_MIN_TESTS = 787
 
 # Standing edited-op rule: ops whose CODE changed this round sit at the
 # window front for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r9: the two exact-boundary fix classes —
-# session-gap strict `>` and floor epoch-seconds (registry.py
-# _PRIORITY header). Cleared when the next rotation folds the
-# elevation into the normal schedule.
+# CERT_AGE_ELEVATED env. r9: three exact-boundary fix classes —
+# session-gap strict `>`, floor epoch-seconds (registry.py _PRIORITY
+# header), and the regex-anchor class (Java $ before a final
+# U+0085/U+2028/U+2029: \A..\z ASCII gates in scalars.py, unanchored
+# fragment strip in llm.py canonicalize_url — SURVEY §7.4k). Cleared
+# when the next rotation folds the elevation into the normal schedule.
 ROUND_ELEVATIONS = (
     "stream_session_window,agg_first_last,join_asof_latest,"
     "join_asof_tolerance,dedup_latest_by_key,win_lag_change,"
     "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
     "stream_watermark_late,stream_foreachbatch_upsert,"
-    "stream_stream_join,tpcdi_dim_trade,events_funnel"
+    "stream_stream_join,tpcdi_dim_trade,events_funnel,"
+    "str_levenshtein_link,str_collate_ci,dedup_url_canonical,"
+    "scan_python_datasource"
 )
 
 

@@ -43,6 +43,11 @@ KEY_DOMAINS = {
 }
 
 PROBE = [
+    # r9 third-session elevation (regex-anchor class): the one edited
+    # op not already probed — nation-blocked quadratic candidate join,
+    # worth watching at 5× (str_collate_ci / dedup_url_canonical are
+    # probed below).
+    "str_levenshtein_link",
     "agg_groupby_basic",
     "join_broadcast",
     "join_range_between",

@@ -4059,7 +4059,7 @@ c AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(lower(url), '#.*$', '', 'g'),
+               regexp_replace(lower(url), '#.*', '', 'g'),
                'utm_[a-z]+=[^&#]*&', '', 'g'),
              '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
            '://www\\.', '://', 'g') AS canonical_url
@@ -4073,11 +4073,19 @@ def canonicalize_url(url: Column) -> Column:
     """Expression-only URL canonicalizer: lowercase, strip fragment,
     strip utm_* tracking params (preserving real params), fold www.
     Property-tested over randomized decorations in
-    tests/test_properties.py; the SQL oracle mirrors the chain."""
+    tests/test_properties.py; the SQL oracle mirrors the chain.
+
+    Regex-anchor contract (r9 probe): the fragment strip is '#.*'
+    UNANCHORED — with a '$' the engines diverge on any url containing
+    a newline (Java's $ matches before a final terminator, RE2's does
+    not), and greedy '.*' already runs to end-of-line in both, so the
+    anchor bought nothing. The utm tail strip KEEPS its '$': its
+    [^&#]* class consumes newlines/terminators, so both engines reach
+    true end-of-text and agree (probed with literal '\\n' tails)."""
     return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(F.lower(url), "#.*$", ""),
+                F.regexp_replace(F.lower(url), "#.*", ""),
                 "utm_[a-z]+=[^&#]*&",
                 "",
             ),

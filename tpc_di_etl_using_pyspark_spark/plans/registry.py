@@ -50,7 +50,9 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-9 certification window (50 = 14 elevated + 36 scheduled) ---
+    # --- round-9 certification window (50 = 17 elevated + 33 scheduled;
+    #     dedup_url_canonical is an 18th declared elevation already
+    #     inside the scheduled set) ---
     # ELEVATED (standing edited-op rule): 14 ops whose code changed
     # mid-r9 for two exact-boundary divergence classes found by the r9
     # probe (both pinned in tests/test_r4_window_edges.py):
@@ -72,6 +74,28 @@ _PRIORITY = [
     # (13 r3 ops + str_case_match) to the r10 window front, where the
     # oldest-first order of cert_age_check still admits them. Declared
     # via CERT_AGE_ELEVATED (exported by round_close_check step 11).
+    #  3. (second continuation session) the trailing-terminator class,
+    #     found by extending the adversarial STR pool with names ending
+    #     in U+0085/U+2028 — three mechanisms, one wave:
+    #     (a) Java's non-multiline $ matches before a FINAL
+    #         U+0085/U+2028/U+2029 while RE2's matches end-of-text
+    #         only, so the two residual ^..$ ASCII gates classified
+    #         terminator-tailed names one-sided → \A..\z in
+    #         str_levenshtein_link + str_collate_ci (elevated here);
+    #     (b) canonicalize_url's fragment strip dropped its redundant
+    #         $ (dedup_url_canonical — already in the scheduled window
+    #         below, declared elevated);
+    #     (c) Python's bare str.rstrip() strips U+0085 (str whitespace
+    #         ⊃ space) where F.rtrim/DuckDB rtrim do not → the FINWIRE
+    #         Python DataSource reader now un-pads with rstrip(" ")
+    #         (scan_python_datasource, elevated here).
+    #     All pinned in tests/test_r9_regex_edges.py; the three front
+    #     insertions displace the three scheduled-tail ops
+    #     (str_concat_phone, str_substr_trim, str_case_match) to the
+    #     r10 window front.
+    "str_levenshtein_link",
+    "str_collate_ci",
+    "scan_python_datasource",
     "stream_session_window",
     "agg_first_last",
     "join_asof_latest",
@@ -193,7 +217,6 @@ _PRIORITY = [
     "udtf_sql_table_fn",
     "udtf_python_lateral",
     "sql_pipe_syntax",
-    "scan_python_datasource",
     "sink_python_datasource",
     "multimodal_image_resize",
     "join_dpp_partitioned",
@@ -230,7 +253,6 @@ _PRIORITY = [
     "sort_limit_offset",
     # --- round-6-certified block (49): round-11 tail + round-12 head ---
     "agg_collect_sorted",
-    "str_collate_ci",
     "tpcdi_dim_broker",
     "str_url_parse",
     "json_variant_extract",
@@ -238,7 +260,6 @@ _PRIORITY = [
     "scan_csv_header",
     "tpcdi_scd2_incremental",
     "tpcdi_batch_e2e",
-    "str_levenshtein_link",
     "vec_centroid_per_label",
     "vec_l2_normalize",
     "sql_groupby_all",

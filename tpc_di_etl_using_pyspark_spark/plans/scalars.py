@@ -461,13 +461,17 @@ def hash_checksum(spark: SparkSession, d: str) -> DataFrame:
     # within 2 codepoint edits can sit beyond 2 byte edits ('a🎵' vs
     # 'ab': Spark 1, DuckDB 5 — round-5 adversarial probe). For ASCII
     # the two metrics coincide; non-ASCII names are unlinkable in BOTH
-    # engines by the same regexp gate.
+    # engines by the same regexp gate. The gate anchors \A..\z, NOT
+    # ^..$: Java's $ also matches before a FINAL U+0085/U+2028/U+2029
+    # (all Java line terminators) that the [\x00-\x7F] class cannot
+    # consume, so an 'abc'+U+0085 name passed only the Spark gate and entered
+    # linkage one-sided — r9 probe; \z is end-of-text in both engines.
     """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
               levenshtein(a.c_name, b.c_name) AS edit_dist
        FROM customer a JOIN customer b
          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-       WHERE regexp_matches(a.c_name, '^[\\x00-\\x7F]*$')
-         AND regexp_matches(b.c_name, '^[\\x00-\\x7F]*$')
+       WHERE regexp_matches(a.c_name, '\\A[\\x00-\\x7F]*\\z')
+         AND regexp_matches(b.c_name, '\\A[\\x00-\\x7F]*\\z')
          AND levenshtein(a.c_name, b.c_name) <= 2""",
 )
 def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
@@ -480,7 +484,7 @@ def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
     oracle comment); at 100 TB a name-linkage pass would normalize/
     transliterate first anyway."""
     c = t(spark, d, "customer")
-    ascii_ok = F.col("c_name").rlike(r"^[\x00-\x7F]*$")
+    ascii_ok = F.col("c_name").rlike(r"\A[\x00-\x7F]*\z")
     a = c.filter(ascii_ok).select(
         F.col("c_nationkey").alias("blk"),
         F.col("c_custkey").alias("id_a"),
@@ -938,10 +942,14 @@ def math_try_overflow(spark: SparkSession, d: str) -> DataFrame:
     # and 'ﬁ'/'fi' (ligature) that DuckDB lower() does not (measured —
     # 'ß'/'SS' does NOT diverge on this build). Such pairs are out of
     # contract (canary-pinned in tests/test_advice_edges.py) and
-    # absent from the fixture pool.
+    # absent from the fixture pool. The gate anchors \A..\z like
+    # str_levenshtein_link's (r9 probe): Java's ^..$ classifies a name
+    # with a FINAL U+0085/U+2028/U+2029 as ASCII (the $ matches before
+    # the terminator) while RE2's does not, flipping the upper() arm
+    # one-sided.
     """WITH m AS (SELECT p_brand,
                          CASE WHEN p_partkey % 2 = 0
-                                   AND regexp_matches(p_name, '^[\\x00-\\x7F]*$')
+                                   AND regexp_matches(p_name, '\\A[\\x00-\\x7F]*\\z')
                               THEN upper(p_name)
                               ELSE p_name END AS name_mixed
                   FROM part)
@@ -961,7 +969,7 @@ def str_collate_ci(spark: SparkSession, d: str) -> DataFrame:
     upper() disagree on ß), and for ASCII strings UNICODE_CI equality
     coincides with lower()-fold equality, so the bridge is exact."""
     p = t(spark, d, "part")
-    is_ascii = F.col("p_name").rlike(r"^[\x00-\x7F]*$")
+    is_ascii = F.col("p_name").rlike(r"\A[\x00-\x7F]*\z")
     mixed = F.when(
         (F.col("p_partkey") % 2 == 0) & is_ascii, F.upper("p_name")
     ).otherwise(F.col("p_name"))

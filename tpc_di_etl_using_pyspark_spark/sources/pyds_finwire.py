@@ -74,6 +74,11 @@ class FinwireCmpReader(DataSourceReader):
                 yield (
                     line[0:15],
                     line[15:18],
-                    line[18:78].rstrip(),
+                    # strip ONLY the fixed-width pad char: a bare
+                    # rstrip() also eats a data-final U+0085/U+000B/…
+                    # (Python str whitespace ⊃ space), diverging from
+                    # F.rtrim / DuckDB rtrim which strip spaces only
+                    # (r9 adversarial pool, 'ends nel'+NEL names)
+                    line[18:78].rstrip(" "),
                     line[78:88],
                 )
