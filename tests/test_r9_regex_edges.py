@@ -327,6 +327,47 @@ def test_z_gate_keeps_plain_newline_in_class(spark, duck):
         assert s is True and d is True
 
 
+def test_scan_csv_malformed_pruning_independent(spark, tmp_path):
+    """Found by the r9 Catalyst rule-ablation sweep: with a mid-'|'
+    nation name, the permissive-CSV quarantine counts depended on
+    parser column pruning (Spark validates only the QUERIED columns),
+    flipping 25/5 → 24/6 when ColumnPruning was excluded. The writer
+    now delimiter-sanitizes n_name, so the counts must be identical
+    with the rule excluded and at default."""
+    rows = [(0, "pipe|in|name", 0), (1, "plain", 1), (2, "x|", 2)]
+    schema = pa.schema(
+        [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+         ("n_regionkey", pa.int32())]
+    )
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    key = "spark.sql.optimizer.excludedRules"
+    prev = spark.conf.get(key, None)
+
+    def counts():
+        r = _QUERIES["scan_csv_malformed"](spark, str(tmp_path)).collect()[0]
+        return (r["n_good"], r["n_corrupt"])
+
+    try:
+        default = counts()
+        spark.conf.set(
+            key, "org.apache.spark.sql.catalyst.optimizer.ColumnPruning"
+        )
+        ablated = counts()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert default == ablated == (3, 5)
+
+
 def test_case_mapping_full_vs_simple_canaries(spark, duck):
     """Out-of-contract class pins (why Σ/İ/ligature-upper inputs stay
     out of lower()/upper()-path fixture pools): Java applies FULL,

@@ -357,11 +357,22 @@ def scan_csv_malformed(spark: SparkSession, d: str) -> DataFrame:
     between quarantining bad records and losing the batch."""
     path = _scratch(d, "nation_malformed")
     n = t(spark, d, "nation")
+    # The writer DELIMITER-SANITIZES n_name (any real fixed-delimiter
+    # export must — cf. scan_csv_multichar_delim's format contract):
+    # an unescaped mid-'|' name splits into 4 tokens, producing a row
+    # whose good/corrupt classification depends on CSV parser column
+    # pruning — Spark's documented PERMISSIVE semantics validate only
+    # the QUERIED columns, so the count silently flips when an
+    # optimizer config changes which columns reach the parser (found
+    # by the r9 Catalyst rule-ablation sweep: ColumnPruning excluded →
+    # full-row validation → 24/6 vs the certified 25/5). With the
+    # delimiter sanitized, every good row is valid in EVERY column and
+    # the quarantine counts are pruning-independent.
     good = n.select(
         F.concat_ws(
             "|",
             F.col("n_nationkey").cast("string"),
-            "n_name",
+            F.translate("n_name", "|", "/"),
             F.col("n_regionkey").cast("string"),
         ).alias("value")
     )

@@ -50,8 +50,8 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-9 certification window (50 = 17 elevated + 33 scheduled;
-    #     dedup_url_canonical is an 18th declared elevation already
+    # --- round-9 certification window (50 = 18 elevated + 32 scheduled;
+    #     dedup_url_canonical is a 19th declared elevation already
     #     inside the scheduled set) ---
     # ELEVATED (standing edited-op rule): 14 ops whose code changed
     # mid-r9 for two exact-boundary divergence classes found by the r9
@@ -89,13 +89,19 @@ _PRIORITY = [
     #         ⊃ space) where F.rtrim/DuckDB rtrim do not → the FINWIRE
     #         Python DataSource reader now un-pads with rstrip(" ")
     #         (scan_python_datasource, elevated here).
-    #     All pinned in tests/test_r9_regex_edges.py; the three front
-    #     insertions displace the three scheduled-tail ops
-    #     (str_concat_phone, str_substr_trim, str_case_match) to the
+    #  4. (same session, Catalyst rule-ablation sweep) permissive-CSV
+    #     quarantine counts validated only the QUERIED columns, so a
+    #     mid-'|' nation name flipped good→corrupt when ColumnPruning
+    #     was excluded → the fixture writer delimiter-sanitizes n_name
+    #     (scan_csv_malformed, elevated here).
+    #     All pinned in tests/test_r9_regex_edges.py; the four front
+    #     insertions displace the scheduled-tail ops (tpcdi_cdc_apply,
+    #     str_concat_phone, str_substr_trim, str_case_match) to the
     #     r10 window front.
     "str_levenshtein_link",
     "str_collate_ci",
     "scan_python_datasource",
+    "scan_csv_malformed",
     "stream_session_window",
     "agg_first_last",
     "join_asof_latest",
@@ -313,7 +319,6 @@ _PRIORITY = [
     "scan_parquet",
     "scan_jsonl",
     "scan_orc",
-    "scan_csv_malformed",
     "scan_text_fixedwidth",
     "scan_xml_flatten",
     "sink_parquet",
