@@ -65,8 +65,14 @@ def _customer_rows():
         # nation 4: trailing LS — excluded by both engines now.
         (7, f"ends ls{LS}", 4),
         (8, f"ends lsX{LS}", 4),
+        # nation 5: embedded NUL (r9 wave 4) — IN [\x00-\x7F] so the
+        # ASCII gates admit it in both engines (4 edits apart → no
+        # pair), and the XML ops must map it to U+FFFD on both sides.
+        (9, "nul\x00tail", 5),
+        (10, "NUL\x00tailX", 5),
     ]
-    return [(k, n, nk, 0.0, "BUILDING") for k, n, nk in rows]
+    seg = {9: "SEG\x00MENT", 10: "S\x00"}
+    return [(k, n, nk, 0.0, seg.get(k, "BUILDING")) for k, n, nk in rows]
 
 
 def _part_rows():
@@ -366,6 +372,33 @@ def test_scan_csv_malformed_pruning_independent(spark, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert default == ablated == (3, 5)
+
+
+def test_xml_ops_c0_sanitized(spark, r9_edge_dir, r9_edge_duck):
+    """r9 wave 4 (NUL pool entry): XML 1.0 cannot represent U+0000 at
+    all — ET.fromstring throws on a raw NUL and even on &#0; — so both
+    XML ops' writers map XML-invalid C0 controls to U+FFFD, mirrored
+    in their oracles. The NUL-bearing names/segments in this fixture
+    must round-trip as U+FFFD on BOTH engines."""
+    import xml.etree.ElementTree as ET
+
+    for bad in ['<a b="\x00"/>', "<a>&#0;</a>"]:
+        with pytest.raises(ET.ParseError):
+            ET.fromstring(bad)
+
+    flat = _QUERIES["scan_xml_flatten"](spark, r9_edge_dir)
+    assert_parity(flat, r9_edge_duck, _ORACLES["scan_xml_flatten"],
+                  "scan_xml_flatten")
+    lasts = {r["c_id"]: r["c_last"] for r in flat.collect()}
+    assert lasts[9] == "nul�tail" and "\x00" not in "".join(
+        v for v in lasts.values() if v
+    )
+
+    rt = _QUERIES["xml_roundtrip_builtin"](spark, r9_edge_dir)
+    assert_parity(rt, r9_edge_duck, _ORACLES["xml_roundtrip_builtin"],
+                  "xml_roundtrip_builtin")
+    segs = {r["xkey"]: r["seg"] for r in rt.collect()}
+    assert segs[9] == "SEG�MENT" and segs[10] == "S�"
 
 
 def test_case_mapping_full_vs_simple_canaries(spark, duck):

@@ -76,6 +76,13 @@ STR = [
     # anchored-regex consumer stays probed registry-wide.
     "ends nel\u0085",
     "ends ls\u2028",
+    # embedded NUL byte (U+0000): probed aligned in both engines for
+    # length/upper/regex-class/substr AND through the Spark CSV + text
+    # sink round-trips (uniVocity's internal '\0' sentinel does not
+    # leak) \u2014 pooled so every string consumer keeps proving it
+    # (r9 wave 4; the [\x00-\x7F] gates classify it ASCII, correctly,
+    # in both engines).
+    "nul\x00byte",
 ]
 TS = [
     datetime.datetime(1970, 1, 1, 0, 0, 0),

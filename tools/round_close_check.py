@@ -53,7 +53,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 9). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 788
+EXPECTED_MIN_TESTS = 789
 
 # Standing edited-op rule: ops whose CODE changed this round sit at the
 # window front for a same-round re-cert; declared to cert_age_check
@@ -71,7 +71,8 @@ ROUND_ELEVATIONS = (
     "stream_watermark_late,stream_foreachbatch_upsert,"
     "stream_stream_join,tpcdi_dim_trade,events_funnel,"
     "str_levenshtein_link,str_collate_ci,dedup_url_canonical,"
-    "scan_python_datasource,scan_csv_malformed"
+    "scan_python_datasource,scan_csv_malformed,scan_xml_flatten,"
+    "xml_roundtrip_builtin"
 )
 
 

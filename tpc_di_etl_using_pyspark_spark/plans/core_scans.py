@@ -176,10 +176,16 @@ def scan_text_fixedwidth(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "scan_xml_flatten",
+    # c_last mirrors the writer's C0 sanitization: XML 1.0 cannot
+    # represent U+0000-U+0008/U+000B/U+000C/U+000E-U+001F even as
+    # character references (ET.fromstring throws "not well-formed"),
+    # so the writer maps them to U+FFFD (r9 NUL-pool probe).
     """SELECT CASE c_custkey % 3 WHEN 0 THEN 'NEW' WHEN 1 THEN 'UPDCUST'
               ELSE 'ADDACCT' END AS action_type,
               c_custkey AS c_id,
-              c_name AS c_last,
+              regexp_replace(c_name,
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                             '�', 'g') AS c_last,
               c_custkey * 10 AS acct_id,
               CAST(c_custkey % 3 AS INTEGER) AS acct_tax_status
        FROM customer""",
@@ -198,7 +204,14 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
     # the generator itself survives a 100× dimension scale-up (TPC-DI
     # ships one CustomerMgmt.xml per batch; bucket ≈ batch here).
     cust = t(spark, d, "customer").select("c_custkey", "c_name")
-    esc = F.col("c_name")
+    # XML-invalid C0 controls (everything below U+0020 except \t\n\r)
+    # cannot appear in XML 1.0 AT ALL — not even as &#N; references —
+    # so the writer maps them to U+FFFD first (the total-exporter
+    # convention; oracle mirrors — r9 NUL-pool probe, where a raw NUL
+    # made ET.fromstring throw and would kill the stage at 100 TB).
+    esc = F.regexp_replace(
+        F.col("c_name"), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "�"
+    )
     # tab/newline/CR must be CHARACTER REFERENCES in attribute values:
     # XML attribute-value normalization (spec §3.3.3) turns literal
     # whitespace into plain spaces on ANY conformant parse, but

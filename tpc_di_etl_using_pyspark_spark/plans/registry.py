@@ -50,8 +50,8 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-9 certification window (50 = 18 elevated + 32 scheduled;
-    #     dedup_url_canonical is a 19th declared elevation already
+    # --- round-9 certification window (50 = 20 elevated + 30 scheduled;
+    #     dedup_url_canonical is a 21st declared elevation already
     #     inside the scheduled set) ---
     # ELEVATED (standing edited-op rule): 14 ops whose code changed
     # mid-r9 for two exact-boundary divergence classes found by the r9
@@ -94,14 +94,23 @@ _PRIORITY = [
     #     mid-'|' nation name flipped good→corrupt when ColumnPruning
     #     was excluded → the fixture writer delimiter-sanitizes n_name
     #     (scan_csv_malformed, elevated here).
-    #     All pinned in tests/test_r9_regex_edges.py; the four front
-    #     insertions displace the scheduled-tail ops (tpcdi_cdc_apply,
-    #     str_concat_phone, str_substr_trim, str_case_match) to the
-    #     r10 window front.
+    #  5. (same session, NUL pool entry) XML 1.0 cannot represent the
+    #     C0 controls other than \t\n\r at all — not even as &#N;
+    #     references — so a NUL-bearing name NULLed the from_xml round
+    #     trip and made ET.fromstring throw; both XML writers now map
+    #     XML-invalid C0 controls to U+FFFD, oracles mirroring
+    #     (scan_xml_flatten + xml_roundtrip_builtin, elevated here).
+    #     All pinned in tests/test_r9_regex_edges.py; the six front
+    #     insertions push the scheduled tail (the r3 block from
+    #     dedup_cross_source_matrix through tpcdi_cdc_apply, then the
+    #     three oldest r4 ops) past position 50 — those ops lead the
+    #     r10 window in unchanged oldest-first order.
     "str_levenshtein_link",
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
+    "scan_xml_flatten",
+    "xml_roundtrip_builtin",
     "stream_session_window",
     "agg_first_last",
     "join_asof_latest",
@@ -199,7 +208,6 @@ _PRIORITY = [
     "array_fold_dot",
     "array_posexplode",
     "array_exists_forall",
-    "xml_roundtrip_builtin",
     "stream_tumbling_count",
     "stream_sliding_sum",
     "stream_dedup_state",
@@ -320,7 +328,6 @@ _PRIORITY = [
     "scan_jsonl",
     "scan_orc",
     "scan_text_fixedwidth",
-    "scan_xml_flatten",
     "sink_parquet",
     "sink_partitioned",
     "sink_bucketed",

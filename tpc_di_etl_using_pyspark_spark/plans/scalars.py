@@ -985,7 +985,15 @@ def str_collate_ci(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "xml_roundtrip_builtin",
-    """SELECT c_custkey AS xkey, c_mktsegment AS seg, c_nationkey AS nat
+    # the oracle mirrors the writer's C0 sanitization (see docstring):
+    # XML 1.0 cannot represent U+0000-U+0008/U+000B/U+000C/U+000E-
+    # U+001F even as character references, so the round trip maps them
+    # to U+FFFD on both sides (r9 NUL-pool probe).
+    """SELECT c_custkey AS xkey,
+              regexp_replace(c_mktsegment,
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                             '�', 'g') AS seg,
+              c_nationkey AS nat
        FROM customer""",
 )
 def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
@@ -1004,9 +1012,16 @@ def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
     c = t(spark, d, "customer")
     # from_xml matches fields by element name — serialize with the
     # target field names so the parsed struct needs no renames.
+    # "ARBITRARY text" has one spec-level carve-out (r9 NUL-pool
+    # probe): XML 1.0 forbids the C0 controls other than \t\n\r even
+    # as character references, so the writer maps them to U+FFFD —
+    # the standard total-exporter convention — and the oracle mirrors.
+    sane = F.regexp_replace(
+        F.col("c_mktsegment"), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "�"
+    )
     esc = F.replace(
         F.replace(
-            F.replace(F.col("c_mktsegment"), F.lit("&"), F.lit("&amp;")),
+            F.replace(sane, F.lit("&"), F.lit("&amp;")),
             F.lit("<"),
             F.lit("&lt;"),
         ),
