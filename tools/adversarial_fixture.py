@@ -79,7 +79,7 @@ STR = [
     # embedded NUL byte (U+0000): probed aligned in both engines for
     # length/upper/regex-class/substr AND through the Spark CSV + text
     # sink round-trips (uniVocity's internal '\0' sentinel does not
-    # leak) \u2014 pooled so every string consumer keeps proving it
+    # leak) — pooled so every string consumer keeps proving it
     # (r9 wave 4; the [\x00-\x7F] gates classify it ASCII, correctly,
     # in both engines).
     "nul\x00byte",

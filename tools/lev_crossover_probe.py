@@ -30,8 +30,12 @@ Method (probe only — the registered op is untouched):
   probe doubles as a correctness check of the sketch), then report
   wall times and the measured crossover.
 
-Usage: python tools/lev_crossover_probe.py [--quick]
-  --quick drops the 375k tier (for smoke runs).
+Usage: SPARK_DRIVER_MEMORY=48g python tools/lev_crossover_probe.py [--quick]
+  --quick drops the 375k tier (for smoke runs). The 375k tier needs
+  the larger heap (the default 8g OOMs on the brute side's 5.6e9
+  candidate stream); the name-lookup joins carry explicit broadcast
+  hints so AQE cannot pick the million-row candidate relation to
+  broadcast (measured: it did, and hit the 8 GB broadcast cap).
 """
 
 from __future__ import annotations
@@ -116,7 +120,11 @@ def neighborhood(c: DataFrame) -> DataFrame:
     left = variants.select(F.col("blk"), F.col("var"), F.col("ck").alias("id_a"))
     right = variants.select(F.col("blk"), F.col("var"), F.col("ck").alias("id_b"))
     cand = (
-        left.join(right, ["blk", "var"])
+        # force SMJ: the post-explode/dropDuplicates size ESTIMATE can
+        # undershoot the 32 MB broadcast threshold while the actual
+        # variant relation is GBs (measured: planner broadcast the
+        # 375k-mixed side and hit the 8 GB broadcast cap)
+        left.hint("merge").join(right, ["blk", "var"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -124,8 +132,8 @@ def neighborhood(c: DataFrame) -> DataFrame:
     na = c.select(F.col("ck").alias("id_a"), F.col("name").alias("na"))
     nb = c.select(F.col("ck").alias("id_b"), F.col("name").alias("nb"))
     return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .filter(F.levenshtein("na", "nb") <= 2)
         .select("id_a", "id_b")
     )
