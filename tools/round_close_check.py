@@ -55,24 +55,21 @@ PY = sys.executable
 # run BELOW it means a file silently fell out of collection.
 EXPECTED_MIN_TESTS = 789
 
-# Standing edited-op rule: ops whose CODE changed this round sit at the
-# window front for a same-round re-cert; declared to cert_age_check
+# Standing edited-op rule: ops whose CODE changed this round sit in the
+# window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r9: three exact-boundary fix classes —
-# session-gap strict `>`, floor epoch-seconds (registry.py _PRIORITY
-# header), and the regex-anchor class (Java $ before a final
-# U+0085/U+2028/U+2029: \A..\z ASCII gates in scalars.py, unanchored
-# fragment strip in llm.py canonicalize_url — SURVEY §7.4k). Cleared
-# when the next rotation folds the elevation into the normal schedule.
+# CERT_AGE_ELEVATED env. r10 (registry.py _PRIORITY header for detail):
+#   win_range_time_interval — the epoch_s adopter the r9 manual
+#     enumeration missed (VERDICT r9 finding 1);
+#   str_levenshtein_link — sanctioned deletion-neighborhood rewrite
+#     (VERDICT r9 item 2);
+#   dedup_url_canonical — dotall fragment strip (ADVICE r9 medium);
+#   scan_xml_flatten, xml_roundtrip_builtin — U+FFFE/U+FFFF added to
+#     the XML sanitize class (ADVICE r9 low).
+# Cleared when the next rotation folds the elevation into the schedule.
 ROUND_ELEVATIONS = (
-    "stream_session_window,agg_first_last,join_asof_latest,"
-    "join_asof_tolerance,dedup_latest_by_key,win_lag_change,"
-    "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
-    "stream_watermark_late,stream_foreachbatch_upsert,"
-    "stream_stream_join,tpcdi_dim_trade,events_funnel,"
-    "str_levenshtein_link,str_collate_ci,dedup_url_canonical,"
-    "scan_python_datasource,scan_csv_malformed,scan_xml_flatten,"
-    "xml_roundtrip_builtin"
+    "win_range_time_interval,str_levenshtein_link,dedup_url_canonical,"
+    "scan_xml_flatten,xml_roundtrip_builtin"
 )
 
 

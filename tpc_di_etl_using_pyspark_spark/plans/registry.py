@@ -27,21 +27,21 @@ _MODULES = [
 # Certification window rotation: the external driver certifies the
 # FIRST ~50 registry entries per round (CORRECTNESS_r0N.json). The op
 # surface is FROZEN at 291 (VERDICT r3 item 1; re-ratified every round
-# since, most recently VERDICT r8 item 2). The cumulative r1-r8 union
+# since, most recently VERDICT r9 item 6). The cumulative r1-r9 union
 # is 291/291 driver-certified green with zero red rows — the windows
 # are pure regression defense, rotated by CERT AGE.
 #
 # _PRIORITY below is the FULL 291-op order, oldest driver cert first
 # (ties broken by position within that round's correctness file). The
 # rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g; mechanized in
-# tools/cert_age_check.py as round_close_check step 11):
+# tools/cert_age_check.py as round_close_check's final step):
 #
-#   round 9 (THIS round): 5 deferred r2 ops + r3 block (42) + 3 oldest r4
-#   round 10: rest of the r4 block (43) + 7 oldest r5
-#   round 11: rest of r5 (42) + 8 oldest r6
-#   round 12: rest of r6 (41) + 9 oldest r7
-#   round 13: rest of r7 (41) + 9 oldest r8
-#   round 14+: restart from whatever is then oldest (each block's
+#   round 10 (THIS round): 17 age-7 r3 ops + 5 elevated + 28 oldest r4
+#   round 11: rest of the r4 block (14) + 36 oldest r5
+#   round 12: rest of r5 (9) + r6 block (41)
+#   round 13: rest of r6 (2) + r7 block (47) + 1 oldest r8
+#   round 14: rest of r8 (45) + 5 oldest r9
+#   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
 #
@@ -50,114 +50,12 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-9 certification window (50 = 20 elevated + 30 scheduled;
-    #     dedup_url_canonical is a 21st declared elevation already
-    #     inside the scheduled set) ---
-    # ELEVATED (standing edited-op rule): 14 ops whose code changed
-    # mid-r9 for two exact-boundary divergence classes found by the r9
-    # probe (both pinned in tests/test_r4_window_edges.py):
-    #  1. stream_session_window's oracle split sessions at gap ==
-    #     timeout while Spark session_window MERGES an event exactly
-    #     gap-distance after the previous one (measured: 1800 s gap →
-    #     one session; 1800 s + 1 µs → two) → strict `>` in the oracle.
-    #  2. F.unix_timestamp truncates toward zero, so a PRE-EPOCH
-    #     sub-second instant (epoch −1 µs) mapped to second 0 while
-    #     every oracle's FLOOR(EPOCH(ts)) — and Spark's own F.window
-    #     alignment — map it to −1 → every divergence-capable
-    #     epoch-seconds output/sort-key over events.ts now uses the
-    #     floor-exact, timezone-free _util.epoch_s (13 ops; the
-    #     date-typed l_shipdate/o_orderdate uses stay unflipped —
-    #     midnight-aligned by fixture contract, no reachable
-    #     divergence; win_pattern_vshape and win_rolling_corr also
-    #     changed but already sit in the scheduled window below).
-    # The elevation displaces the 14 tail ops of the scheduled r9 set
-    # (13 r3 ops + str_case_match) to the r10 window front, where the
-    # oldest-first order of cert_age_check still admits them. Declared
-    # via CERT_AGE_ELEVATED (exported by round_close_check step 11).
-    #  3. (second continuation session) the trailing-terminator class,
-    #     found by extending the adversarial STR pool with names ending
-    #     in U+0085/U+2028 — three mechanisms, one wave:
-    #     (a) Java's non-multiline $ matches before a FINAL
-    #         U+0085/U+2028/U+2029 while RE2's matches end-of-text
-    #         only, so the two residual ^..$ ASCII gates classified
-    #         terminator-tailed names one-sided → \A..\z in
-    #         str_levenshtein_link + str_collate_ci (elevated here);
-    #     (b) canonicalize_url's fragment strip dropped its redundant
-    #         $ (dedup_url_canonical — already in the scheduled window
-    #         below, declared elevated);
-    #     (c) Python's bare str.rstrip() strips U+0085 (str whitespace
-    #         ⊃ space) where F.rtrim/DuckDB rtrim do not → the FINWIRE
-    #         Python DataSource reader now un-pads with rstrip(" ")
-    #         (scan_python_datasource, elevated here).
-    #  4. (same session, Catalyst rule-ablation sweep) permissive-CSV
-    #     quarantine counts validated only the QUERIED columns, so a
-    #     mid-'|' nation name flipped good→corrupt when ColumnPruning
-    #     was excluded → the fixture writer delimiter-sanitizes n_name
-    #     (scan_csv_malformed, elevated here).
-    #  5. (same session, NUL pool entry) XML 1.0 cannot represent the
-    #     C0 controls other than \t\n\r at all — not even as &#N;
-    #     references — so a NUL-bearing name NULLed the from_xml round
-    #     trip and made ET.fromstring throw; both XML writers now map
-    #     XML-invalid C0 controls to U+FFFD, oracles mirroring
-    #     (scan_xml_flatten + xml_roundtrip_builtin, elevated here).
-    #     All pinned in tests/test_r9_regex_edges.py; the six front
-    #     insertions push the scheduled tail (the r3 block from
-    #     dedup_cross_source_matrix through tpcdi_cdc_apply, then the
-    #     three oldest r4 ops) past position 50 — those ops lead the
-    #     r10 window in unchanged oldest-first order.
-    "str_levenshtein_link",
-    "str_collate_ci",
-    "scan_python_datasource",
-    "scan_csv_malformed",
-    "scan_xml_flatten",
-    "xml_roundtrip_builtin",
-    "stream_session_window",
-    "agg_first_last",
-    "join_asof_latest",
-    "join_asof_tolerance",
-    "dedup_latest_by_key",
-    "win_lag_change",
-    "win_running_distinct",
-    "win_sessionize_gap",
-    "win_interpolate_linear",
-    "stream_watermark_late",
-    "stream_foreachbatch_upsert",
-    "stream_stream_join",
-    "tpcdi_dim_trade",
-    "events_funnel",
-    # 1-5: the five r2-certified ops deferred from the r8 window — the
-    # stalest certs in the repo (six fixture regenerations old).
-    "win_pattern_vshape",
-    "tpcdi_scd2_dimcustomer",
-    "tpcdi_fact_cash_balances",
-    "tpcdi_fact_market_history",
-    "tpcdi_fact_holdings",
-    # 6-47: the round-3-certified block, r3-window order.
-    "text_bm25_topk",
-    "sketch_count_min",
-    "win_rolling_corr",
-    "sketch_bloom_filter",
-    "agg_mad_anomaly",
-    "events_path_trigrams",
-    "text_ngram_topk",
-    "dedup_chunk_level",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "stream_quality_gate",
-    "stream_incremental_dedup",
-    "events_attribution_last_touch",
-    "audit_data_quality",
-    "pipeline_ccnet_e2e",
-    "sample_epoch_shuffle",
-    "events_markov_transitions",
-    "pipeline_rag_e2e",
-    "dedup_url_canonical",
-    "text_chunk_overlap",
-    "text_perplexity_bucket",
-    "vec_covariance_matrix",
-    "dedup_substring_windows",
-    "text_keyword_topk",
-    "multimodal_phash_neardup",
+    # --- round-10 certification window (50 = 17 age-7 r3 + 5 elevated
+    #     + 28 oldest r4) ---
+    # 1-17: the r3-certified block displaced past position 50 by the
+    # r9 elevation wave — the stalest certs in the repo (age 7 at r10,
+    # formally past the 6-round cap; VERDICT r9 item 1 directs they
+    # lead this window, positions 1-17, clearing the breach).
     "dedup_cross_source_matrix",
     "text_quality_gopher",
     "dedup_simhash",
@@ -175,11 +73,29 @@ _PRIORITY = [
     "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     "tpcdi_cdc_apply",
-    # 48-50: the three oldest round-4-certified ops.
+    # 18-22: ELEVATED (standing edited-op rule, VERDICT r7 item 3):
+    # ops whose code changes in round 10 —
+    #   win_range_time_interval: adopted the rewritten _util.epoch_s in
+    #     r9 but was missed by the manual elevation enumeration
+    #     (VERDICT r9 finding 1); re-certified here on the new code.
+    #   str_levenshtein_link: the sanctioned deletion-neighborhood
+    #     rewrite (VERDICT r9 item 2) replacing the O(block^2) blocked
+    #     cross-join — exact for dist<=2, measured 1.9-6.5x at 25x.
+    #   dedup_url_canonical: fragment strip '#.*' -> '(?s)#.*' (ADVICE
+    #     r9: Java '.' excludes \r/U+0085/U+2028/U+2029, RE2 '.'
+    #     excludes only \n — dotall strips to true end-of-text in both).
+    #   scan_xml_flatten + xml_roundtrip_builtin: XML sanitize class
+    #     extended to the U+FFFE/U+FFFF noncharacters XML 1.0 excludes
+    #     alongside the C0 controls (ADVICE r9).
+    "win_range_time_interval",
+    "str_levenshtein_link",
+    "dedup_url_canonical",
+    "scan_xml_flatten",
+    "xml_roundtrip_builtin",
+    # 23-50: the 28 oldest round-4-certified ops, r4-window order.
     "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
-    # --- round-4-certified remainder (43): head of the round-10 window ---
     "str_pad_format",
     "str_regexp",
     "str_split_explode",
@@ -205,6 +121,7 @@ _PRIORITY = [
     "json_nested_roundtrip",
     "json_variant_explode",
     "array_ops",
+    # --- round-4-certified remainder (14): head of the round-11 window ---
     "array_fold_dot",
     "array_posexplode",
     "array_exists_forall",
@@ -219,7 +136,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- round-5-certified block (49): round-10 tail + round-11 head ---
+    # --- round-5-certified block (45): round-11 tail + round-12 head ---
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -265,7 +182,7 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (49): round-11 tail + round-12 head ---
+    # --- round-6-certified block (43): round-12 tail + round-13 head ---
     "agg_collect_sorted",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -293,7 +210,6 @@ _PRIORITY = [
     "win_median_rolling",
     "win_percent_of_parent",
     "win_zscore_anomaly",
-    "win_range_time_interval",
     "text_bigram_logprob",
     "text_js_divergence_sources",
     "text_tokenize_counts",
@@ -310,7 +226,7 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
-    # --- round-7-certified block (50): round-12 tail + round-13 head ---
+    # --- round-7-certified block (47) ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -358,7 +274,7 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (50): the r8 window, youngest certs ---
+    # --- round-8-certified block (46) ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -405,6 +321,54 @@ _PRIORITY = [
     "text_unigram_logprob",
     "pack_sequences_greedy",
     "sample_stratified_exact",
+    # --- round-9-certified block (46): the r9 window minus the
+    #     four ops re-elevated above, youngest certs ---
+    "str_collate_ci",
+    "scan_python_datasource",
+    "scan_csv_malformed",
+    "stream_session_window",
+    "agg_first_last",
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "dedup_latest_by_key",
+    "win_lag_change",
+    "win_running_distinct",
+    "win_sessionize_gap",
+    "win_interpolate_linear",
+    "stream_watermark_late",
+    "stream_foreachbatch_upsert",
+    "stream_stream_join",
+    "tpcdi_dim_trade",
+    "events_funnel",
+    "win_pattern_vshape",
+    "tpcdi_scd2_dimcustomer",
+    "tpcdi_fact_cash_balances",
+    "tpcdi_fact_market_history",
+    "tpcdi_fact_holdings",
+    "text_bm25_topk",
+    "sketch_count_min",
+    "win_rolling_corr",
+    "sketch_bloom_filter",
+    "agg_mad_anomaly",
+    "events_path_trigrams",
+    "text_ngram_topk",
+    "dedup_chunk_level",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "stream_quality_gate",
+    "stream_incremental_dedup",
+    "events_attribution_last_touch",
+    "audit_data_quality",
+    "pipeline_ccnet_e2e",
+    "sample_epoch_shuffle",
+    "events_markov_transitions",
+    "pipeline_rag_e2e",
+    "text_chunk_overlap",
+    "text_perplexity_bucket",
+    "vec_covariance_matrix",
+    "dedup_substring_windows",
+    "text_keyword_topk",
+    "multimodal_phash_neardup",
 ]
 
 
