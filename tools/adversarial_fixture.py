@@ -83,6 +83,13 @@ STR = [
     # (r9 wave 4; the [\x00-\x7F] gates classify it ASCII, correctly,
     # in both engines).
     "nul\x00byte",
+    # U+FFFE/U+FFFF noncharacters (r10 ADVICE): valid UTF-8, storable
+    # in parquet/pandas/Spark/DuckDB strings, but excluded by XML
+    # 1.0's Char production — ET.fromstring throws on them even as
+    # raw characters, so both XML writers map them (with the C0
+    # controls) to U+FFFD. Pooled so every string consumer keeps
+    # proving alignment on the class registry-wide.
+    "noncharacter ￾ and ￿ tail",
 ]
 TS = [
     datetime.datetime(1970, 1, 1, 0, 0, 0),

@@ -176,15 +176,18 @@ def scan_text_fixedwidth(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "scan_xml_flatten",
-    # c_last mirrors the writer's C0 sanitization: XML 1.0 cannot
-    # represent U+0000-U+0008/U+000B/U+000C/U+000E-U+001F even as
-    # character references (ET.fromstring throws "not well-formed"),
-    # so the writer maps them to U+FFFD (r9 NUL-pool probe).
+    # c_last mirrors the writer's XML-invalid-char sanitization: XML
+    # 1.0 cannot represent U+0000-U+0008/U+000B/U+000C/U+000E-U+001F
+    # even as character references (ET.fromstring throws "not
+    # well-formed"), nor the U+FFFE/U+FFFF noncharacters its Char
+    # production excludes (r10 ADVICE), so the writer maps them to
+    # U+FFFD (r9 NUL-pool probe; noncharacters appear below as literal
+    # characters in the class — identical in RE2 and Java).
     """SELECT CASE c_custkey % 3 WHEN 0 THEN 'NEW' WHEN 1 THEN 'UPDCUST'
               ELSE 'ADDACCT' END AS action_type,
               c_custkey AS c_id,
               regexp_replace(c_name,
-                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F￾￿]',
                              '�', 'g') AS c_last,
               c_custkey * 10 AS acct_id,
               CAST(c_custkey % 3 AS INTEGER) AS acct_tax_status
@@ -204,13 +207,15 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
     # the generator itself survives a 100× dimension scale-up (TPC-DI
     # ships one CustomerMgmt.xml per batch; bucket ≈ batch here).
     cust = t(spark, d, "customer").select("c_custkey", "c_name")
-    # XML-invalid C0 controls (everything below U+0020 except \t\n\r)
-    # cannot appear in XML 1.0 AT ALL — not even as &#N; references —
-    # so the writer maps them to U+FFFD first (the total-exporter
-    # convention; oracle mirrors — r9 NUL-pool probe, where a raw NUL
-    # made ET.fromstring throw and would kill the stage at 100 TB).
+    # XML-invalid characters — the C0 controls below U+0020 except
+    # \t\n\r, plus the U+FFFE/U+FFFF noncharacters XML 1.0's Char
+    # production excludes (r10 ADVICE) — cannot appear in XML 1.0 AT
+    # ALL, not even as &#N; references, so the writer maps them to
+    # U+FFFD first (the total-exporter convention; oracle mirrors —
+    # r9 NUL-pool probe, where a raw NUL made ET.fromstring throw and
+    # would kill the stage at 100 TB).
     esc = F.regexp_replace(
-        F.col("c_name"), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "�"
+        F.col("c_name"), r"[\x00-\x08\x0B\x0C\x0E-\x1F￾￿]", "�"
     )
     # tab/newline/CR must be CHARACTER REFERENCES in attribute values:
     # XML attribute-value normalization (spec §3.3.3) turns literal

@@ -4059,7 +4059,7 @@ c AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(lower(url), '#.*', '', 'g'),
+               regexp_replace(lower(url), '(?s)#.*', '', 'g'),
                'utm_[a-z]+=[^&#]*&', '', 'g'),
              '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
            '://www\\.', '://', 'g') AS canonical_url
@@ -4075,17 +4075,22 @@ def canonicalize_url(url: Column) -> Column:
     Property-tested over randomized decorations in
     tests/test_properties.py; the SQL oracle mirrors the chain.
 
-    Regex-anchor contract (r9 probe): the fragment strip is '#.*'
-    UNANCHORED — with a '$' the engines diverge on any url containing
-    a newline (Java's $ matches before a final terminator, RE2's does
-    not), and greedy '.*' already runs to end-of-line in both, so the
-    anchor bought nothing. The utm tail strip KEEPS its '$': its
-    [^&#]* class consumes newlines/terminators, so both engines reach
-    true end-of-text and agree (probed with literal '\\n' tails)."""
+    Regex-anchor contract (r9 probe + r10 ADVICE): the fragment strip
+    is '(?s)#.*' — dotall, unanchored. Unanchored because with a '$'
+    the engines diverge on any url containing a newline (Java's $
+    matches before a final terminator, RE2's does not); DOTALL because
+    the engines' plain '.' classes differ too — Java's '.' excludes
+    \\r, U+0085, U+2028, U+2029 while RE2's excludes only \\n — so a
+    bare '#.*' leaves a '<CR>tail' behind in Spark that DuckDB strips.
+    (?s) is supported and identical in both engines: '.' matches every
+    character, so the strip runs to true end-of-text. The utm tail
+    strip KEEPS its '$': its [^&#]* class consumes newlines and
+    terminators, so both engines reach true end-of-text and agree
+    (probed with literal '\\n' tails)."""
     return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(F.lower(url), "#.*", ""),
+                F.regexp_replace(F.lower(url), "(?s)#.*", ""),
                 "utm_[a-z]+=[^&#]*&",
                 "",
             ),

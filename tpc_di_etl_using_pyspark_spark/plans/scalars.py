@@ -466,41 +466,132 @@ def hash_checksum(spark: SparkSession, d: str) -> DataFrame:
     # (all Java line terminators) that the [\x00-\x7F] class cannot
     # consume, so an 'abc'+U+0085 name passed only the Spark gate and entered
     # linkage one-sided — r9 probe; \z is end-of-text in both engines.
-    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-              levenshtein(a.c_name, b.c_name) AS edit_dist
-       FROM customer a JOIN customer b
-         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-       WHERE regexp_matches(a.c_name, '\\A[\\x00-\\x7F]*\\z')
-         AND regexp_matches(b.c_name, '\\A[\\x00-\\x7F]*\\z')
-         AND levenshtein(a.c_name, b.c_name) <= 2""",
+    #
+    # The oracle replicates the shipped plan's SymSpell deletion-
+    # neighborhood move-for-move (VERDICT r9 item 2): i deletes the
+    # higher position of name (i = 0 → none), j < i deletes the lower
+    # position of the SHORTENED string (j = 0 → none), DISTINCT
+    # variants per row, candidate pairs share (block, variant), and
+    # the final levenshtein <= 2 verify makes the output exact — so
+    # both engines certify the same algorithm, not just the same
+    # answer. substr/length/levenshtein agree on the gated ASCII
+    # domain (bytes == codepoints, NUL included — r9 pool).
+    """WITH base AS (
+         SELECT c_custkey AS ck, c_nationkey AS blk, c_name AS name
+         FROM customer
+         WHERE regexp_matches(c_name, '\\A[\\x00-\\x7F]*\\z')),
+       pos AS (
+         SELECT ck, blk, name, unnest(range(0, length(name) + 1)) AS i
+         FROM base),
+       pos2 AS (
+         SELECT ck, blk, name, i,
+                unnest(CASE WHEN i = 0 THEN [CAST(0 AS BIGINT)]
+                            ELSE range(0, i) END) AS j
+         FROM pos),
+       v1 AS (
+         SELECT ck, blk, j,
+                CASE WHEN i > 0
+                     THEN substr(name, 1, CAST(i - 1 AS INTEGER))
+                          || substr(name, CAST(i + 1 AS INTEGER))
+                     ELSE name END AS d1
+         FROM pos2),
+       vars AS (
+         SELECT DISTINCT ck, blk,
+                CASE WHEN j > 0
+                     THEN substr(d1, 1, CAST(j - 1 AS INTEGER))
+                          || substr(d1, CAST(j + 1 AS INTEGER))
+                     ELSE d1 END AS var
+         FROM v1),
+       cand AS (
+         SELECT l.ck AS id_a, r.ck AS id_b
+         FROM vars l JOIN vars r ON l.blk = r.blk AND l.var = r.var
+                                AND l.ck < r.ck
+         GROUP BY 1, 2)
+       SELECT c.id_a, c.id_b, levenshtein(a.name, b.name) AS edit_dist
+       FROM cand c
+       JOIN base a ON a.ck = c.id_a
+       JOIN base b ON b.ck = c.id_b
+       WHERE levenshtein(a.name, b.name) <= 2""",
 )
 def str_levenshtein_link(spark: SparkSession, d: str) -> DataFrame:
     """Fuzzy record linkage [SPEC: Prospect matching generalized from
-    exact-UPPER to edit-distance]: candidate pairs blocked on nation
-    (the equi key bounds the quadratic join), kept when the names are
-    within 2 edits. Contract: linkage applies to ASCII names only —
-    the gate (mirrored in the oracle) exists because the engines'
-    Levenshtein units differ off-ASCII (codepoints vs bytes, see
-    oracle comment); at 100 TB a name-linkage pass would normalize/
-    transliterate first anyway."""
+    exact-UPPER to edit-distance]: candidate pairs from a SymSpell-
+    style DELETION NEIGHBORHOOD within nation blocks, kept when the
+    names are within 2 edits. Contract: linkage applies to ASCII
+    names only — the gate (mirrored in the oracle) exists because the
+    engines' Levenshtein units differ off-ASCII (codepoints vs bytes,
+    see oracle comment); at 100 TB a name-linkage pass would
+    normalize/transliterate first anyway.
+
+    Scale shape (VERDICT r9 item 2, replacing the O(block²) blocked
+    cross join whose 5× probe row hit 8.6×): each row emits its ≤2-
+    deletion variants (1 + L + C(L,2) strings, expression-only —
+    sequence + explode, no UDF), candidates are DISTINCT id pairs
+    sharing (block, variant), and a final levenshtein ≤ 2 verify runs
+    on candidates only. EXACT for dist ≤ 2: if lev(a,b) ≤ 2 the pair
+    shares a variant reachable by ≤2 deletions from each (SymSpell
+    completeness), so the candidate set is a superset and the verify
+    makes the output identical to the brute join's (pair-set equality
+    asserted in tests/test_r10_lev_neighborhood.py and measured
+    through 25× in tools/lev_crossover_probe.py: brute wins below
+    ~15k rows, the neighborhood wins 1.9–6.5× at 375k). Work scales
+    with rows × L² variant generation plus candidate-set joins —
+    never block² — and the variant self-join carries an explicit
+    merge hint because the post-explode size ESTIMATE undershoots the
+    broadcast threshold while the actual relation is GBs (measured in
+    the probe: AQE broadcast the wrong side and hit the 8 GB cap)."""
     c = t(spark, d, "customer")
     ascii_ok = F.col("c_name").rlike(r"\A[\x00-\x7F]*\z")
-    a = c.filter(ascii_ok).select(
+    base = c.filter(ascii_ok).select(
+        F.col("c_custkey").alias("ck"),
         F.col("c_nationkey").alias("blk"),
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
+        F.col("c_name").alias("name"),
     )
-    b = c.filter(ascii_ok).select(
-        F.col("c_nationkey").alias("blk"),
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
+    # (i, j) with i ∈ 0..L (i = 0 → no deletion) and j < i (j = 0 →
+    # only one deletion): every unordered pair of distinct positions
+    # exactly once, deleting the higher index first so the second
+    # index stays valid on the shortened string.
+    v = base.select(
+        "ck", "blk", "name",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+    ).select(
+        "ck", "blk", "name", "i",
+        F.explode(
+            F.when(F.col("i") == 0, F.sequence(F.lit(0), F.lit(0)))
+            .otherwise(F.sequence(F.lit(0), F.col("i") - 1))
+        ).alias("j"),
     )
+    del1 = F.when(
+        F.col("i") > 0,
+        F.concat(
+            F.expr("substring(name, 1, i - 1)"), F.expr("substring(name, i + 1)")
+        ),
+    ).otherwise(F.col("name"))
+    v = v.select("ck", "blk", del1.alias("d1"), "j")
+    del2 = F.when(
+        F.col("j") > 0,
+        F.concat(F.expr("substring(d1, 1, j - 1)"), F.expr("substring(d1, j + 1)")),
+    ).otherwise(F.col("d1"))
+    variants = v.select("ck", "blk", del2.alias("var")).dropDuplicates(
+        ["ck", "blk", "var"]
+    )
+    left = variants.select("blk", "var", F.col("ck").alias("id_a"))
+    right = variants.select("blk", "var", F.col("ck").alias("id_b"))
+    cand = (
+        left.hint("merge")
+        .join(right, ["blk", "var"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    na = base.select(F.col("ck").alias("id_a"), F.col("name").alias("name_a"))
+    nb = base.select(F.col("ck").alias("id_b"), F.col("name").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(dist <= 2)
         .select("id_a", "id_b", dist.alias("edit_dist"))
-        .filter(F.col("edit_dist") <= 2)
     )
 
 
@@ -985,13 +1076,16 @@ def str_collate_ci(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "xml_roundtrip_builtin",
-    # the oracle mirrors the writer's C0 sanitization (see docstring):
-    # XML 1.0 cannot represent U+0000-U+0008/U+000B/U+000C/U+000E-
-    # U+001F even as character references, so the round trip maps them
-    # to U+FFFD on both sides (r9 NUL-pool probe).
+    # the oracle mirrors the writer's XML-invalid-char sanitization
+    # (see docstring): XML 1.0 cannot represent U+0000-U+0008/U+000B/
+    # U+000C/U+000E-U+001F even as character references, nor the
+    # U+FFFE/U+FFFF noncharacters its Char production excludes (r10
+    # ADVICE; literal characters in the class — identical in RE2 and
+    # Java), so the round trip maps them to U+FFFD on both sides
+    # (r9 NUL-pool probe).
     """SELECT c_custkey AS xkey,
               regexp_replace(c_mktsegment,
-                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F￾￿]',
                              '�', 'g') AS seg,
               c_nationkey AS nat
        FROM customer""",
@@ -1013,11 +1107,13 @@ def xml_roundtrip_builtin(spark: SparkSession, d: str) -> DataFrame:
     # from_xml matches fields by element name — serialize with the
     # target field names so the parsed struct needs no renames.
     # "ARBITRARY text" has one spec-level carve-out (r9 NUL-pool
-    # probe): XML 1.0 forbids the C0 controls other than \t\n\r even
-    # as character references, so the writer maps them to U+FFFD —
-    # the standard total-exporter convention — and the oracle mirrors.
+    # probe + r10 ADVICE): XML 1.0 forbids the C0 controls other than
+    # \t\n\r even as character references, AND the U+FFFE/U+FFFF
+    # noncharacters its Char production excludes, so the writer maps
+    # them to U+FFFD — the standard total-exporter convention — and
+    # the oracle mirrors.
     sane = F.regexp_replace(
-        F.col("c_mktsegment"), r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "�"
+        F.col("c_mktsegment"), r"[\x00-\x08\x0B\x0C\x0E-\x1F￾￿]", "�"
     )
     esc = F.replace(
         F.replace(
