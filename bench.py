@@ -106,7 +106,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # calibration runs FIRST, always at the same session position, so
     # its number is comparable across rounds regardless of what the
-    # headline set does afterwards
+    # headline set does afterwards — and AGAIN after the headline set
+    # (VERDICT r9 item 5): a start-sampled divisor alone cannot
+    # witness within-run host drift, so the bracket [start, end] is
+    # recorded and BASELINE.md adjudication uses both ends
     calib = calibration_sec(spark)
     queries = all_queries()
 
@@ -136,6 +139,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    calib_end = calibration_sec(spark)
     print(
         json.dumps(
             {
@@ -148,6 +152,7 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "loadavg_start": LOADAVG_START,
                 "calibration_sec": calib,
+                "calibration_end_sec": calib_end,
             }
         )
     )

@@ -243,7 +243,7 @@ _DUCK_CANON = """
 SELECT regexp_replace(
          regexp_replace(
            regexp_replace(
-             regexp_replace(lower(u), '#.*', '', 'g'),
+             regexp_replace(lower(u), '(?s)#.*', '', 'g'),
              'utm_[a-z]+=[^&#]*&', '', 'g'),
            '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
          '://www\\.', '://', 'g') AS c
@@ -253,7 +253,14 @@ FROM t
 _HOSTILE_URLS = [
     "https://a.com/x#frag\n",      # trailing-newline fragment: the
                                    # OLD '#.*$' stripped on Spark only
-    "https://a.com/p#f\nq#g",      # fragment on each line
+    "https://a.com/p#f\nq#g",      # multi-line fragment: dotall
+                                   # strips to END-OF-TEXT in both
+                                   # (bare '.*' left '\nq#g' on the
+                                   # Spark side — r10 ADVICE fix)
+    "https://a.com/p#f\rcr",       # CR tail: Java '.' excludes \r,
+                                   # RE2 '.' does not — the exact
+                                   # class '(?s)' aligns
+    f"https://a.com/p#f{NEL}nel",  # NEL tail, same class
     "https://b.com/y#frag",        # clean fragment control
     "https://c.com/z?utm_x=1\n",   # utm tail + newline: [^&#]* eats
                                    # the \n, so the kept '$' agrees

@@ -27,6 +27,12 @@ Encodes the pre-close protocol SURVEY §7.4 hands from round to round
      schedule (VERDICT r8 item 3 — the schedule can no longer drift
      silently between sessions; edited-op elevations are declared via
      CERT_AGE_ELEVATED, which this runner inherits from the env)
+  9. edited-op elevation audit: hash every registered op's TRANSITIVE
+     source (op function + package-internal helpers + oracle) against
+     the previous driver drop's tree and fail if any changed-hash op
+     is absent from CERT_AGE_ELEVATED ∪ the staged window (VERDICT r9
+     item 3 — manual enumeration missed a shared-helper adopter;
+     tools/op_change_check.py)
 
 Heavier evidence (sf0.1 / adversarial sweeps, hostile combos, bench)
 stays manual — it needs judgment about machine load; this script is
@@ -51,9 +57,9 @@ sys.path.insert(0, REPO)
 PY = sys.executable
 
 # Floor for step 5: the suite had this many tests when the floor was
-# last raised (round 9). Raise it whenever tests are added; a collect
+# last raised (round 10). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 789
+EXPECTED_MIN_TESTS = 822
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -158,6 +164,10 @@ def main() -> None:
         (
             "cert-age ledger & rotation schedule",
             [PY, "tools/cert_age_check.py", "--window", str(n)],
+        ),
+        (
+            "edited-op elevation audit",
+            [PY, "tools/op_change_check.py", "--window", str(n)],
         ),
     ]
     os.environ.setdefault("CERT_AGE_ELEVATED", ROUND_ELEVATIONS)
