@@ -7,6 +7,10 @@ scales linearly or better (partial aggregation / broadcast holding);
 a super-linear ratio flags a quadratic join or a collapsing partition.
 
 Writes SCALING.md. Usage: python tools/scale_probe.py
+  --only OP [OP ...]  probe just the named ops and PRINT the rows
+                      (no SCALING.md rewrite — for re-measuring a
+                      single op after a plan rewrite); reuses the 5×
+                      copy if present, pass --rebuild to force
 """
 
 from __future__ import annotations
@@ -295,8 +299,31 @@ def time_interleaved(spark) -> tuple[dict[str, float], dict[str, float]]:
 
 
 def main() -> None:
+    only = []
+    if "--only" in sys.argv:
+        only = [a for a in sys.argv[sys.argv.index("--only") + 1:]
+                if not a.startswith("--")]
+        unknown = [o for o in only if o not in all_queries()]
+        if unknown:
+            print(f"unknown op name(s): {unknown}", file=sys.stderr)
+            sys.exit(2)
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if only:
+        if "--rebuild" in sys.argv or not os.path.isdir(SCALED):
+            build_scaled(spark)
+        spark.stop()
+        spark = get_spark("scale-probe-measure")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = all_queries()
+        print("| Query | sf0.1 (s) | 5× (s) | ratio |")
+        print("| --- | --- | --- | --- |")
+        for name in only:
+            qs[name](spark, BASE).write.mode("overwrite").format("noop").save()
+            b = _time_one(spark, qs, name, BASE)
+            g = _time_one(spark, qs, name, SCALED)
+            print(f"| `{name}` | {b:.2f} | {g:.2f} | {g / b:.1f}× |", flush=True)
+        return
     build_scaled(spark)
     # Measure in a FRESH session: the 5x build leaves the JVM heap full
     # of write/shuffle state whose GC churn contaminated earlier probe
