@@ -7,6 +7,7 @@ all-delete CDC batches, disconnected graphs, single-row groups.
 from __future__ import annotations
 
 import datetime
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -19,8 +20,11 @@ from tpc_di_etl_using_pyspark_spark.tpcdi.pipeline import (
     scd2_validate,
 )
 
+# default 12 keeps the suite fast; periodic mining runs raise it:
+#   PROPERTY_EXAMPLES=300 pytest tests/test_properties.py
+# (the knob test_stale_cert_edges.py already carries — r10 parity)
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("PROPERTY_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
