@@ -48,7 +48,10 @@ MONEY = [
     0.005, 123.455, 99999.99, -99999.99, 1e-9, 3.141592653589793,
     16384.03125, -16384.03125, 0.1, 0.3, 7.105427357601002,
 ]
-QTY = [0.0, 1.0, -5.0, 2.0, 50.0, 1024.0, 0.5, 17.0, 1e4, 3.0]
+# 25.0 sits EXACTLY on math_ratio_guard's NULLIF(qty - 25, 0) branch
+# (r10): the guard's NULL path now fires on the hostile fixture for
+# every qty consumer, not only in the dedicated edge test.
+QTY = [0.0, 1.0, -5.0, 2.0, 50.0, 1024.0, 0.5, 17.0, 1e4, 3.0, 25.0]
 RATE = [0.0, 1.0, 0.05, 0.5, 0.125, 0.999999, 0.000001, 0.1]
 STR = [
     "", " ", "  double  spaced  ", "a|b.c(d)e*f+g?h[i]j",
@@ -83,6 +86,10 @@ STR = [
     # (r9 wave 4; the [\x00-\x7F] gates classify it ASCII, correctly,
     # in both engines).
     "nul\x00byte",
+    # a string that is ONLY a Java line terminator (r10): length-1
+    # boundary for every \A..\z ASCII gate (non-ASCII, excluded in
+    # both engines), rtrim/pad path, and empty-after-strip consumers.
+    "\u0085",
     # U+FFFE/U+FFFF noncharacters (r10 ADVICE): valid UTF-8, storable
     # in parquet/pandas/Spark/DuckDB strings, but excluded by XML
     # 1.0's Char production — ET.fromstring throws on them even as

@@ -71,11 +71,14 @@ EXPECTED_MIN_TESTS = 822
 #     (VERDICT r9 item 2);
 #   dedup_url_canonical — dotall fragment strip (ADVICE r9 medium);
 #   scan_xml_flatten, xml_roundtrip_builtin — U+FFFE/U+FFFF added to
-#     the XML sanitize class (ADVICE r9 low).
+#     the XML sanitize class (ADVICE r9 low);
+#   tpcdi_holdings_pnl — NULLIF guard on the latest-trade price
+#     division (zero-quantity row threw DIVIDE_BY_ZERO under ANSI;
+#     found by the r10 QTY=25.0 pool wave).
 # Cleared when the next rotation folds the elevation into the schedule.
 ROUND_ELEVATIONS = (
     "win_range_time_interval,str_levenshtein_link,dedup_url_canonical,"
-    "scan_xml_flatten,xml_roundtrip_builtin"
+    "scan_xml_flatten,xml_roundtrip_builtin,tpcdi_holdings_pnl"
 )
 
 

@@ -36,8 +36,8 @@ _MODULES = [
 # rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g; mechanized in
 # tools/cert_age_check.py as round_close_check's final step):
 #
-#   round 10 (THIS round): 17 age-7 r3 ops + 5 elevated + 28 oldest r4
-#   round 11: rest of the r4 block (14) + 36 oldest r5
+#   round 10 (THIS round): 17 age-7 r3 ops + 6 elevated + 27 oldest r4
+#   round 11: rest of the r4 block (15) + 35 oldest r5
 #   round 12: rest of r5 (9) + r6 block (41)
 #   round 13: rest of r6 (2) + r7 block (47) + 1 oldest r8
 #   round 14: rest of r8 (45) + 5 oldest r9
@@ -50,8 +50,8 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-10 certification window (50 = 17 age-7 r3 + 5 elevated
-    #     + 28 oldest r4) ---
+    # --- round-10 certification window (50 = 17 age-7 r3 + 6 elevated
+    #     + 27 oldest r4) ---
     # 1-17: the r3-certified block displaced past position 50 by the
     # r9 elevation wave — the stalest certs in the repo (age 7 at r10,
     # formally past the 6-round cap; VERDICT r9 item 1 directs they
@@ -73,7 +73,7 @@ _PRIORITY = [
     "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     "tpcdi_cdc_apply",
-    # 18-22: ELEVATED (standing edited-op rule, VERDICT r7 item 3):
+    # 18-23: ELEVATED (standing edited-op rule, VERDICT r7 item 3):
     # ops whose code changes in round 10 —
     #   win_range_time_interval: adopted the rewritten _util.epoch_s in
     #     r9 but was missed by the manual elevation enumeration
@@ -87,12 +87,19 @@ _PRIORITY = [
     #   scan_xml_flatten + xml_roundtrip_builtin: XML sanitize class
     #     extended to the U+FFFE/U+FFFF noncharacters XML 1.0 excludes
     #     alongside the C0 controls (ADVICE r9).
+    #   tpcdi_holdings_pnl: the r10 pool wave (QTY gains 25.0, which
+    #     re-aligned each partkey's latest-trade row) exposed an
+    #     unguarded price division — a zero-quantity latest trade
+    #     threw DIVIDE_BY_ZERO under ANSI; NULLIF-guarded in both
+    #     engines, elevated here (displaces array_ops to the r11
+    #     window head).
     "win_range_time_interval",
     "str_levenshtein_link",
     "dedup_url_canonical",
     "scan_xml_flatten",
     "xml_roundtrip_builtin",
-    # 23-50: the 28 oldest round-4-certified ops, r4-window order.
+    "tpcdi_holdings_pnl",
+    # 24-50: the 27 oldest round-4-certified ops, r4-window order.
     "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
@@ -120,8 +127,8 @@ _PRIORITY = [
     "json_extract",
     "json_nested_roundtrip",
     "json_variant_explode",
+    # --- round-4-certified remainder (15): head of the round-11 window ---
     "array_ops",
-    # --- round-4-certified remainder (14): head of the round-11 window ---
     "array_fold_dot",
     "array_posexplode",
     "array_exists_forall",
@@ -136,7 +143,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- round-5-certified block (45): round-11 tail + round-12 head ---
+    # --- round-5-certified block (44): round-11 tail + round-12 head ---
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -158,7 +165,6 @@ _PRIORITY = [
     "tpcdi_dim_time",
     "tpcdi_dimessages",
     "tpcdi_scd2_hybrid_type1",
-    "tpcdi_holdings_pnl",
     "tpcdi_reference_dims",
     "events_retention",
     "events_active_users_rolling",

@@ -1249,7 +1249,8 @@ def tpcdi_scd2_hybrid_type1(spark: SparkSession, d: str) -> DataFrame:
          FROM lineitem GROUP BY 1, 2),
        lastp AS (
          SELECT l_partkey AS security_id,
-                CAST(FLOOR(l_extendedprice * 1000000 / l_quantity) AS BIGINT)
+                CAST(FLOOR(l_extendedprice * 1000000
+                           / NULLIF(l_quantity, 0)) AS BIGINT)
                   AS last_price_micro
          FROM lineitem
          QUALIFY ROW_NUMBER() OVER (
@@ -1270,7 +1271,17 @@ def tpcdi_holdings_pnl(spark: SparkSession, d: str) -> DataFrame:
     as-of-latest trade price (deterministic latest-wins window). Two
     keyed aggregations + one security-keyed join; the per-security
     price relation is securities-sized — broadcastable at any fact
-    volume."""
+    volume.
+
+    Boundary (r10 pool wave): the latest-trade price divides by
+    l_quantity, and a ZERO-quantity row landing in the latest
+    position killed the stage under ANSI (DIVIDE_BY_ZERO — found the
+    moment QTY=25.0 entered the adversarial pool and re-aligned which
+    row each partkey's window picks). A zero-quantity trade has no
+    derivable price, so the divisor is NULLIF-guarded in BOTH engines
+    (the r4 wave-3 total-function convention): last_price_micro,
+    mkt_value, unreal_pnl surface NULL for that security instead of
+    an exception — at 100 TB one bad row must never kill the job."""
     li = t(spark, d, "lineitem")
     signed_q = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
         F.col("l_quantity")
@@ -1297,8 +1308,13 @@ def tpcdi_holdings_pnl(spark: SparkSession, d: str) -> DataFrame:
             F.col("l_partkey").alias("security_id"),
             # integer micro-units: extprice/qty can land exactly on a
             # .xxxxxx5 midpoint (power-of-two qty), where the engines'
-            # double->decimal casts round apart; floor is exact
-            F.floor(F.col("l_extendedprice") * 1000000 / F.col("l_quantity"))
+            # double->decimal casts round apart; floor is exact. The
+            # divisor is NULLIF-guarded: a zero-qty latest trade has
+            # no price (see docstring — r10 pool find).
+            F.floor(
+                F.col("l_extendedprice") * 1000000
+                / F.nullif(F.col("l_quantity"), F.lit(0.0))
+            )
             .cast("long")
             .alias("last_price_micro"),
         )
