@@ -64,22 +64,14 @@ EXPECTED_MIN_TESTS = 822
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r10 (registry.py _PRIORITY header for detail):
-#   win_range_time_interval — the epoch_s adopter the r9 manual
-#     enumeration missed (VERDICT r9 finding 1);
-#   str_levenshtein_link — sanctioned deletion-neighborhood rewrite
-#     (VERDICT r9 item 2);
-#   dedup_url_canonical — dotall fragment strip (ADVICE r9 medium);
-#   scan_xml_flatten, xml_roundtrip_builtin — U+FFFE/U+FFFF added to
-#     the XML sanitize class (ADVICE r9 low);
-#   tpcdi_holdings_pnl — NULLIF guard on the latest-trade price
-#     division (zero-quantity row threw DIVIDE_BY_ZERO under ANSI;
-#     found by the r10 QTY=25.0 pool wave).
-# Cleared when the next rotation folds the elevation into the schedule.
-ROUND_ELEVATIONS = (
-    "win_range_time_interval,str_levenshtein_link,dedup_url_canonical,"
-    "scan_xml_flatten,xml_roundtrip_builtin,tpcdi_holdings_pnl"
-)
+# CERT_AGE_ELEVATED env. r11: none yet — the r10 elevations
+# (win_range_time_interval, str_levenshtein_link, dedup_url_canonical,
+# scan_xml_flatten, xml_roundtrip_builtin, tpcdi_holdings_pnl) were all
+# certified green in CORRECTNESS_r10.json and folded into the tail
+# r10-certified block by the r11 rotation. Any op whose code changes
+# during round 11 is appended here AND moved into the front-50;
+# tools/op_change_check.py verifies the declaration mechanically.
+ROUND_ELEVATIONS = ""
 
 
 def window_ops(n: int) -> list[str]:

@@ -36,8 +36,8 @@ _MODULES = [
 # rotation schedule (VERDICT r7 items 1+6; SURVEY §7.4g; mechanized in
 # tools/cert_age_check.py as round_close_check's final step):
 #
-#   round 10 (THIS round): 17 age-7 r3 ops + 6 elevated + 27 oldest r4
-#   round 11: rest of the r4 block (15) + 35 oldest r5
+#   round 10 (done, 50/50 green): 17 age-7 r3 + 6 elevated + 27 r4
+#   round 11 (THIS round): rest of the r4 block (15) + 35 oldest r5
 #   round 12: rest of r5 (9) + r6 block (41)
 #   round 13: rest of r6 (2) + r7 block (47) + 1 oldest r8
 #   round 14: rest of r8 (45) + 5 oldest r9
@@ -50,84 +50,17 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-10 certification window (50 = 17 age-7 r3 + 6 elevated
-    #     + 27 oldest r4) ---
-    # 1-17: the r3-certified block displaced past position 50 by the
-    # r9 elevation wave — the stalest certs in the repo (age 7 at r10,
-    # formally past the 6-round cap; VERDICT r9 item 1 directs they
-    # lead this window, positions 1-17, clearing the breach).
-    "dedup_cross_source_matrix",
-    "text_quality_gopher",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "sim_rp_lsh_cosine",
-    "vec_kmeans_refine",
-    "sample_negative_pairs",
-    "join_bloom_runtime_filter",
-    "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
-    "sim_ann_recall_eval",
-    "sim_ivf_multiprobe_topk",
-    "multimodal_dedup_sha",
-    "graph_label_propagation",
-    "pipeline_multimodal_e2e",
-    "win_time_weighted_avg",
-    "tpcdi_cdc_apply",
-    # 18-23: ELEVATED (standing edited-op rule, VERDICT r7 item 3):
-    # ops whose code changes in round 10 —
-    #   win_range_time_interval: adopted the rewritten _util.epoch_s in
-    #     r9 but was missed by the manual elevation enumeration
-    #     (VERDICT r9 finding 1); re-certified here on the new code.
-    #   str_levenshtein_link: the sanctioned deletion-neighborhood
-    #     rewrite (VERDICT r9 item 2) replacing the O(block^2) blocked
-    #     cross-join — exact for dist<=2, measured 1.9-6.5x at 25x.
-    #   dedup_url_canonical: fragment strip '#.*' -> '(?s)#.*' (ADVICE
-    #     r9: Java '.' excludes \r/U+0085/U+2028/U+2029, RE2 '.'
-    #     excludes only \n — dotall strips to true end-of-text in both).
-    #   scan_xml_flatten + xml_roundtrip_builtin: XML sanitize class
-    #     extended to the U+FFFE/U+FFFF noncharacters XML 1.0 excludes
-    #     alongside the C0 controls (ADVICE r9).
-    #   tpcdi_holdings_pnl: the r10 pool wave (QTY gains 25.0, which
-    #     re-aligned each partkey's latest-trade row) exposed an
-    #     unguarded price division — a zero-quantity latest trade
-    #     threw DIVIDE_BY_ZERO under ANSI; NULLIF-guarded in both
-    #     engines, elevated here (displaces array_ops to the r11
-    #     window head).
-    "win_range_time_interval",
-    "str_levenshtein_link",
-    "dedup_url_canonical",
-    "scan_xml_flatten",
-    "xml_roundtrip_builtin",
-    "tpcdi_holdings_pnl",
-    # 24-50: the 27 oldest round-4-certified ops, r4-window order.
-    "str_concat_phone",
-    "str_substr_trim",
-    "str_case_match",
-    "str_pad_format",
-    "str_regexp",
-    "str_split_explode",
-    "str_regexp_extract_all",
-    "str_encode_b64_hex",
-    "date_parse",
-    "date_arith",
-    "date_extract",
-    "date_trunc_bucket",
-    "date_boundaries",
-    "date_spine_gapfill",
-    "math_round_money",
-    "math_ratio_guard",
-    "math_functions",
-    "math_trig",
-    "math_try_overflow",
-    "cond_case_when",
-    "null_coalesce",
-    "cast_types",
-    "hash_checksum",
-    "bit_ops",
-    "json_extract",
-    "json_nested_roundtrip",
-    "json_variant_explode",
-    # --- round-4-certified remainder (15): head of the round-11 window ---
+    # --- round-11 certification window (50 = the 15 age-7
+    #     round-4-certified remainder + the 35 oldest round-5 ops),
+    #     exactly the window the schedule above and VERDICT r10 item 1
+    #     prescribe. No elevations declared this round yet
+    #     (ROUND_ELEVATIONS in tools/round_close_check.py holds the
+    #     live list; any op whose code changes in r11 is appended
+    #     there and moved into this window).
+    # 1-15: the r4-certified remainder — the stalest certs in the
+    # repo (age 7 at r11, formally past the 6-round cap; the rotation
+    # canary test was red from the CORRECTNESS_r10 drop until this
+    # rotation landed, by design).
     "array_ops",
     "array_fold_dot",
     "array_posexplode",
@@ -143,7 +76,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # --- round-5-certified block (44): round-11 tail + round-12 head ---
+    # 16-50: the 35 oldest round-5-certified ops, r5-window order.
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -179,6 +112,7 @@ _PRIORITY = [
     "agg_count_distinct_multi",
     "agg_percentile",
     "agg_unpivot",
+    # --- round-5-certified remainder (9): head of the round-12 window ---
     "agg_string_concat_group",
     "agg_weighted_avg",
     "agg_pivot_dynamic",
@@ -375,6 +309,63 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
+    # --- round-10-certified block (50): the r10 window, youngest
+    #     certs in the repo (17 r3-origin ops + the 6 r10 elevations
+    #     — win_range_time_interval, str_levenshtein_link,
+    #     dedup_url_canonical, scan_xml_flatten, xml_roundtrip_builtin,
+    #     tpcdi_holdings_pnl — + 27 r4-origin ops; see VERDICT r10 and
+    #     the r10 _PRIORITY header in git history for the per-op
+    #     elevation rationale). Moved to the tail by the r11 rotation.
+    "dedup_cross_source_matrix",
+    "text_quality_gopher",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "sim_rp_lsh_cosine",
+    "vec_kmeans_refine",
+    "sample_negative_pairs",
+    "join_bloom_runtime_filter",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    "sim_ann_recall_eval",
+    "sim_ivf_multiprobe_topk",
+    "multimodal_dedup_sha",
+    "graph_label_propagation",
+    "pipeline_multimodal_e2e",
+    "win_time_weighted_avg",
+    "tpcdi_cdc_apply",
+    "win_range_time_interval",
+    "str_levenshtein_link",
+    "dedup_url_canonical",
+    "scan_xml_flatten",
+    "xml_roundtrip_builtin",
+    "tpcdi_holdings_pnl",
+    "str_concat_phone",
+    "str_substr_trim",
+    "str_case_match",
+    "str_pad_format",
+    "str_regexp",
+    "str_split_explode",
+    "str_regexp_extract_all",
+    "str_encode_b64_hex",
+    "date_parse",
+    "date_arith",
+    "date_extract",
+    "date_trunc_bucket",
+    "date_boundaries",
+    "date_spine_gapfill",
+    "math_round_money",
+    "math_ratio_guard",
+    "math_functions",
+    "math_trig",
+    "math_try_overflow",
+    "cond_case_when",
+    "null_coalesce",
+    "cast_types",
+    "hash_checksum",
+    "bit_ops",
+    "json_extract",
+    "json_nested_roundtrip",
+    "json_variant_explode",
 ]
 
 
