@@ -64,14 +64,29 @@ EXPECTED_MIN_TESTS = 822
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r11: none yet — the r10 elevations
-# (win_range_time_interval, str_levenshtein_link, dedup_url_canonical,
-# scan_xml_flatten, xml_roundtrip_builtin, tpcdi_holdings_pnl) were all
-# certified green in CORRECTNESS_r10.json and folded into the tail
-# r10-certified block by the r11 rotation. Any op whose code changes
-# during round 11 is appended here AND moved into the front-50;
-# tools/op_change_check.py verifies the declaration mechanically.
-ROUND_ELEVATIONS = ""
+# CERT_AGE_ELEVATED env. r11 (the degenerate-denominator sweep — the
+# generalization of the r10 tpcdi_holdings_pnl find; every division
+# whose divisor is a data-derived aggregate was enumerated and the
+# zero-reachable ones guarded, each mirrored in its oracle):
+#   agg_moments_exact — zero-variance group made skewness divide by
+#     pow(0, 1.5): ANSI DIVIDE_BY_ZERO; near-constant groups can push
+#     the double var to -ulp where DuckDB's sqrt THROWS. greatest+NULLIF.
+#   agg_stats — Spark's builtin corr itself throws DIVIDE_BY_ZERO
+#     under ANSI on zero-variance groups (DuckDB returns NULL);
+#     rewritten to covar_samp / NULLIF(sd*sd, 0), bit-identical on
+#     normal groups.
+#   agg_regression_exact — slope denominator n*Sxx - Sx² is exactly 0
+#     for zero-x-variance groups; NULLIF in both engines.
+#   agg_weighted_avg — signed quantities cancelling to zero made the
+#     weight-sum divisor 0; NULLIF in both engines.
+#   agg_count_distinct_multi — oracle-only: DuckDB's row-value
+#     COUNT(DISTINCT (a,b)) counts any-NULL tuples that Spark's (SQL-
+#     standard) count_distinct skips; the oracle now CASE-guards.
+# Cleared when the next rotation folds the elevations into the schedule.
+ROUND_ELEVATIONS = (
+    "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
+    "agg_count_distinct_multi"
+)
 
 
 def window_ops(n: int) -> list[str]:

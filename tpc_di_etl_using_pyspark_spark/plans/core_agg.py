@@ -258,16 +258,33 @@ def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
     f"""SELECT l_returnflag,
               {sql_dround('stddev_samp(l_quantity)', 2)} AS sd_qty,
               {sql_dround('var_samp(l_quantity)', 2)} AS var_qty,
-              {sql_dround('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price
+              {sql_dround(
+                  'covar_samp(l_quantity, l_extendedprice)'
+                  ' / NULLIF(stddev_samp(l_quantity)'
+                  ' * stddev_samp(l_extendedprice), 0.0)', 6)}
+                AS corr_qty_price
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_stats(spark: SparkSession, d: str) -> DataFrame:
-    """stddev / variance / correlation statistics [SPEC: Prospect credit-score aggregates]."""
+    """stddev / variance / correlation statistics [SPEC: Prospect
+    credit-score aggregates].
+
+    corr is the guarded covar_samp / NULLIF(sd*sd, 0) form, not the
+    builtin: Spark's `corr` divides internally, so a zero-variance
+    group throws ANSI DIVIDE_BY_ZERO (r11 probe — one constant-valued
+    group kills the whole job) while DuckDB's returns NULL. The
+    guarded form is NULL on zero-variance and single-row groups in
+    BOTH engines and bit-identical to builtin corr on normal groups
+    (probe-verified); dround(6) masks accumulation-order ulp."""
     li = t(spark, d, "lineitem")
+    corr = F.covar_samp("l_quantity", "l_extendedprice") / F.nullif(
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+        F.lit(0.0),
+    )
     return li.groupBy("l_returnflag").agg(
         dround(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
         dround(F.var_samp("l_quantity"), 2).alias("var_qty"),
-        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dround(corr, 6).alias("corr_qty_price"),
     )
 
 
@@ -472,7 +489,7 @@ def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
                CAST(ROUND(CAST(
                CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6)))
                     AS DOUBLE) /
-               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 0.0)
                  AS DECIMAL(25,6)), 6) AS DOUBLE) AS wavg_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
         FROM lineitem GROUP BY l_returnflag""",
@@ -480,7 +497,13 @@ def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
 def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
     """Quantity-weighted average price [SPEC: volume-weighted market
     measures] — both sums decimal-routed so the ratio is the division
-    of two identical IEEE doubles in either engine."""
+    of two identical IEEE doubles in either engine.
+
+    NULLIF on the weight sum (r11 denominator sweep, the
+    win_ratio_total / tpcdi_holdings_pnl class): a group whose signed
+    quantities cancel to zero — or that is all zero-quantity rows —
+    has no defined weighted average; NULL in both engines, never an
+    ANSI DIVIDE_BY_ZERO stage kill."""
     li = t(spark, d, "lineitem")
     wsum = F.sum(
         (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")
@@ -490,7 +513,8 @@ def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
     # engines' sum conversions can differ by 1 ulp; the ratio is a
     # value-scale number, so 6-dp rounding absorbs it (round-4)
     return li.groupBy("l_returnflag").agg(
-        dround(wsum / qsum, 6).alias("wavg_price"), qsum.alias("total_qty")
+        dround(wsum / F.nullif(qsum, F.lit(0.0)), 6).alias("wavg_price"),
+        qsum.alias("total_qty"),
     )
 
 
@@ -578,10 +602,12 @@ def agg_median_mode(spark: SparkSession, d: str) -> DataFrame:
                 CAST(SUM(CAST(l_quantity * l_quantity AS {SQL_DEC})) AS DOUBLE) AS sxx
          FROM lineitem GROUP BY l_returnflag)
        SELECT l_returnflag,
-              CAST(ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+              CAST(ROUND(CAST(
+                (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0)
                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS slope,
               CAST(ROUND(CAST(
-                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx)
+                  / n
                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS intercept
        FROM s""",
 )
@@ -596,7 +622,14 @@ def agg_regression_exact(spark: SparkSession, d: str) -> DataFrame:
     to double, and the closed-form slope/intercept is the identical
     IEEE expression on both engines — bit-exact, no rounding mask.
     One shuffle; all five moments come from a single map-side-combined
-    aggregation. At 100 TB this is the same cost as a SUM."""
+    aggregation. At 100 TB this is the same cost as a SUM.
+
+    NULLIF on the variance-shaped denominator (r11 sweep): a group
+    whose quantities are all equal makes n*Sxx - Sx² exactly zero —
+    ANSI DIVIDE_BY_ZERO in Spark, silent NULL in DuckDB. Guarded in
+    both engines: slope/intercept are NULL for zero-x-variance groups
+    (same class as agg_moments_exact's skewness and agg_stats' corr,
+    all found by the same degenerate-group probe)."""
     li = t(spark, d, "lineitem")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -610,7 +643,7 @@ def agg_regression_exact(spark: SparkSession, d: str) -> DataFrame:
         .alias("sxx"),
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     # dround(6): above the dsum DECIMAL->DOUBLE exactness bound the
     # engines' sum conversions can differ by 1 ulp; slope/intercept
     # are value-scale, so 6-dp rounding absorbs it (round-4)
@@ -867,11 +900,11 @@ def sql_groupby_all(spark: SparkSession, d: str) -> DataFrame:
          FROM orders GROUP BY o_orderstatus)
        SELECT o_orderstatus,
               s1 / n AS mean,
-              CAST(ROUND(CAST(sqrt(s2 / n - (s1 / n) * (s1 / n))
+              CAST(ROUND(CAST(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
                               AS DECIMAL(25,6)), 6) AS DOUBLE) AS stddev_pop,
               CAST(ROUND(CAST(
                 (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
+                / NULLIF(pow(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0), 1.5), 0.0)
                 AS DECIMAL(25,6)), 6) AS DOUBLE) AS skewness_pop
        FROM s""",
 )
@@ -883,7 +916,16 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
     decimal sums and the closed-form moments are identical IEEE
     expressions, rounded at 1e-6 only where pow/sqrt ulp could differ.
     One map-side-combined aggregation — same cost as a SUM at any
-    scale."""
+    scale.
+
+    Degenerate-group guards (r11 probe, the tpcdi_holdings_pnl class):
+    a zero-variance group made skewness divide by pow(0, 1.5) — ANSI
+    DIVIDE_BY_ZERO in Spark, silent NULL in DuckDB — and a
+    near-constant group can push the double var to -ulp, where
+    DuckDB's sqrt THROWS (Spark yields NaN, whose DECIMAL cast then
+    throws under ANSI). greatest(var, 0) + NULLIF(denominator, 0) in
+    BOTH engines: stddev 0, skewness NULL for such groups — one
+    constant-valued key must never kill a 100 TB job."""
     o = t(spark, d, "orders")
     tp = F.col("o_totalprice")
     s = o.groupBy("o_orderstatus").agg(
@@ -897,8 +939,10 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
     )
     n, s1, s2, s3 = (F.col(c) for c in ("n", "s1", "s2", "s3"))
     mean = s1 / n
-    var = s2 / n - mean * mean
-    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.nullif(
+        F.pow(var, 1.5), F.lit(0.0)
+    )
     return s.select(
         "o_orderstatus",
         mean.alias("mean"),
@@ -964,7 +1008,10 @@ def agg_bitmap_distinct(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "agg_count_distinct_multi",
     """SELECT l_returnflag,
-              COUNT(DISTINCT (l_linestatus, l_partkey % 100)) AS n_combos,
+              COUNT(DISTINCT CASE WHEN l_linestatus IS NOT NULL
+                                   AND l_partkey IS NOT NULL
+                                  THEN (l_linestatus, l_partkey % 100) END)
+                AS n_combos,
               COUNT(DISTINCT l_suppkey) AS n_supps
        FROM lineitem GROUP BY l_returnflag""",
 )
@@ -972,7 +1019,13 @@ def agg_count_distinct_multi(spark: SparkSession, d: str) -> DataFrame:
     """Multi-column COUNT(DISTINCT a, b) alongside a single-column
     distinct in the same grouped pass — Spark expands multiple
     distinct aggregates with one grouping-sets style rewrite rather
-    than two scans."""
+    than two scans.
+
+    NULL semantics (r11 probe): SQL-standard COUNT(DISTINCT a, b) —
+    and Spark's count_distinct — skip a tuple when ANY argument is
+    NULL; DuckDB's row-value COUNT(DISTINCT (a, b)) counts a struct
+    with a NULL field as a present value. The oracle CASE-guards the
+    row value so both engines count the standard semantics."""
     li = t(spark, d, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct(F.col("l_linestatus"), F.col("l_partkey") % 100).alias(

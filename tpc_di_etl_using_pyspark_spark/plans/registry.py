@@ -51,12 +51,16 @@ _MODULES = [
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
     # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 35 oldest round-5 ops),
-    #     exactly the window the schedule above and VERDICT r10 item 1
-    #     prescribe. No elevations declared this round yet
-    #     (ROUND_ELEVATIONS in tools/round_close_check.py holds the
-    #     live list; any op whose code changes in r11 is appended
-    #     there and moved into this window).
+    #     round-4-certified remainder + the 33 oldest round-5 ops +
+    #     2 ELEVATED r5 ops), per the schedule above, VERDICT r10
+    #     item 1, and the standing edited-op rule. Five ops changed
+    #     code this round (the r11 degenerate-denominator sweep, all
+    #     declared in ROUND_ELEVATIONS in tools/round_close_check.py):
+    #     agg_stats, agg_count_distinct_multi, agg_moments_exact were
+    #     already scheduled into this window; agg_weighted_avg and
+    #     agg_regression_exact are elevated INTO it, displacing the
+    #     two youngest non-elevated r5 window ops (agg_percentile,
+    #     agg_unpivot) to the r5-remainder head for round 12.
     # 1-15: the r4-certified remainder — the stalest certs in the
     # repo (age 7 at r11, formally past the 6-round cap; the rotation
     # canary test was red from the CORRECTNESS_r10 drop until this
@@ -110,14 +114,18 @@ _PRIORITY = [
     "agg_filter_clause",
     "agg_bitmap_distinct",
     "agg_count_distinct_multi",
+    # ELEVATED (r11 denominator sweep — NULLIF guards on the weight
+    # sum and the zero-x-variance regression denominator; see each
+    # op's docstring):
+    "agg_weighted_avg",
+    "agg_regression_exact",
+    # --- round-5-certified remainder (9, led by the two ops the r11
+    #     elevations displaced): head of the round-12 window ---
     "agg_percentile",
     "agg_unpivot",
-    # --- round-5-certified remainder (9): head of the round-12 window ---
     "agg_string_concat_group",
-    "agg_weighted_avg",
     "agg_pivot_dynamic",
     "agg_median_mode",
-    "agg_regression_exact",
     "agg_histogram_fixed",
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
