@@ -36,6 +36,16 @@ Usage: SPARK_DRIVER_MEMORY=48g python tools/lev_crossover_probe.py [--quick]
   candidate stream); the name-lookup joins carry explicit broadcast
   hints so AQE cannot pick the million-row candidate relation to
   broadcast (measured: it did, and hit the 8 GB broadcast cap).
+
+STATUS (round 11, VERDICT r10 item 5): HISTORY / RE-MEASURE HARNESS.
+The registered op adopted the neighborhood plan in round 10, so the
+BRUTE arm here is no longer the shipping shape and is NOT load-bearing
+for correctness — the suite pins neighborhood == brute pair-set
+equality in tests/test_r10_lev_neighborhood.py on every run. Keep this
+probe for re-measuring the crossover if the corpus shape changes
+(e.g. much longer names inflate the variant lattice); its timings are
+the round-9/10 adjudication record behind SCALING.md's levenshtein
+rows.
 """
 
 from __future__ import annotations

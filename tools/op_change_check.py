@@ -137,6 +137,20 @@ def _visit(v, name: str, seen: dict) -> None:
             for m in vars(v).values():
                 if inspect.isfunction(m):
                     _walk(m, seen)
+    elif inspect.ismodule(v) and (getattr(v, "__name__", "") or "").startswith(
+        PKG
+    ):
+        # a module object reached as a value (`from . import _util`
+        # then `_util.helper(...)`) — conservatively hash the module's
+        # FULL source: per-attribute resolution would need the
+        # referencing co_names here, and a coarse hash only ever
+        # over-flags (forcing an elevation), never masks. Without
+        # this, the exact shared-helper-adopter class the tool exists
+        # to catch (the r9 breach) would re-open on a module-attribute
+        # import style (ADVICE r10).
+        key = f"<module>.{v.__name__}"
+        if key not in seen:
+            seen[key] = _source_of(v)
     elif isinstance(v, (str, int, float, bool, tuple, list, dict, frozenset)):
         # module-level data an op reads (SQL strings, option dicts):
         # attribute to the referencing name — behavior-bearing state.
@@ -148,9 +162,15 @@ def _visit(v, name: str, seen: dict) -> None:
         if isinstance(v, frozenset):
             # set iteration order is hash-randomized per process
             v = sorted(map(repr, v))
-        key = f"<const>.{name}"
-        if key not in seen or seen[key] != repr(v):
-            seen[key] = repr(v)
+        # key carries a digest of the VALUE, not just the referencing
+        # name: two same-named constants reachable from one op's walk
+        # (e.g. package-internal `_OPTS` dicts in two modules) would
+        # otherwise collide last-writer-wins, masking a real change to
+        # one behind the unchanged other (ADVICE r10). Every distinct
+        # observed value now contributes its own entry, order-free.
+        rv = repr(v)
+        key = f"<const>.{name}#{hashlib.sha256(rv.encode()).hexdigest()[:12]}"
+        seen[key] = rv
 
 
 def compute_hashes(repo: str) -> dict[str, str]:

@@ -240,6 +240,41 @@ PROBE = [
 ]
 
 
+def _base_fingerprint() -> str:
+    """Identity of the BASE fixture the 5× copy was replicated from:
+    path + per-table (size, mtime_ns). A regenerated fixture changes
+    this even when file names don't."""
+    parts = [BASE]
+    for name in sorted(TABLES):
+        p = f"{BASE}/{name}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return "|".join(parts)
+
+
+def _scaled_is_current() -> bool:
+    """True iff the existing 5× copy was built from the CURRENT base
+    fixture. Without this, --only silently reused a /tmp copy built
+    from a since-regenerated fixture and the printed ratio compared
+    mismatched data (ADVICE r10) — the ratios feed SCALING.md rows."""
+    marker = f"{SCALED}/.base_fingerprint"
+    try:
+        stored = open(marker).read()
+    except OSError:
+        print(f"[scale_probe] no fingerprint marker at {marker}; rebuilding")
+        return False
+    if stored != _base_fingerprint():
+        print(
+            "[scale_probe] 5x copy is STALE (base fixture changed since "
+            "the copy was built); rebuilding"
+        )
+        return False
+    return True
+
+
 def build_scaled(spark) -> None:
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
@@ -271,6 +306,8 @@ def build_scaled(spark) -> None:
         for p in parts[1:]:
             scaled = scaled.unionByName(p)
         scaled.write.mode("overwrite").parquet(out)
+    with open(f"{SCALED}/.base_fingerprint", "w") as f:
+        f.write(_base_fingerprint())
 
 
 def _time_one(spark, qs, name: str, sf_dir: str) -> float:
@@ -310,8 +347,14 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if only:
-        if "--rebuild" in sys.argv or not os.path.isdir(SCALED):
+        if (
+            "--rebuild" in sys.argv
+            or not os.path.isdir(SCALED)
+            or not _scaled_is_current()
+        ):
             build_scaled(spark)
+        else:
+            print(f"[scale_probe] reusing current 5x copy at {SCALED}")
         spark.stop()
         spark = get_spark("scale-probe-measure")
         spark.sparkContext.setLogLevel("ERROR")
