@@ -69,11 +69,19 @@ OPS = [
     "agg_transpose_matrix", "agg_moments_exact", "agg_filter_clause",
     "agg_bitmap_distinct", "agg_count_distinct_multi", "agg_percentile",
     "agg_unpivot", "agg_weighted_avg", "agg_regression_exact",
+    "agg_median_mode", "agg_mad_anomaly", "win_median_rolling",
     "array_ops", "array_fold_dot", "array_posexplode",
     "array_exists_forall", "events_retention",
     "events_active_users_rolling", "tpcdi_dim_date", "tpcdi_dim_time",
     "tpcdi_dimessages", "tpcdi_prospect_match", "tpcdi_reference_dims",
     "vec_pca_project", "vec_quantize_pq",
+    # agg_approx_percentile is deliberately NOT driven on this fixture:
+    # its 2%-RELATIVE self-check flag is calibrated for groups whose
+    # percentile targets sit away from sign-crossing/wide-gap
+    # interpolation, and group S below exists precisely to violate
+    # that (the ±pair that pins the −0.0 canonicalization). Its +0.0
+    # fix shares _util.pz with agg_percentile, which IS driven here,
+    # and its own certification runs at sf0.01 in the r11 window.
 ]
 
 
@@ -110,6 +118,14 @@ def _lineitem():
         (7, 17, 104, 1, 5.0, 10.0, 0.0, "C", "O"),
         (8, 18, 104, 1, 5.0, 20.0, 0.0, "C", "F"),
         (9, 19, 105, 1, 5.0, 30.0, 0.0, "C", "O"),
+        # S: the ±pair whose median interpolates across zero — Spark's
+        # engine-internal percentile emits −0.0 here, DuckDB +0.0
+        # (r11 find); _util.pz canonicalizes both. One shared partkey
+        # so the rolling-median frame hits the same pair.
+        (10, 200, 106, 1, 1.0, -0.01, 0.0, "S", "O"),
+        (11, 200, 106, 2, 1.0, -0.0, 0.0, "S", "O"),
+        (12, 200, 106, 3, 1.0, 0.0, 0.0, "S", "O"),
+        (13, 200, 106, 4, 1.0, 0.01, 0.0, "S", "O"),
     ]
     return [
         (ok, pk, sk, ln, q, p, d, 0.02, rf, ls, TS)
@@ -304,6 +320,22 @@ def test_filter_clause_strict_boundary(spark, edge_dir):
     assert got["O"]["n_big"] == 0                 # 200000 is NOT > 200000
     assert got["O"]["urgent_total"] == 200050.25  # NULL price skipped
     assert got[None]["urgent_total"] is None      # no matching rows
+
+
+def test_percentile_signed_zero_canonicalized(spark, edge_dir):
+    import math
+
+    # group S medians the ±pair: raw Spark percentile emits −0.0 here
+    # (measured r11); pz must deliver +0.0, matching DuckDB
+    got = _rows(spark, "agg_percentile", edge_dir, "l_returnflag")
+    assert got["S"]["p50"] == 0.0
+    assert math.copysign(1.0, got["S"]["p50"]) == 1.0
+    # rolling form: the trailing-5 frame at the last S row spans the
+    # same ±pair
+    med = _QUERIES["win_median_rolling"](spark, edge_dir)
+    last = med.filter("l_partkey = 200 AND l_orderkey = 13").collect()[0]
+    assert last.med5 == 0.0
+    assert math.copysign(1.0, last.med5) == 1.0
 
 
 def test_percentile_two_point_interpolation(spark, edge_dir):

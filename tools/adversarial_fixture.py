@@ -252,6 +252,33 @@ def main() -> None:
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
+    # DEGENERATE-GROUP rows (r11 denominator sweep; VERDICT r10 item 6
+    # sibling enumeration): two whole groups the modular pools can
+    # never produce (every flag cycles through the full QTY pool, so
+    # no pooled group is constant). Group 'Z': constant quantity —
+    # zero x-variance fires agg_regression_exact's NULLIF slope,
+    # agg_stats' guarded corr, and agg_moments-class pow(0,1.5)
+    # paths registry-wide. Group 'W': signed quantities cancelling to
+    # EXACTLY zero — fires agg_weighted_avg's NULLIF weight sum.
+    # PRICES here are positive and tightly clustered BY DESIGN:
+    # agg_approx_percentile's 2%-relative self-check is calibrated for
+    # groups whose percentile targets sit away from sign-crossing /
+    # wide-gap interpolation (tiny groups with ±near-zero prices made
+    # the element-returning sketch honestly report False — the first
+    # regen of these rows measured it). The ±pair → −0.0 percentile
+    # find that regen ALSO surfaced is fixed engine-side (_util.pz)
+    # and pinned in tests/test_r11_window_edges.py on its own group.
+    degenerate = [
+        (N * 2 + j, N + j, 10 + j, 1, 5.0,
+         [100.25, 101.5, 102.675, 103.125][j], 0.25, 0.125,
+         "Z", "O", pick(TS, j))
+        for j in range(4)
+    ] + [
+        (N * 2 + 4 + j, N + 4 + j, 14 + j, 1, [7.5, -7.5, 42.0, -42.0][j],
+         [205.005, 206.5, 207.25, 208.675][j], 0.5, 0.0,
+         "W", "F", pick(TS, j + 2))
+        for j in range(4)
+    ]
     write(
         "lineitem",
         [
@@ -269,7 +296,8 @@ def main() -> None:
                 pick(TS, i),
             )
             for i in range(N * 4)
-        ],
+        ]
+        + degenerate,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"

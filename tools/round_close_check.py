@@ -59,7 +59,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 11). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 866
+EXPECTED_MIN_TESTS = 870
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -82,10 +82,19 @@ EXPECTED_MIN_TESTS = 866
 #   agg_count_distinct_multi — oracle-only: DuckDB's row-value
 #     COUNT(DISTINCT (a,b)) counts any-NULL tuples that Spark's (SQL-
 #     standard) count_distinct skips; the oracle now CASE-guards.
+# Plus the signed-zero percentile sweep (the first regen of the
+# degenerate adversarial rows measured Spark's engine-internal
+# percentile emitting −0.0 where DuckDB's quantile_cont emits +0.0 on
+# ±pair interpolation — grouped AND rolling forms; every
+# percentile-derived output is now +0.0-canonicalized via _util.pz,
+# mirrored `+ 0.0` in the oracles):
+#   agg_percentile, agg_approx_percentile (exact columns),
+#   agg_median_mode, agg_mad_anomaly (med_v), win_median_rolling.
 # Cleared when the next rotation folds the elevations into the schedule.
 ROUND_ELEVATIONS = (
     "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
-    "agg_count_distinct_multi"
+    "agg_count_distinct_multi,agg_percentile,agg_approx_percentile,"
+    "agg_median_mode,agg_mad_anomaly,win_median_rolling"
 )
 
 

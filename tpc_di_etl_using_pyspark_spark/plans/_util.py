@@ -146,6 +146,23 @@ def sql_dround(expr: str, n: int) -> str:
     return f"CAST(ROUND(CAST({expr} AS {SQL_DEC}), {n}) AS DOUBLE)"
 
 
+def pz(col) -> Column:
+    """+0.0-canonicalize a double: −0.0 → +0.0, everything else (incl.
+    NULL and NaN) unchanged — IEEE −0.0 + 0.0 = +0.0.
+
+    Engine-INTERNAL percentile interpolation is the one place the
+    repo's identical-expression-tree discipline can't reach: Spark's
+    `percentile` emits −0.0 where DuckDB's `quantile_cont` emits +0.0
+    when the interpolation lands between a ±pair (measured, r11
+    adversarial probe: p50 of (−0.01, −0.0, 0.0, 0.01), grouped AND
+    rolling-window forms). The two values are equal everywhere except
+    the driver's float.hex() canonicalizer, which is exactly where
+    certification happens. Apply to every percentile-derived OUTPUT
+    column and mirror `+ 0.0` in the oracle SQL."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c + F.lit(0.0)
+
+
 def epoch_s(col) -> Column:
     """Timestamp → FLOOR epoch seconds (bigint), identical across ns/µs
     storage and session timezones.

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DEC, SQL_DEC, dround, epoch_s, t
+from ._util import DEC, SQL_DEC, dround, epoch_s, pz, t
 
 QUERIES = {}
 ORACLES = {}
@@ -756,7 +756,7 @@ def win_slope_rolling(spark: SparkSession, d: str) -> DataFrame:
               quantile_cont(l_extendedprice, 0.5) OVER (
                 PARTITION BY l_partkey
                 ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
-                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 0.0 AS med5
        FROM lineitem""",
 )
 def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
@@ -765,8 +765,10 @@ def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
     win_moving_avg]. Spark's exact percentile over a rows frame is
     bit-identical to DuckDB's quantile_cont (both linear-interpolate
     between the two middle order statistics), so no rounding mask is
-    needed. One shuffle+sort; the frame sort is reused from the window
-    ordering."""
+    needed — EXCEPT the sign of zero when a frame's middle pair is
+    ±x (Spark −0.0, DuckDB +0.0; r11 rolling-window probe), hence
+    pz/+0.0 on the output. One shuffle+sort; the frame sort is reused
+    from the window ordering."""
     li = t(spark, d, "lineitem")
     w = (
         Window.partitionBy("l_partkey")
@@ -778,7 +780,7 @@ def win_median_rolling(spark: SparkSession, d: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("sd"),
         "l_orderkey",
         "l_linenumber",
-        F.percentile("l_extendedprice", F.lit(0.5)).over(w).alias("med5"),
+        pz(F.percentile("l_extendedprice", F.lit(0.5)).over(w)).alias("med5"),
     )
 
 

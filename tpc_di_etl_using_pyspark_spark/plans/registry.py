@@ -51,15 +51,17 @@ _MODULES = [
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
     # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 33 oldest round-5 ops +
-    #     2 ELEVATED r5 ops), per the schedule above, VERDICT r10
-    #     item 1, and the standing edited-op rule. Five ops changed
-    #     code this round (the r11 degenerate-denominator sweep, all
-    #     declared in ROUND_ELEVATIONS in tools/round_close_check.py):
-    #     agg_stats, agg_count_distinct_multi, agg_moments_exact were
-    #     already scheduled into this window; agg_weighted_avg and
-    #     agg_regression_exact are elevated INTO it, displacing the
-    #     two youngest non-elevated r5 window ops (agg_percentile,
+    #     round-4-certified remainder + the 25 oldest non-elevated
+    #     round-5 ops + 10 ELEVATED ops), per the schedule above,
+    #     VERDICT r10 item 1, and the standing edited-op rule. Ten ops
+    #     changed code this round — the degenerate-denominator sweep
+    #     (5) and the signed-zero percentile sweep (5) — all declared
+    #     in ROUND_ELEVATIONS in tools/round_close_check.py. Three of
+    #     them (agg_stats, agg_moments_exact, agg_count_distinct_multi)
+    #     were already scheduled into this window; the other seven are
+    #     elevated INTO it, displacing the six youngest non-elevated
+    #     r5 window ops (agg_cube, agg_grouping_sets,
+    #     agg_transpose_matrix, agg_filter_clause, agg_bitmap_distinct,
     #     agg_unpivot) to the r5-remainder head for round 12.
     # 1-15: the r4-certified remainder — the stalest certs in the
     # repo (age 7 at r11, formally past the 6-round cap; the rotation
@@ -106,31 +108,43 @@ _PRIORITY = [
     "events_retention",
     "events_active_users_rolling",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_stats",
-    "agg_transpose_matrix",
     "agg_moments_exact",
-    "agg_filter_clause",
-    "agg_bitmap_distinct",
     "agg_count_distinct_multi",
-    # ELEVATED (r11 denominator sweep — NULLIF guards on the weight
-    # sum and the zero-x-variance regression denominator; see each
-    # op's docstring):
+    # ELEVATED (the r11 hardening waves; each op's docstring carries
+    # the probe evidence):
+    #   degenerate-denominator sweep — NULLIF guards on the weight sum
+    #   (agg_weighted_avg), the zero-x-variance regression denominator
+    #   (agg_regression_exact), plus the three in-window guards above
+    #   (agg_stats, agg_moments_exact, agg_count_distinct_multi);
+    #   signed-zero percentile sweep — Spark's engine-internal
+    #   percentile emits −0.0 where DuckDB's quantile_cont emits +0.0
+    #   when interpolation lands between a ±pair; every
+    #   percentile-derived output is +0.0-canonicalized (_util.pz) in
+    #   both engines:
     "agg_weighted_avg",
     "agg_regression_exact",
-    # --- round-5-certified remainder (9, led by the two ops the r11
-    #     elevations displaced): head of the round-12 window ---
     "agg_percentile",
+    "agg_median_mode",
+    "agg_approx_percentile",
+    "agg_mad_anomaly",
+    "win_median_rolling",
+    # --- round-5-certified remainder (12, led by the five ops the
+    #     r11 elevations displaced): head of the round-12 window ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_transpose_matrix",
+    "agg_filter_clause",
+    "agg_bitmap_distinct",
     "agg_unpivot",
     "agg_string_concat_group",
     "agg_pivot_dynamic",
-    "agg_median_mode",
     "agg_histogram_fixed",
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (43): round-12 tail + round-13 head ---
+    # --- round-6-certified block (42; win_median_rolling elevated to
+    #     the r11 window): round-12 tail + round-13 head ---
     "agg_collect_sorted",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -155,7 +169,6 @@ _PRIORITY = [
     "join_null_safe",
     "join_interval_overlap",
     "win_slope_rolling",
-    "win_median_rolling",
     "win_percent_of_parent",
     "win_zscore_anomaly",
     "text_bigram_logprob",
@@ -222,7 +235,8 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (46) ---
+    # --- round-8-certified block (45; agg_approx_percentile elevated
+    #     to the r11 window) ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -235,7 +249,6 @@ _PRIORITY = [
     "agg_pivot",
     "agg_bool",
     "agg_approx_count_distinct",
-    "agg_approx_percentile",
     "map_ops",
     "sim_ivf_topk",
     "sim_ivf_index_partitioned",
@@ -269,8 +282,9 @@ _PRIORITY = [
     "text_unigram_logprob",
     "pack_sequences_greedy",
     "sample_stratified_exact",
-    # --- round-9-certified block (46): the r9 window minus the
-    #     four ops re-elevated above, youngest certs ---
+    # --- round-9-certified block (45): the r9 window minus the
+    #     four ops re-elevated in r10 and agg_mad_anomaly (elevated to
+    #     the r11 window) ---
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
@@ -297,7 +311,6 @@ _PRIORITY = [
     "sketch_count_min",
     "win_rolling_corr",
     "sketch_bloom_filter",
-    "agg_mad_anomaly",
     "events_path_trigrams",
     "text_ngram_topk",
     "dedup_chunk_level",
