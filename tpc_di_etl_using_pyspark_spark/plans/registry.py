@@ -37,10 +37,13 @@ _MODULES = [
 # tools/cert_age_check.py as round_close_check's final step):
 #
 #   round 10 (done, 50/50 green): 17 age-7 r3 + 6 elevated + 27 r4
-#   round 11 (THIS round): rest of the r4 block (15) + 35 oldest r5
-#   round 12: rest of r5 (9) + r6 block (41)
-#   round 13: rest of r6 (2) + r7 block (47) + 1 oldest r8
-#   round 14: rest of r8 (45) + 5 oldest r9
+#   round 11 (THIS round): rest of the r4 block (15) + 25 oldest r5
+#     + 10 elevated (the two r11 hardening sweeps; see the window
+#     comment below — the elevations displaced 6 r5 ops and pulled 4
+#     ops forward out of the r6/r8/r9 blocks)
+#   round 12: rest of r5 (12) + 38 oldest r6
+#   round 13: rest of r6 (4) + 46 oldest r7
+#   round 14: rest of r7 (1) + r8 block (45) + 4 oldest r9
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
