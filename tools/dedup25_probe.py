@@ -55,6 +55,29 @@ OPS = [
 ]
 
 
+def base_fingerprint() -> str:
+    """Identity of the BASE tables the 25× copy replicates (path +
+    size/mtime): a regenerated fixture must invalidate the copy, or a
+    reusing probe silently measures mismatched data (the scale_probe
+    --only staleness class, ADVICE r10)."""
+    parts = [BASE]
+    for name in ("documents", "embeddings"):
+        p = f"{BASE}/{name}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return "|".join(parts)
+
+
+def scaled_is_current() -> bool:
+    try:
+        return open(f"{SCALED}/.base_fingerprint").read() == base_fingerprint()
+    except OSError:
+        return False
+
+
 def build_scaled(spark) -> None:
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
@@ -69,6 +92,8 @@ def build_scaled(spark) -> None:
         for p in reps[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{SCALED}/{name}.parquet")
+    with open(f"{SCALED}/.base_fingerprint", "w") as f:
+        f.write(base_fingerprint())
 
 
 def _occupancy(bk, cols) -> dict:

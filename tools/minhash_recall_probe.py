@@ -33,7 +33,7 @@ from tpc_di_etl_using_pyspark_spark.llm.minhash import minhash_near_dups  # noqa
 from tpc_di_etl_using_pyspark_spark.plans._util import t  # noqa: E402
 from tpc_di_etl_using_pyspark_spark.session import get_spark  # noqa: E402
 
-from dedup25_probe import SCALED, build_scaled  # noqa: E402
+from dedup25_probe import SCALED, build_scaled, scaled_is_current  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CAPS = [200, 64, 32]  # shipping cap first, then caps that bite at 25x
@@ -53,7 +53,8 @@ def pair_count(spark, d: str, max_bucket: int | None) -> int:
 def main() -> None:
     spark = get_spark("minhash-recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.isdir(SCALED):
+    if not scaled_is_current():
+        print("[minhash_recall_probe] 25x copy missing or stale; rebuilding")
         build_scaled(spark)
     uncapped = pair_count(spark, SCALED, None)
     rows = []
