@@ -910,8 +910,10 @@ def sql_groupby_all(spark: SparkSession, d: str) -> DataFrame:
          FROM orders GROUP BY o_orderstatus)
        SELECT o_orderstatus,
               s1 / n AS mean,
-              CAST(ROUND(CAST(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
-                              AS DECIMAL(25,6)), 6) AS DOUBLE) AS stddev_pop,
+              CASE WHEN s2 IS NULL THEN NULL
+                   ELSE CAST(ROUND(CAST(
+                     sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+                     AS DECIMAL(25,6)), 6) AS DOUBLE) END AS stddev_pop,
               CAST(ROUND(CAST(
                 (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
                 / NULLIF(pow(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0), 1.5), 0.0)
@@ -935,7 +937,11 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
     DuckDB's sqrt THROWS (Spark yields NaN, whose DECIMAL cast then
     throws under ANSI). greatest(var, 0) + NULLIF(denominator, 0) in
     BOTH engines: stddev 0, skewness NULL for such groups — one
-    constant-valued key must never kill a 100 TB job."""
+    constant-valued key must never kill a 100 TB job. An ALL-NULL
+    group (var itself NULL) keeps stddev NULL rather than letting
+    greatest(NULL, 0) → 0 misreport it as constant (both engines'
+    greatest SKIP NULLs — probe-verified identical — so the CASE
+    guard is about semantics, not parity)."""
     o = t(spark, d, "orders")
     tp = F.col("o_totalprice")
     s = o.groupBy("o_orderstatus").agg(
@@ -956,7 +962,7 @@ def agg_moments_exact(spark: SparkSession, d: str) -> DataFrame:
     return s.select(
         "o_orderstatus",
         mean.alias("mean"),
-        dround(F.sqrt(var), 6).alias("stddev_pop"),
+        F.when(s2.isNotNull(), dround(F.sqrt(var), 6)).alias("stddev_pop"),
         dround(skew, 6).alias("skewness_pop"),
     )
 
