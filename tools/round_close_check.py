@@ -59,7 +59,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 11). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 873
+EXPECTED_MIN_TESTS = 894
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -90,11 +90,31 @@ EXPECTED_MIN_TESTS = 873
 # mirrored `+ 0.0` in the oracles):
 #   agg_percentile, agg_approx_percentile (exact columns),
 #   agg_median_mode, agg_mad_anomaly (med_v), win_median_rolling.
+# Plus the empty-slice sweep (a zero-row fixture with the driver
+# schemas, swept registry-wide — one empty date-slice/partition must
+# not kill or corrupt a 100 TB job):
+#   scan_partition_pruned, sink_partitioned, join_dpp_partitioned,
+#   sink_merge_upsert, sim_ivf_index_partitioned — explicit read-back
+#     schemas (an empty partitioned write leaves zero part files and
+#     schema inference throws UNABLE_TO_INFER_SCHEMA);
+#   scan_binaryfile, scan_xml_flatten — read the always-present root
+#     with pathGlobFilter / partition discovery instead of a
+#     PATH_NOT_FOUND-throwing bucket-glob;
+#   audit_data_quality — COUNT(when) instead of SUM(CASE): an audit
+#     over an empty slice reports zero violations, not NULL;
+#   agg_rollup, agg_cube, agg_grouping_sets — oracle-only: the
+#     observed-groups-only contract (Spark emits no rows over empty
+#     input; the oracle's HAVING COUNT(*) > 0 is a no-op on real data
+#     and drops only the SQL-standard empty-input grand-total row).
 # Cleared when the next rotation folds the elevations into the schedule.
 ROUND_ELEVATIONS = (
     "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
     "agg_count_distinct_multi,agg_percentile,agg_approx_percentile,"
-    "agg_median_mode,agg_mad_anomaly,win_median_rolling"
+    "agg_median_mode,agg_mad_anomaly,win_median_rolling,"
+    "agg_rollup,agg_cube,agg_grouping_sets,join_dpp_partitioned,"
+    "scan_partition_pruned,scan_binaryfile,sink_partitioned,"
+    "sink_merge_upsert,sim_ivf_index_partitioned,audit_data_quality,"
+    "scan_xml_flatten"
 )
 
 

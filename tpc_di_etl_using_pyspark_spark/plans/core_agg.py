@@ -197,10 +197,20 @@ def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
               COUNT(*) AS n_orders,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
        FROM orders
-       GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
+       GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+       HAVING COUNT(*) > 0""",
 )
 def agg_rollup(spark: SparkSession, d: str) -> DataFrame:
-    """ROLLUP subtotal hierarchy [SPEC: batch -> table -> total audit report]."""
+    """ROLLUP subtotal hierarchy [SPEC: batch -> table -> total audit
+    report].
+
+    Empty-input semantics (r11 empty-slice sweep): Spark's rollup
+    emits NO rows over empty input, while the SQL standard (and
+    DuckDB) emit the () grouping set's grand-total row with count 0.
+    The contract here is observed-groups-only — the oracle's
+    HAVING COUNT(*) > 0 is a no-op on any non-empty input (every
+    grouping-set row aggregates ≥ 1 source row) and drops only the
+    empty-input phantom row."""
     o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
     return (
         o.rollup("o_year", "o_orderstatus")
@@ -220,10 +230,13 @@ def agg_rollup(spark: SparkSession, d: str) -> DataFrame:
                    + GROUPING(o_orderstatus) AS INTEGER) AS gid,
               COUNT(*) AS n_orders
        FROM orders
-       GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
+       GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+       HAVING COUNT(*) > 0""",
 )
 def agg_cube(spark: SparkSession, d: str) -> DataFrame:
-    """CUBE all-combination subtotals [EXT]."""
+    """CUBE all-combination subtotals [EXT]. Observed-groups-only on
+    empty input (see agg_rollup — the oracle HAVING mirrors Spark's
+    no-rows-over-empty semantics at zero cost on real data)."""
     o = t(spark, d, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
     return (
         o.cube("o_year", "o_orderstatus")
@@ -238,10 +251,14 @@ def agg_cube(spark: SparkSession, d: str) -> DataFrame:
               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
               COUNT(*) AS n_orders
        FROM orders
-       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       HAVING COUNT(*) > 0""",
 )
 def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() discriminator [EXT]."""
+    """Explicit GROUPING SETS with grouping() discriminator [EXT].
+    Observed-groups-only on empty input (see agg_rollup — the oracle
+    HAVING mirrors Spark's no-rows-over-empty semantics at zero cost
+    on real data)."""
     o = t(spark, d, "orders")
     o.createOrReplaceTempView("gs_orders")
     return spark.sql(

@@ -254,7 +254,12 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
         .partitionBy("bucket")  # one file per bucket → one XML doc per file
         .text(path)
     )
-    flat = flatten_customer_mgmt(spark, path + "/bucket=*/part-*")
+    # read the (always-present) ROOT, not a bucket=*/part-* glob: an
+    # empty input slice writes zero bucket dirs and a glob then throws
+    # PATH_NOT_FOUND (r11 empty-slice sweep). Partition discovery adds
+    # a harmless `bucket` column; _SUCCESS markers are filtered by the
+    # file index as hidden.
+    flat = flatten_customer_mgmt(spark, path)
     return flat.select("action_type", "c_id", "c_last", "acct_id", "acct_tax_status")
 
 
@@ -283,16 +288,16 @@ def sink_parquet(spark: SparkSession, d: str) -> DataFrame:
 )
 def sink_partitioned(spark: SparkSession, d: str) -> DataFrame:
     """Partitioned warehouse write [REF*: batch-partitioned loads]:
-    write partitioned by year, read back via partition discovery."""
+    write partitioned by year, read back with the writer's explicit
+    schema (an empty input slice writes zero part files; schema
+    inference on the read-back would throw UNABLE_TO_INFER_SCHEMA —
+    r11 empty-slice sweep)."""
     path = _scratch(d, "sink_partitioned")
-    (
-        t(spark, d, "orders")
-        .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("o_year")
-        .parquet(path)
+    src = t(spark, d, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
     )
-    back = spark.read.parquet(path)
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.schema(src.schema).parquet(path)
     return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -495,7 +500,16 @@ def scan_binaryfile(spark: SparkSession, d: str) -> DataFrame:
         .partitionBy("doc_id")
         .text(path)
     )
-    raw = spark.read.format("binaryFile").load(path + "/doc_id=*/part-*")
+    # pathGlobFilter instead of a path glob: a glob over an empty
+    # write (zero doc_id=* dirs) throws PATH_NOT_FOUND, while loading
+    # the (always-present) root with the filter returns an empty
+    # relation — binaryFile's schema is fixed, so no inference risk
+    # (r11 empty-slice sweep)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+    )
     return raw.select(
         F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
         F.col("length").alias("n_bytes"),
@@ -522,16 +536,24 @@ def scan_partition_pruned(spark: SparkSession, d: str) -> DataFrame:
     a partition-column predicate; the plan's PartitionFilters (and a
     partition count below the total — asserted in test_plans) prove
     the filter was applied at file listing, not per row after a full
-    scan."""
+    scan.
+
+    The read-back carries the writer's EXPLICIT schema (r11
+    empty-slice sweep): an empty input slice writes zero part files
+    and schema INFERENCE on the read-back then throws
+    UNABLE_TO_INFER_SCHEMA — one empty date-slice must not kill the
+    job. Explicit schema also pins the partition-column type instead
+    of directory-name inference."""
     path = _scratch(d, "orders_by_year")
-    (
-        t(spark, d, "orders")
-        .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("o_year")
-        .parquet(path)
+    src = t(spark, d, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
     )
-    back = spark.read.parquet(path).filter(F.col("o_year") >= 2000)
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = (
+        spark.read.schema(src.schema)
+        .parquet(path)
+        .filter(F.col("o_year") >= 2000)
+    )
     return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
@@ -595,7 +617,10 @@ def join_dpp_partitioned(spark: SparkSession, d: str) -> DataFrame:
     path = _scratch(d, "orders_by_year_dpp")
     o = t(spark, d, "orders").withColumn("y", F.year("o_orderdate"))
     o.write.mode("overwrite").partitionBy("y").parquet(path)
-    fact = spark.read.parquet(path)
+    # explicit schema: an empty slice writes zero part files and
+    # read-back inference throws (r11 empty-slice sweep); DPP planting
+    # is unaffected (asserted in test_plans)
+    fact = spark.read.schema(o.schema).parquet(path)
     # dim: one row per year PRESENT IN THE DATA with a derived
     # attribute; the filter is on the attribute, so static pruning
     # can't see the year list. Deriving the dim from the fact's year
@@ -865,6 +890,10 @@ def sink_merge_upsert(spark: SparkSession, d: str) -> DataFrame:
         "c_bucket", (F.col("c_custkey") % 8).cast("int")
     )
     base.write.mode("overwrite").partitionBy("c_bucket").parquet(path)
+    # explicit read-back schema throughout: an empty input slice
+    # writes zero part files and inference throws (r11 empty-slice
+    # sweep)
+    tgt_schema = base.schema
 
     # update batch: existing keys get a balance adjustment (IEEE double
     # add — bit-identical in both engines); three inserts beyond MAX,
@@ -888,7 +917,7 @@ def sink_merge_upsert(spark: SparkSession, d: str) -> DataFrame:
     updates = upd.select(*cols).unionByName(ins.select(*cols))
 
     # read-modify-write of ONLY the affected partitions
-    target = spark.read.parquet(path)
+    target = spark.read.schema(tgt_schema).parquet(path)
     affected = updates.select("c_bucket").distinct()
     pruned = target.join(F.broadcast(affected), "c_bucket", "semi")
     kept = pruned.join(updates.select("c_custkey"), "c_custkey", "anti")
@@ -906,7 +935,7 @@ def sink_merge_upsert(spark: SparkSession, d: str) -> DataFrame:
         else:
             spark.conf.set(conf_key, old)
 
-    back = spark.read.parquet(path)
+    back = spark.read.schema(tgt_schema).parquet(path)
     return back.select(
         "c_custkey",
         "c_name",

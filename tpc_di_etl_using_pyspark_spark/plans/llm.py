@@ -1291,17 +1291,19 @@ def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
     # processes must not clobber each other's index between write & probe
     path = f"/tmp/spark_graft_scratch/p{_os.getpid()}/{tag}/ivf_index"
     _os.makedirs(_os.path.dirname(path), exist_ok=True)
-    (
-        e.select("vec_id", v.alias("v"), best_cell(v).alias("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    index = e.select("vec_id", v.alias("v"), best_cell(v).alias("cell"))
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
     qcell = max(
         range(n_cells), key=lambda c: sum(x * y for x, y in zip(cents[c], qvec))
     )
     q = F.array(*[F.lit(x) for x in qvec])
-    probe = spark.read.parquet(path).filter(F.col("cell") == qcell)
+    # explicit schema: an empty corpus writes zero part files and
+    # read-back inference throws (r11 empty-slice sweep)
+    probe = (
+        spark.read.schema(index.schema)
+        .parquet(path)
+        .filter(F.col("cell") == qcell)
+    )
     return (
         probe.select(
             "vec_id",

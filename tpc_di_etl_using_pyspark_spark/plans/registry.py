@@ -37,13 +37,13 @@ _MODULES = [
 # tools/cert_age_check.py as round_close_check's final step):
 #
 #   round 10 (done, 50/50 green): 17 age-7 r3 + 6 elevated + 27 r4
-#   round 11 (THIS round): rest of the r4 block (15) + 25 oldest r5
-#     + 10 elevated (the two r11 hardening sweeps; see the window
-#     comment below — the elevations displaced 6 r5 ops and pulled 4
-#     ops forward out of the r6/r8/r9 blocks)
-#   round 12: rest of r5 (12) + 38 oldest r6
-#   round 13: rest of r6 (4) + 46 oldest r7
-#   round 14: rest of r7 (1) + r8 block (45) + 4 oldest r9
+#   round 11 (THIS round): rest of the r4 block (15) + 14 oldest r5
+#     + 21 elevated (the three r11 hardening sweeps; see the window
+#     comments below — the elevations displaced 9 r5 ops to the r12
+#     head and pulled 7 ops forward out of the r6/r7/r8/r9/r10 blocks)
+#   round 12: rest of r5 (19) + 31 oldest r6
+#   round 13: rest of r6 (9) + 41 oldest r7
+#   round 14: rest of r7 (4) + r8 block (44) + 2 oldest r9
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
@@ -54,18 +54,16 @@ _MODULES = [
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
     # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 25 oldest non-elevated
-    #     round-5 ops + 10 ELEVATED ops), per the schedule above,
-    #     VERDICT r10 item 1, and the standing edited-op rule. Ten ops
-    #     changed code this round — the degenerate-denominator sweep
-    #     (5) and the signed-zero percentile sweep (5) — all declared
-    #     in ROUND_ELEVATIONS in tools/round_close_check.py. Three of
-    #     them (agg_stats, agg_moments_exact, agg_count_distinct_multi)
-    #     were already scheduled into this window; the other seven are
-    #     elevated INTO it, displacing the six youngest non-elevated
-    #     r5 window ops (agg_cube, agg_grouping_sets,
-    #     agg_transpose_matrix, agg_filter_clause, agg_bitmap_distinct,
-    #     agg_unpivot) to the r5-remainder head for round 12.
+    #     round-4-certified remainder + the 14 oldest non-elevated
+    #     round-5 ops + 21 ELEVATED ops), per the schedule above,
+    #     VERDICT r10 item 1, and the standing edited-op rule.
+    #     Twenty-one ops changed code/oracle this round across three
+    #     probe-driven hardening sweeps (degenerate denominators,
+    #     signed-zero percentiles, empty input slices — see the
+    #     ELEVATED sub-comments below and ROUND_ELEVATIONS in
+    #     tools/round_close_check.py); the elevations displaced the
+    #     nine youngest non-elevated r5 window ops (the tpcdi/events
+    #     group) to the r5-remainder head for round 12.
     # 1-15: the r4-certified remainder — the stalest certs in the
     # repo (age 7 at r11, formally past the 6-round cap; the rotation
     # canary test was red from the CORRECTNESS_r10 drop until this
@@ -85,7 +83,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # 16-50: the 35 oldest round-5-certified ops, r5-window order.
+    # 16-29: the 14 oldest non-elevated round-5 ops, r5-window order.
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -99,18 +97,7 @@ _PRIORITY = [
     "sql_pipe_syntax",
     "sink_python_datasource",
     "multimodal_image_resize",
-    "join_dpp_partitioned",
     "vec_quantize_pq",
-    "tpcdi_marketing_nameplate",
-    "tpcdi_prospect_match",
-    "tpcdi_dim_date",
-    "tpcdi_dim_time",
-    "tpcdi_dimessages",
-    "tpcdi_scd2_hybrid_type1",
-    "tpcdi_reference_dims",
-    "events_retention",
-    "events_active_users_rolling",
-    "agg_rollup",
     "agg_stats",
     "agg_moments_exact",
     "agg_count_distinct_multi",
@@ -132,10 +119,36 @@ _PRIORITY = [
     "agg_approx_percentile",
     "agg_mad_anomaly",
     "win_median_rolling",
-    # --- round-5-certified remainder (12, led by the five ops the
-    #     r11 elevations displaced): head of the round-12 window ---
+    #   empty-slice sweep (a zero-row fixture with the driver schemas,
+    #   swept registry-wide): explicit read-back schemas on every
+    #   partitioned write-then-read op (an empty slice writes zero
+    #   part files and schema inference throws UNABLE_TO_INFER_SCHEMA),
+    #   pathGlobFilter/root reads instead of PATH_NOT_FOUND-throwing
+    #   globs, COUNT(when) instead of NULL-on-empty SUM(CASE) in the
+    #   audit, and observed-groups-only grouping-set oracles
+    #   (HAVING COUNT(*) > 0 — a no-op on real data):
+    "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
+    "join_dpp_partitioned",
+    "scan_partition_pruned",
+    "scan_binaryfile",
+    "sink_partitioned",
+    "sink_merge_upsert",
+    "sim_ivf_index_partitioned",
+    "audit_data_quality",
+    "scan_xml_flatten",
+    # --- round-5-certified remainder (19, led by the ops the r11
+    #     elevations displaced): head of the round-12 window ---
+    "tpcdi_marketing_nameplate",
+    "tpcdi_prospect_match",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dimessages",
+    "tpcdi_scd2_hybrid_type1",
+    "tpcdi_reference_dims",
+    "events_retention",
+    "events_active_users_rolling",
     "agg_transpose_matrix",
     "agg_filter_clause",
     "agg_bitmap_distinct",
@@ -146,8 +159,9 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (42; win_median_rolling elevated to
-    #     the r11 window): round-12 tail + round-13 head ---
+    # --- round-6-certified block (40; win_median_rolling,
+    #     scan_binaryfile, scan_partition_pruned elevated to the r11
+    #     window): round-12 tail + round-13 head ---
     "agg_collect_sorted",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -167,8 +181,6 @@ _PRIORITY = [
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
-    "scan_binaryfile",
-    "scan_partition_pruned",
     "join_null_safe",
     "join_interval_overlap",
     "win_slope_rolling",
@@ -190,7 +202,8 @@ _PRIORITY = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "sample_split_assign",
-    # --- round-7-certified block (47) ---
+    # --- round-7-certified block (45; sink_partitioned,
+    #     sink_merge_upsert elevated to the r11 window) ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -201,7 +214,6 @@ _PRIORITY = [
     "graph_triangle_count",
     "sample_temperature_mixture",
     "text_bpe_pair_count",
-    "sink_merge_upsert",
     "vec_pca_domain_check",
     "vec_quantize_int8",
     "scan_parquet",
@@ -209,7 +221,6 @@ _PRIORITY = [
     "scan_orc",
     "scan_text_fixedwidth",
     "sink_parquet",
-    "sink_partitioned",
     "sink_bucketed",
     "sink_table_overwrite_append",
     "project_select",
@@ -238,8 +249,8 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (45; agg_approx_percentile elevated
-    #     to the r11 window) ---
+    # --- round-8-certified block (44; agg_approx_percentile,
+    #     sim_ivf_index_partitioned elevated to the r11 window) ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -254,7 +265,6 @@ _PRIORITY = [
     "agg_approx_count_distinct",
     "map_ops",
     "sim_ivf_topk",
-    "sim_ivf_index_partitioned",
     "tpcdi_dim_company",
     "tpcdi_dim_security",
     "tpcdi_financial",
@@ -285,9 +295,9 @@ _PRIORITY = [
     "text_unigram_logprob",
     "pack_sequences_greedy",
     "sample_stratified_exact",
-    # --- round-9-certified block (45): the r9 window minus the
-    #     four ops re-elevated in r10 and agg_mad_anomaly (elevated to
-    #     the r11 window) ---
+    # --- round-9-certified block (44): the r9 window minus the
+    #     four ops re-elevated in r10 and agg_mad_anomaly +
+    #     audit_data_quality (elevated to the r11 window) ---
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
@@ -322,7 +332,6 @@ _PRIORITY = [
     "stream_quality_gate",
     "stream_incremental_dedup",
     "events_attribution_last_touch",
-    "audit_data_quality",
     "pipeline_ccnet_e2e",
     "sample_epoch_shuffle",
     "events_markov_transitions",
@@ -333,7 +342,8 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    # --- round-10-certified block (50): the r10 window, youngest
+    # --- round-10-certified block (49; scan_xml_flatten re-elevated
+    #     to the r11 window): the r10 window, youngest
     #     certs in the repo (17 r3-origin ops + the 6 r10 elevations
     #     — win_range_time_interval, str_levenshtein_link,
     #     dedup_url_canonical, scan_xml_flatten, xml_roundtrip_builtin,
@@ -360,7 +370,6 @@ _PRIORITY = [
     "win_range_time_interval",
     "str_levenshtein_link",
     "dedup_url_canonical",
-    "scan_xml_flatten",
     "xml_roundtrip_builtin",
     "tpcdi_holdings_pnl",
     "str_concat_phone",

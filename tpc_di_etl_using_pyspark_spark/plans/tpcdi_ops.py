@@ -1623,11 +1623,13 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
     c = t(spark, d, "customer")
 
     def check(name, df, viol_col, n_col=None):
+        # count(when(...)) is the exact mirror of the oracle's
+        # COUNT(*) FILTER: 0 over an empty relation, where the former
+        # SUM(CASE) was NULL (r11 empty-slice sweep — an audit over an
+        # empty slice must report zero violations, not NULL)
         return df.agg(
             F.lit(name).alias("check_name"),
-            F.sum(F.when(viol_col, 1).otherwise(0)).cast("bigint").alias(
-                "n_violations"
-            ),
+            F.count(F.when(viol_col, 1)).cast("bigint").alias("n_violations"),
             F.count(F.lit(1)).alias("n_checked"),
         )
 
