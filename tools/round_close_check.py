@@ -59,7 +59,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 11). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 894
+EXPECTED_MIN_TESTS = 931
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -106,6 +106,10 @@ EXPECTED_MIN_TESTS = 894
 #     observed-groups-only contract (Spark emits no rows over empty
 #     input; the oracle's HAVING COUNT(*) > 0 is a no-op on real data
 #     and drops only the SQL-standard empty-input grand-total row).
+# Plus one r12-window pre-probe find:
+#   agg_string_concat_group — oracle-only: an all-NULL group is '' in
+#     Spark (empty-set array_join) but NULL from DuckDB's string_agg;
+#     COALESCE'd to '' (the r4 array_to_string([]) class).
 # Cleared when the next rotation folds the elevations into the schedule.
 ROUND_ELEVATIONS = (
     "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
@@ -114,7 +118,7 @@ ROUND_ELEVATIONS = (
     "agg_rollup,agg_cube,agg_grouping_sets,join_dpp_partitioned,"
     "scan_partition_pruned,scan_binaryfile,sink_partitioned,"
     "sink_merge_upsert,sim_ivf_index_partitioned,audit_data_quality,"
-    "scan_xml_flatten"
+    "scan_xml_flatten,agg_string_concat_group"
 )
 
 

@@ -491,7 +491,8 @@ def agg_bool(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "agg_string_concat_group",
     """SELECT o_custkey,
-              string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+              COALESCE(string_agg(DISTINCT o_orderpriority, '|'
+                                  ORDER BY o_orderpriority), '')
                 AS priorities
        FROM orders GROUP BY o_custkey""",
 )
@@ -499,7 +500,13 @@ def agg_string_concat_group(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic grouped string aggregation: collect_set →
     sort_array → array_join (an unordered string_agg is
     shuffle-order-nondeterministic and never hash-comparable)
-    [REF*: code-list denormalization]."""
+    [REF*: code-list denormalization].
+
+    All-NULL groups: collect_set drops NULLs, so Spark's array_join
+    over the empty set yields '' while DuckDB's string_agg over zero
+    values yields NULL (the r4 array_to_string([]) class, found again
+    by the r12-window probe) — the oracle COALESCEs to '' to match
+    the Spark contract (empty list, not unknown)."""
     o = t(spark, d, "orders")
     return o.groupBy("o_custkey").agg(
         F.array_join(

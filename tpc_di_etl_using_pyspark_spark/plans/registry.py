@@ -37,13 +37,13 @@ _MODULES = [
 # tools/cert_age_check.py as round_close_check's final step):
 #
 #   round 10 (done, 50/50 green): 17 age-7 r3 + 6 elevated + 27 r4
-#   round 11 (THIS round): rest of the r4 block (15) + 14 oldest r5
-#     + 21 elevated (the three r11 hardening sweeps; see the window
-#     comments below — the elevations displaced 9 r5 ops to the r12
+#   round 11 (THIS round): rest of the r4 block (15) + 13 oldest r5
+#     + 22 elevated (the r11 hardening sweeps; see the window
+#     comments below — the elevations displaced 10 r5 ops to the r12
 #     head and pulled 7 ops forward out of the r6/r7/r8/r9/r10 blocks)
-#   round 12: rest of r5 (19) + 31 oldest r6
-#   round 13: rest of r6 (9) + 41 oldest r7
-#   round 14: rest of r7 (4) + r8 block (44) + 2 oldest r9
+#   round 12: rest of r5 (20) + 30 oldest r6
+#   round 13: rest of r6 (10) + 40 oldest r7
+#   round 14: rest of r7 (5) + r8 block (44) + 1 oldest r9
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
@@ -54,16 +54,17 @@ _MODULES = [
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
     # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 14 oldest non-elevated
-    #     round-5 ops + 21 ELEVATED ops), per the schedule above,
+    #     round-4-certified remainder + the 13 oldest non-elevated
+    #     round-5 ops + 22 ELEVATED ops), per the schedule above,
     #     VERDICT r10 item 1, and the standing edited-op rule.
-    #     Twenty-one ops changed code/oracle this round across three
+    #     Twenty-two ops changed code/oracle this round across the
     #     probe-driven hardening sweeps (degenerate denominators,
     #     signed-zero percentiles, empty input slices — see the
     #     ELEVATED sub-comments below and ROUND_ELEVATIONS in
     #     tools/round_close_check.py); the elevations displaced the
-    #     nine youngest non-elevated r5 window ops (the tpcdi/events
-    #     group) to the r5-remainder head for round 12.
+    #     ten youngest non-elevated r5 window ops (the tpcdi/events
+    #     group + vec_quantize_pq) to the r5-remainder head for
+    #     round 12.
     # 1-15: the r4-certified remainder — the stalest certs in the
     # repo (age 7 at r11, formally past the 6-round cap; the rotation
     # canary test was red from the CORRECTNESS_r10 drop until this
@@ -83,7 +84,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # 16-29: the 14 oldest non-elevated round-5 ops, r5-window order.
+    # 16-28: the 13 oldest non-elevated round-5 ops, r5-window order.
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -97,7 +98,6 @@ _PRIORITY = [
     "sql_pipe_syntax",
     "sink_python_datasource",
     "multimodal_image_resize",
-    "vec_quantize_pq",
     "agg_stats",
     "agg_moments_exact",
     "agg_count_distinct_multi",
@@ -138,7 +138,11 @@ _PRIORITY = [
     "sim_ivf_index_partitioned",
     "audit_data_quality",
     "scan_xml_flatten",
-    # --- round-5-certified remainder (19, led by the ops the r11
+    #   r12-window pre-probe: agg_string_concat_group's oracle
+    #   COALESCEs the all-NULL-group string_agg to '' (Spark's
+    #   empty-set array_join contract; the r4 array_to_string class).
+    "agg_string_concat_group",
+    # --- round-5-certified remainder (20, led by the ops the r11
     #     elevations displaced): head of the round-12 window ---
     "tpcdi_marketing_nameplate",
     "tpcdi_prospect_match",
@@ -149,11 +153,11 @@ _PRIORITY = [
     "tpcdi_reference_dims",
     "events_retention",
     "events_active_users_rolling",
+    "vec_quantize_pq",
     "agg_transpose_matrix",
     "agg_filter_clause",
     "agg_bitmap_distinct",
     "agg_unpivot",
-    "agg_string_concat_group",
     "agg_pivot_dynamic",
     "agg_histogram_fixed",
     "sketch_hll_partition_merge",
