@@ -59,7 +59,7 @@ PY = sys.executable
 # Floor for step 5: the suite had this many tests when the floor was
 # last raised (round 11). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 931
+EXPECTED_MIN_TESTS = 984
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -110,6 +110,18 @@ EXPECTED_MIN_TESTS = 931
 #   agg_string_concat_group — oracle-only: an all-NULL group is '' in
 #     Spark (empty-set array_join) but NULL from DuckDB's string_agg;
 #     COALESCE'd to '' (the r4 array_to_string([]) class).
+# Plus the int64-overflow hash sweep (r13-window pre-probe with
+# realistic >3.5e9 ids): the naive Knuth product id*2654435761
+# overflows signed 64-bit beyond ~3.5e9 ids (ANSI ARITHMETIC_OVERFLOW
+# — a corpus past ~3.5 billion documents/customers kills the job).
+# llm._split_bucket and str_concat_phone's local-number mod now
+# decompose the multiply (every intermediate < 2^48, bit-identical
+# wherever the naive form didn't overflow):
+#   sample_split_assign, sample_temperature_mixture,
+#   sample_stratified_exact, str_concat_phone, plus the two
+#   transitive helper adopters pipeline_corpus_curation and
+#   pipeline_pretrain_e2e (flagged by op_change_check — the exact
+#   shared-helper-adopter class it exists to catch).
 # Cleared when the next rotation folds the elevations into the schedule.
 ROUND_ELEVATIONS = (
     "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
@@ -118,7 +130,9 @@ ROUND_ELEVATIONS = (
     "agg_rollup,agg_cube,agg_grouping_sets,join_dpp_partitioned,"
     "scan_partition_pruned,scan_binaryfile,sink_partitioned,"
     "sink_merge_upsert,sim_ivf_index_partitioned,audit_data_quality,"
-    "scan_xml_flatten,agg_string_concat_group"
+    "scan_xml_flatten,agg_string_concat_group,sample_split_assign,"
+    "sample_temperature_mixture,sample_stratified_exact,"
+    "str_concat_phone,pipeline_corpus_curation,pipeline_pretrain_e2e"
 )
 
 

@@ -981,7 +981,20 @@ _SPLIT_A = 2654435761
 _SPLIT_M = 4294967296
 _SPLIT_TRAIN = 3435973836  # ~floor(0.8 * 2^32)
 _SPLIT_VAL = 3865470565  # ~floor(0.9 * 2^32)
-_SPLIT_BUCKET_SQL = f"(doc_id * {_SPLIT_A}) % {_SPLIT_M}"
+# OVERFLOW-FREE (id * A) mod 2^32 (r11 r13-window probe): the naive
+# int64 product overflows for id > 2^63/A ≈ 3.47e9 — ANSI
+# ARITHMETIC_OVERFLOW in Spark, a multiplication-overflow error in
+# DuckDB; a corpus with more than ~3.5 billion documents would kill
+# the splitter. Decompose x = id mod 2^32 into 16-bit halves:
+#   (x·A) mod 2^32 = ((x_hi·A mod 2^16)·2^16 + x_lo·A) mod 2^32
+# — every intermediate < 2^48, and the result is bit-identical to
+# the naive form wherever that form didn't overflow (verified over
+# the full boundary set + 20k random 62-bit ids). Same integer
+# expression in both engines.
+_SPLIT_BUCKET_SQL = (
+    f"((((doc_id % {_SPLIT_M}) // 65536 * {_SPLIT_A}) % 65536) * 65536"
+    f" + (doc_id % {_SPLIT_M}) % 65536 * {_SPLIT_A}) % {_SPLIT_M}"
+)
 _SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN}
                    THEN 'train'
                    WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_VAL}
@@ -989,7 +1002,9 @@ _SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN}
 
 
 def _split_bucket(col: Column) -> Column:
-    return (col * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M)
+    x = col % F.lit(_SPLIT_M)
+    hi_part = ((x / 65536).cast("long") * F.lit(_SPLIT_A)) % 65536
+    return (hi_part * 65536 + (x % 65536) * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M)
 
 
 def _split_label(col: Column) -> Column:
@@ -1317,9 +1332,9 @@ def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "sample_stratified_exact",
-    """WITH h AS (
+    f"""WITH h AS (
          SELECT doc_id, lang,
-                (doc_id * 2654435761) % 4294967296 AS hkey
+                {_SPLIT_BUCKET_SQL} AS hkey
          FROM documents),
        r AS (
          SELECT doc_id, lang,
@@ -1332,11 +1347,13 @@ def sim_ivf_index_partitioned(spark: SparkSession, d: str) -> DataFrame:
 def sample_stratified_exact(spark: SparkSession, d: str) -> DataFrame:
     """Exact stratified sampling: every stratum contributes exactly
     ceil(20%) of its rows, chosen by a deterministic multiplicative
-    hash rank — reproducible across runs and engines, unlike
-    df.sampleBy (Bernoulli, approximate per-stratum fractions).
-    One window shuffle on the stratum key [EXT: train-split curation]."""
+    hash rank (the shared overflow-free _split_bucket — the naive
+    id*A product overflows int64 beyond ~3.5e9 ids; r11 probe) —
+    reproducible across runs and engines, unlike df.sampleBy
+    (Bernoulli, approximate per-stratum fractions). One window
+    shuffle on the stratum key [EXT: train-split curation]."""
     doc = t(spark, d, "documents")
-    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    hkey = _split_bucket(F.col("doc_id"))
     w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
     wn = Window.partitionBy("lang")
     r = doc.select(
@@ -1954,7 +1971,7 @@ def dedup_chunk_level(spark: SparkSession, d: str) -> DataFrame:
              FROM w),
        r AS (SELECT doc_id, source,
                     ROW_NUMBER() OVER (PARTITION BY source
-                                       ORDER BY (doc_id * {_SPLIT_A}) % {_SPLIT_M},
+                                       ORDER BY {_SPLIT_BUCKET_SQL},
                                                 doc_id) AS rk
              FROM documents)
        SELECT r.doc_id, r.source, q.quota
@@ -1969,9 +1986,11 @@ def sample_temperature_mixture(spark: SparkSession, d: str) -> DataFrame:
     sqrt is correctly rounded, so both engines floor the identical
     double); quotas are exact integer division of the 200-doc budget;
     the quota is filled by a deterministic multiplicative-hash rank
-    within each source — reproducible, no RNG, no collect. Shape at
-    100 TB: one combinable count, one tiny quota relation broadcast
-    back, one per-source rank window."""
+    within each source (the shared overflow-free _split_bucket — the
+    naive id*A product overflows int64 beyond ~3.5e9 ids; r11 probe)
+    — reproducible, no RNG, no collect. Shape at 100 TB: one
+    combinable count, one tiny quota relation broadcast back, one
+    per-source rank window."""
     doc = t(spark, d, "documents")
     s = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w = s.select(
@@ -1985,7 +2004,7 @@ def sample_temperature_mixture(spark: SparkSession, d: str) -> DataFrame:
         "source", F.expr("(200 * wr) div tw").alias("quota")
     )
     rk = Window.partitionBy("source").orderBy(
-        (F.col("doc_id") * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M), "doc_id"
+        _split_bucket(F.col("doc_id")), "doc_id"
     )
     r = doc.select(
         "doc_id", "source", F.row_number().over(rk).alias("rk")

@@ -37,13 +37,13 @@ _MODULES = [
 # tools/cert_age_check.py as round_close_check's final step):
 #
 #   round 10 (done, 50/50 green): 17 age-7 r3 + 6 elevated + 27 r4
-#   round 11 (THIS round): rest of the r4 block (15) + 13 oldest r5
-#     + 22 elevated (the r11 hardening sweeps; see the window
-#     comments below — the elevations displaced 10 r5 ops to the r12
-#     head and pulled 7 ops forward out of the r6/r7/r8/r9/r10 blocks)
-#   round 12: rest of r5 (20) + 30 oldest r6
-#   round 13: rest of r6 (10) + 40 oldest r7
-#   round 14: rest of r7 (5) + r8 block (44) + 1 oldest r9
+#   round 11 (THIS round): rest of the r4 block (15) + 7 oldest r5
+#     + 28 elevated (the r11 hardening sweeps; see the window
+#     comments below — the elevations displaced 16 r5 ops to the r12
+#     head and pulled 12 ops forward out of the r6..r10 blocks)
+#   round 12: rest of r5 (26) + 24 oldest r6
+#   round 13: rest of r6 (15) + 35 oldest r7
+#   round 14: rest of r7 (9) + 41 oldest r8
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
@@ -54,17 +54,16 @@ _MODULES = [
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
     # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 13 oldest non-elevated
-    #     round-5 ops + 22 ELEVATED ops), per the schedule above,
+    #     round-4-certified remainder + the 7 oldest non-elevated
+    #     round-5 ops + 28 ELEVATED ops), per the schedule above,
     #     VERDICT r10 item 1, and the standing edited-op rule.
-    #     Twenty-two ops changed code/oracle this round across the
+    #     Twenty-eight ops changed code/oracle this round across the
     #     probe-driven hardening sweeps (degenerate denominators,
-    #     signed-zero percentiles, empty input slices — see the
-    #     ELEVATED sub-comments below and ROUND_ELEVATIONS in
-    #     tools/round_close_check.py); the elevations displaced the
-    #     ten youngest non-elevated r5 window ops (the tpcdi/events
-    #     group + vec_quantize_pq) to the r5-remainder head for
-    #     round 12.
+    #     signed-zero percentiles, empty input slices, int64-overflow
+    #     hash ids — see the ELEVATED sub-comments below and
+    #     ROUND_ELEVATIONS in tools/round_close_check.py); the
+    #     elevations displaced the sixteen youngest non-elevated r5
+    #     window ops to the r5-remainder head for round 12.
     # 1-15: the r4-certified remainder — the stalest certs in the
     # repo (age 7 at r11, formally past the 6-round cap; the rotation
     # canary test was red from the CORRECTNESS_r10 drop until this
@@ -84,7 +83,7 @@ _PRIORITY = [
     "udtf_apply_in_pandas",
     "udtf_map_in_pandas",
     "udf_arrow_scalar",
-    # 16-28: the 13 oldest non-elevated round-5 ops, r5-window order.
+    # 16-22: the 7 oldest non-elevated round-5 ops, r5-window order.
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
@@ -92,12 +91,6 @@ _PRIORITY = [
     "sink_compact_small_files",
     "vec_pca_power_iteration",
     "vec_pca_project",
-    "udf_sql_declarative",
-    "udtf_sql_table_fn",
-    "udtf_python_lateral",
-    "sql_pipe_syntax",
-    "sink_python_datasource",
-    "multimodal_image_resize",
     "agg_stats",
     "agg_moments_exact",
     "agg_count_distinct_multi",
@@ -142,8 +135,31 @@ _PRIORITY = [
     #   COALESCEs the all-NULL-group string_agg to '' (Spark's
     #   empty-set array_join contract; the r4 array_to_string class).
     "agg_string_concat_group",
-    # --- round-5-certified remainder (20, led by the ops the r11
-    #     elevations displaced): head of the round-12 window ---
+    #   int64-overflow sweep (r13-window pre-probe with realistic
+    #   >3.5e9 ids): the naive Knuth-hash product id*2654435761
+    #   overflows signed 64-bit beyond ~3.5e9 ids — ANSI
+    #   ARITHMETIC_OVERFLOW on any corpus past ~3.5 billion documents
+    #   / customers. The shared _split_bucket helper (and
+    #   str_concat_phone's local-number mod) now decompose the
+    #   multiply so every intermediate fits, bit-identical wherever
+    #   the naive form didn't overflow; the two pipeline ops adopt
+    #   the helper transitively (caught by op_change_check, exactly
+    #   the shared-helper-adopter class it was built for):
+    "sample_split_assign",
+    "sample_temperature_mixture",
+    "sample_stratified_exact",
+    "str_concat_phone",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_e2e",
+    # --- round-5-certified remainder (26, led by the ops the r11
+    #     elevations displaced, in r5 cert order): head of the
+    #     round-12 window ---
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
+    "udtf_python_lateral",
+    "sql_pipe_syntax",
+    "sink_python_datasource",
+    "multimodal_image_resize",
     "tpcdi_marketing_nameplate",
     "tpcdi_prospect_match",
     "tpcdi_dim_date",
@@ -163,9 +179,9 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (40; win_median_rolling,
-    #     scan_binaryfile, scan_partition_pruned elevated to the r11
-    #     window): round-12 tail + round-13 head ---
+    # --- round-6-certified block (39; win_median_rolling,
+    #     scan_binaryfile, scan_partition_pruned, sample_split_assign
+    #     elevated to the r11 window): round-12 tail + round-13 head ---
     "agg_collect_sorted",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -205,9 +221,9 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    "sample_split_assign",
-    # --- round-7-certified block (45; sink_partitioned,
-    #     sink_merge_upsert elevated to the r11 window) ---
+    # --- round-7-certified block (44; sink_partitioned,
+    #     sink_merge_upsert, sample_temperature_mixture elevated to
+    #     the r11 window) ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -216,7 +232,6 @@ _PRIORITY = [
     "text_repetition_score",
     "text_quality_linear",
     "graph_triangle_count",
-    "sample_temperature_mixture",
     "text_bpe_pair_count",
     "vec_pca_domain_check",
     "vec_quantize_int8",
@@ -253,8 +268,9 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (44; agg_approx_percentile,
-    #     sim_ivf_index_partitioned elevated to the r11 window) ---
+    # --- round-8-certified block (42; agg_approx_percentile,
+    #     sim_ivf_index_partitioned, sample_stratified_exact,
+    #     pipeline_corpus_curation elevated to the r11 window) ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -291,14 +307,12 @@ _PRIORITY = [
     "text_tfidf",
     "sim_cosine_topk",
     "dedup_cluster_cc",
-    "pipeline_corpus_curation",
     "text_label_quality",
     "dedup_exact_hash",
     "udtf_map_in_arrow",
     "graph_pagerank",
     "text_unigram_logprob",
     "pack_sequences_greedy",
-    "sample_stratified_exact",
     # --- round-9-certified block (44): the r9 window minus the
     #     four ops re-elevated in r10 and agg_mad_anomaly +
     #     audit_data_quality (elevated to the r11 window) ---
@@ -346,8 +360,9 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    # --- round-10-certified block (49; scan_xml_flatten re-elevated
-    #     to the r11 window): the r10 window, youngest
+    # --- round-10-certified block (47; scan_xml_flatten,
+    #     str_concat_phone, pipeline_pretrain_e2e re-elevated to the
+    #     r11 window): the r10 window, youngest
     #     certs in the repo (17 r3-origin ops + the 6 r10 elevations
     #     — win_range_time_interval, str_levenshtein_link,
     #     dedup_url_canonical, scan_xml_flatten, xml_roundtrip_builtin,
@@ -363,7 +378,6 @@ _PRIORITY = [
     "sample_negative_pairs",
     "join_bloom_runtime_filter",
     "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
     "multimodal_dedup_sha",
@@ -376,7 +390,6 @@ _PRIORITY = [
     "dedup_url_canonical",
     "xml_roundtrip_builtin",
     "tpcdi_holdings_pnl",
-    "str_concat_phone",
     "str_substr_trim",
     "str_case_match",
     "str_pad_format",

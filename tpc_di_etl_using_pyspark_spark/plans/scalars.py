@@ -39,7 +39,14 @@ _SQL_AC = (
     "CASE WHEN c_custkey % 4 = 0 THEN NULL "
     "ELSE lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') END"
 )
-_SQL_LOCAL = "lpad(CAST((c_custkey * 2654435761) % 10000000 AS VARCHAR), 7, '0')"
+# (k mod 1e7)·(A mod 1e7) mod 1e7 ≡ (k·A) mod 1e7 with every
+# intermediate < 1e14: the naive k·2654435761 product overflows int64
+# for keys beyond ~3.5e9 — ANSI ARITHMETIC_OVERFLOW on a realistic
+# 100 TB key domain (r11 probe, the sample_split_assign class).
+_SQL_LOCAL = (
+    "lpad(CAST((c_custkey % 10000000) * 4435761 % 10000000 AS VARCHAR),"
+    " 7, '0')"
+)
 _SQL_EXT = "CASE WHEN c_custkey % 5 = 0 THEN CAST(c_custkey % 100 AS VARCHAR) ELSE NULL END"
 
 
@@ -63,7 +70,8 @@ def str_concat_phone(spark: SparkSession, d: str) -> DataFrame:
     k = F.col("c_custkey")
     cc = F.when(k % 3 == 0, F.lit(None)).otherwise((k % 100).cast("string"))
     ac = F.when(k % 4 == 0, F.lit(None)).otherwise(F.lpad(((k * 7) % 1000).cast("string"), 3, "0"))
-    loc = F.lpad(((k * 2654435761) % 10000000).cast("string"), 7, "0")
+    # overflow-free (k·A) mod 1e7 — see _SQL_LOCAL's derivation above
+    loc = F.lpad(((k % 10000000) * 4435761 % 10000000).cast("string"), 7, "0")
     ext = F.when(k % 5 == 0, (k % 100).cast("string")).otherwise(F.lit(None))
     base = (
         F.when(
