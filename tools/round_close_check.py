@@ -64,76 +64,11 @@ EXPECTED_MIN_TESTS = 984
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r11 (the degenerate-denominator sweep — the
-# generalization of the r10 tpcdi_holdings_pnl find; every division
-# whose divisor is a data-derived aggregate was enumerated and the
-# zero-reachable ones guarded, each mirrored in its oracle):
-#   agg_moments_exact — zero-variance group made skewness divide by
-#     pow(0, 1.5): ANSI DIVIDE_BY_ZERO; near-constant groups can push
-#     the double var to -ulp where DuckDB's sqrt THROWS. greatest+NULLIF.
-#   agg_stats — Spark's builtin corr itself throws DIVIDE_BY_ZERO
-#     under ANSI on zero-variance groups (DuckDB returns NULL);
-#     rewritten to covar_samp / NULLIF(sd*sd, 0), bit-identical on
-#     normal groups.
-#   agg_regression_exact — slope denominator n*Sxx - Sx² is exactly 0
-#     for zero-x-variance groups; NULLIF in both engines.
-#   agg_weighted_avg — signed quantities cancelling to zero made the
-#     weight-sum divisor 0; NULLIF in both engines.
-#   agg_count_distinct_multi — oracle-only: DuckDB's row-value
-#     COUNT(DISTINCT (a,b)) counts any-NULL tuples that Spark's (SQL-
-#     standard) count_distinct skips; the oracle now CASE-guards.
-# Plus the signed-zero percentile sweep (the first regen of the
-# degenerate adversarial rows measured Spark's engine-internal
-# percentile emitting −0.0 where DuckDB's quantile_cont emits +0.0 on
-# ±pair interpolation — grouped AND rolling forms; every
-# percentile-derived output is now +0.0-canonicalized via _util.pz,
-# mirrored `+ 0.0` in the oracles):
-#   agg_percentile, agg_approx_percentile (exact columns),
-#   agg_median_mode, agg_mad_anomaly (med_v), win_median_rolling.
-# Plus the empty-slice sweep (a zero-row fixture with the driver
-# schemas, swept registry-wide — one empty date-slice/partition must
-# not kill or corrupt a 100 TB job):
-#   scan_partition_pruned, sink_partitioned, join_dpp_partitioned,
-#   sink_merge_upsert, sim_ivf_index_partitioned — explicit read-back
-#     schemas (an empty partitioned write leaves zero part files and
-#     schema inference throws UNABLE_TO_INFER_SCHEMA);
-#   scan_binaryfile, scan_xml_flatten — read the always-present root
-#     with pathGlobFilter / partition discovery instead of a
-#     PATH_NOT_FOUND-throwing bucket-glob;
-#   audit_data_quality — COUNT(when) instead of SUM(CASE): an audit
-#     over an empty slice reports zero violations, not NULL;
-#   agg_rollup, agg_cube, agg_grouping_sets — oracle-only: the
-#     observed-groups-only contract (Spark emits no rows over empty
-#     input; the oracle's HAVING COUNT(*) > 0 is a no-op on real data
-#     and drops only the SQL-standard empty-input grand-total row).
-# Plus one r12-window pre-probe find:
-#   agg_string_concat_group — oracle-only: an all-NULL group is '' in
-#     Spark (empty-set array_join) but NULL from DuckDB's string_agg;
-#     COALESCE'd to '' (the r4 array_to_string([]) class).
-# Plus the int64-overflow hash sweep (r13-window pre-probe with
-# realistic >3.5e9 ids): the naive Knuth product id*2654435761
-# overflows signed 64-bit beyond ~3.5e9 ids (ANSI ARITHMETIC_OVERFLOW
-# — a corpus past ~3.5 billion documents/customers kills the job).
-# llm._split_bucket and str_concat_phone's local-number mod now
-# decompose the multiply (every intermediate < 2^48, bit-identical
-# wherever the naive form didn't overflow):
-#   sample_split_assign, sample_temperature_mixture,
-#   sample_stratified_exact, str_concat_phone, plus the two
-#   transitive helper adopters pipeline_corpus_curation and
-#   pipeline_pretrain_e2e (flagged by op_change_check — the exact
-#   shared-helper-adopter class it exists to catch).
-# Cleared when the next rotation folds the elevations into the schedule.
-ROUND_ELEVATIONS = (
-    "agg_moments_exact,agg_stats,agg_regression_exact,agg_weighted_avg,"
-    "agg_count_distinct_multi,agg_percentile,agg_approx_percentile,"
-    "agg_median_mode,agg_mad_anomaly,win_median_rolling,"
-    "agg_rollup,agg_cube,agg_grouping_sets,join_dpp_partitioned,"
-    "scan_partition_pruned,scan_binaryfile,sink_partitioned,"
-    "sink_merge_upsert,sim_ivf_index_partitioned,audit_data_quality,"
-    "scan_xml_flatten,agg_string_concat_group,sample_split_assign,"
-    "sample_temperature_mixture,sample_stratified_exact,"
-    "str_concat_phone,pipeline_corpus_curation,pipeline_pretrain_e2e"
-)
+# CERT_AGE_ELEVATED env. r12: none yet — the r12 rotation landed with
+# zero engine edits; any op whose code or oracle changes this round
+# MUST be added here (op_change_check.py verifies mechanically against
+# the r11 close commit).
+ROUND_ELEVATIONS = ""
 
 
 def window_ops(n: int) -> list[str]:

@@ -53,113 +53,25 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- round-11 certification window (50 = the 15 age-7
-    #     round-4-certified remainder + the 7 oldest non-elevated
-    #     round-5 ops + 28 ELEVATED ops), per the schedule above,
-    #     VERDICT r10 item 1, and the standing edited-op rule.
-    #     Twenty-eight ops changed code/oracle this round across the
-    #     probe-driven hardening sweeps (degenerate denominators,
-    #     signed-zero percentiles, empty input slices, int64-overflow
-    #     hash ids — see the ELEVATED sub-comments below and
-    #     ROUND_ELEVATIONS in tools/round_close_check.py); the
-    #     elevations displaced the sixteen youngest non-elevated r5
-    #     window ops to the r5-remainder head for round 12.
-    # 1-15: the r4-certified remainder — the stalest certs in the
-    # repo (age 7 at r11, formally past the 6-round cap; the rotation
-    # canary test was red from the CORRECTNESS_r10 drop until this
-    # rotation landed, by design).
-    "array_ops",
-    "array_fold_dot",
-    "array_posexplode",
-    "array_exists_forall",
-    "stream_tumbling_count",
-    "stream_sliding_sum",
-    "stream_dedup_state",
-    "stream_stateful_totals",
-    "stream_transform_with_state",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "udf_arrow_scalar",
-    # 16-22: the 7 oldest non-elevated round-5 ops, r5-window order.
-    "dedup_eval_simhash_recall",
-    "win_ema_smooth",
-    "text_snapshot_novelty",
-    "dedup_ngram_containment",
-    "sink_compact_small_files",
-    "vec_pca_power_iteration",
-    "vec_pca_project",
-    "agg_stats",
-    "agg_moments_exact",
-    "agg_count_distinct_multi",
-    # ELEVATED (the r11 hardening waves; each op's docstring carries
-    # the probe evidence):
-    #   degenerate-denominator sweep — NULLIF guards on the weight sum
-    #   (agg_weighted_avg), the zero-x-variance regression denominator
-    #   (agg_regression_exact), plus the three in-window guards above
-    #   (agg_stats, agg_moments_exact, agg_count_distinct_multi);
-    #   signed-zero percentile sweep — Spark's engine-internal
-    #   percentile emits −0.0 where DuckDB's quantile_cont emits +0.0
-    #   when interpolation lands between a ±pair; every
-    #   percentile-derived output is +0.0-canonicalized (_util.pz) in
-    #   both engines:
-    "agg_weighted_avg",
-    "agg_regression_exact",
-    "agg_percentile",
-    "agg_median_mode",
-    "agg_approx_percentile",
-    "agg_mad_anomaly",
-    "win_median_rolling",
-    #   empty-slice sweep (a zero-row fixture with the driver schemas,
-    #   swept registry-wide): explicit read-back schemas on every
-    #   partitioned write-then-read op (an empty slice writes zero
-    #   part files and schema inference throws UNABLE_TO_INFER_SCHEMA),
-    #   pathGlobFilter/root reads instead of PATH_NOT_FOUND-throwing
-    #   globs, COUNT(when) instead of NULL-on-empty SUM(CASE) in the
-    #   audit, and observed-groups-only grouping-set oracles
-    #   (HAVING COUNT(*) > 0 — a no-op on real data):
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_dpp_partitioned",
-    "scan_partition_pruned",
-    "scan_binaryfile",
-    "sink_partitioned",
-    "sink_merge_upsert",
-    "sim_ivf_index_partitioned",
-    "audit_data_quality",
-    "scan_xml_flatten",
-    #   r12-window pre-probe: agg_string_concat_group's oracle
-    #   COALESCEs the all-NULL-group string_agg to '' (Spark's
-    #   empty-set array_join contract; the r4 array_to_string class).
-    "agg_string_concat_group",
-    #   int64-overflow sweep (r13-window pre-probe with realistic
-    #   >3.5e9 ids): the naive Knuth-hash product id*2654435761
-    #   overflows signed 64-bit beyond ~3.5e9 ids — ANSI
-    #   ARITHMETIC_OVERFLOW on any corpus past ~3.5 billion documents
-    #   / customers. The shared _split_bucket helper (and
-    #   str_concat_phone's local-number mod) now decompose the
-    #   multiply so every intermediate fits, bit-identical wherever
-    #   the naive form didn't overflow; the two pipeline ops adopt
-    #   the helper transitively (caught by op_change_check, exactly
-    #   the shared-helper-adopter class it was built for):
-    "sample_split_assign",
-    "sample_temperature_mixture",
-    "sample_stratified_exact",
-    "str_concat_phone",
-    "pipeline_corpus_curation",
-    "pipeline_pretrain_e2e",
-    # --- round-5-certified remainder (26, led by the ops the r11
-    #     elevations displaced, in r5 cert order): head of the
-    #     round-12 window ---
+    # --- ROUND-12 CERTIFICATION WINDOW (50 = the 25 age-7 r5 ops +
+    #     the 25 oldest r6 ops), per the cert-age schedule above and
+    #     VERDICT r11 item 1. No elevations yet this round —
+    #     ROUND_ELEVATIONS in tools/round_close_check.py is empty until
+    #     an op's code or oracle changes. The full list below is every
+    #     registry op in (latest-green round, in-file position) order,
+    #     recomputed from CORRECTNESS_r01..r11 by tools/cert_age_check.py.
+    # --- round-5-certified block (25): the full age-7 r5 remainder —
+    #     the stalest certs in the repo, formally past the 6-round
+    #     cap at r12 (the rotation canary was red from the
+    #     CORRECTNESS_r11 drop until this rotation landed, by
+    #     design). HEAD of the round-12 window. ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",
     "udtf_python_lateral",
     "sql_pipe_syntax",
     "sink_python_datasource",
     "multimodal_image_resize",
+    "vec_quantize_pq",
     "tpcdi_marketing_nameplate",
     "tpcdi_prospect_match",
     "tpcdi_dim_date",
@@ -169,7 +81,6 @@ _PRIORITY = [
     "tpcdi_reference_dims",
     "events_retention",
     "events_active_users_rolling",
-    "vec_quantize_pq",
     "agg_transpose_matrix",
     "agg_filter_clause",
     "agg_bitmap_distinct",
@@ -179,9 +90,8 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (39; win_median_rolling,
-    #     scan_binaryfile, scan_partition_pruned, sample_split_assign
-    #     elevated to the r11 window): round-12 tail + round-13 head ---
+    # --- round-6-certified block (39): the 25 oldest fill the rest of
+    #     the round-12 window; the remaining 14 head round 13. ---
     "agg_collect_sorted",
     "tpcdi_dim_broker",
     "str_url_parse",
@@ -221,9 +131,8 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    # --- round-7-certified block (44; sink_partitioned,
-    #     sink_merge_upsert, sample_temperature_mixture elevated to
-    #     the r11 window) ---
+    # --- round-7-certified block (44): round-13 window tail +
+    #     round-14 head. ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -268,9 +177,7 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (42; agg_approx_percentile,
-    #     sim_ivf_index_partitioned, sample_stratified_exact,
-    #     pipeline_corpus_curation elevated to the r11 window) ---
+    # --- round-8-certified block (42). ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -313,9 +220,7 @@ _PRIORITY = [
     "graph_pagerank",
     "text_unigram_logprob",
     "pack_sequences_greedy",
-    # --- round-9-certified block (44): the r9 window minus the
-    #     four ops re-elevated in r10 and agg_mad_anomaly +
-    #     audit_data_quality (elevated to the r11 window) ---
+    # --- round-9-certified block (44). ---
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
@@ -360,15 +265,7 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    # --- round-10-certified block (47; scan_xml_flatten,
-    #     str_concat_phone, pipeline_pretrain_e2e re-elevated to the
-    #     r11 window): the r10 window, youngest
-    #     certs in the repo (17 r3-origin ops + the 6 r10 elevations
-    #     — win_range_time_interval, str_levenshtein_link,
-    #     dedup_url_canonical, scan_xml_flatten, xml_roundtrip_builtin,
-    #     tpcdi_holdings_pnl — + 27 r4-origin ops; see VERDICT r10 and
-    #     the r10 _PRIORITY header in git history for the per-op
-    #     elevation rationale). Moved to the tail by the r11 rotation.
+    # --- round-10-certified block (47). ---
     "dedup_cross_source_matrix",
     "text_quality_gopher",
     "dedup_simhash",
@@ -416,6 +313,61 @@ _PRIORITY = [
     "json_extract",
     "json_nested_roundtrip",
     "json_variant_explode",
+    # --- round-11-certified block (50): the r11 window — 15 r4-origin
+    #     + 7 oldest-r5 + 28 probe-driven elevations (degenerate
+    #     denominators, signed-zero percentiles, empty slices,
+    #     int64-overflow hash ids; see VERDICT r11). Moved to the
+    #     tail by this r12 rotation. ---
+    "array_ops",
+    "array_fold_dot",
+    "array_posexplode",
+    "array_exists_forall",
+    "stream_tumbling_count",
+    "stream_sliding_sum",
+    "stream_dedup_state",
+    "stream_stateful_totals",
+    "stream_transform_with_state",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "udf_arrow_scalar",
+    "dedup_eval_simhash_recall",
+    "win_ema_smooth",
+    "text_snapshot_novelty",
+    "dedup_ngram_containment",
+    "sink_compact_small_files",
+    "vec_pca_power_iteration",
+    "vec_pca_project",
+    "agg_stats",
+    "agg_moments_exact",
+    "agg_count_distinct_multi",
+    "agg_weighted_avg",
+    "agg_regression_exact",
+    "agg_percentile",
+    "agg_median_mode",
+    "agg_approx_percentile",
+    "agg_mad_anomaly",
+    "win_median_rolling",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_dpp_partitioned",
+    "scan_partition_pruned",
+    "scan_binaryfile",
+    "sink_partitioned",
+    "sink_merge_upsert",
+    "sim_ivf_index_partitioned",
+    "audit_data_quality",
+    "scan_xml_flatten",
+    "agg_string_concat_group",
+    "sample_split_assign",
+    "sample_temperature_mixture",
+    "sample_stratified_exact",
+    "str_concat_phone",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_e2e",
 ]
 
 
