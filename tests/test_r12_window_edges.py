@@ -58,7 +58,7 @@ def _ts(s: str) -> datetime.datetime:
 TS = _ts("2024-01-15 12:00:00")
 
 OPS = [
-    "agg_string_concat_group", "agg_histogram_fixed",
+    "agg_collect_sorted", "agg_string_concat_group", "agg_histogram_fixed",
     "sketch_hll_partition_merge", "sketch_approx_topk",
     "sort_limit_offset", "tpcdi_dim_broker", "scan_csv_delim",
     "scan_csv_header", "vec_centroid_per_label", "sql_groupby_all",
@@ -86,6 +86,22 @@ def _orders():
         (32, 3, "O", -0.0, TS, None),
         (33, 4, "F", 1234.5, _ts("2022-03-01 00:00:00"), "5-LOW"),
         (34, 4, "O", -1234.5, _ts("2022-03-02 00:00:00"), "5-LOW"),
+    ]
+    # 36-43 (r12 top-up; none ≡0 mod 7, prices inside the 100.0 tie
+    # block so the pagination pin is untouched): agg_collect_sorted's
+    # hostile groups — custkey 5 mixes a NULL status with 'F' (both
+    # engines drop the NULL from the set), custkey 6 is ALL-NULL
+    # (Spark collect_set → [] → ''; DuckDB list(DISTINCT) → [NULL],
+    # array_to_string skips it → ''), custkey 7 pins binary codepoint
+    # sort '0' < 'B' < 'a' plus a DISTINCT-collapsed duplicate 'a'.
+    rows += [
+        (36, 5, None, 100.0, TS, "3-MEDIUM"),
+        (37, 5, "F", 100.0, TS, None),
+        (38, 6, None, 100.0, TS, None),
+        (39, 7, "a", 100.0, TS, None),
+        (40, 7, "B", 100.0, TS, None),
+        (41, 7, "0", 100.0, TS, None),
+        (43, 7, "a", 100.0, TS, None),
     ]
     return rows
 
@@ -271,9 +287,10 @@ def test_histogram_bin_edges(spark, edge_dir):
     assert got[-2]["bin_lo"] == -100000.0
     assert got[-1]["n_orders"] == 1          # -1234.5 → floor(-0.02…)
     assert got[1]["n_orders"] == 1           # exactly 50000 → upper bin
-    # bin 0 = the 25 tied 100.0s + 0.0 + −0.0 + 1234.5 (−0.0 does NOT
-    # open a separate bin: floor(−0.0/50000) casts to bigint 0)
-    assert got[0]["n_orders"] == 28
+    # bin 0 = the 25 tied 100.0s + 0.0 + −0.0 + 1234.5 + the 7 r12
+    # top-up rows (−0.0 does NOT open a separate bin:
+    # floor(−0.0/50000) casts to bigint 0)
+    assert got[0]["n_orders"] == 35
     assert got[None]["n_orders"] == 1        # NULL price is its own bin
 
 
@@ -289,6 +306,14 @@ def test_all_null_group_is_empty_string(spark, edge_dir):
     assert got[1]["priorities"] == ""        # all-NULL group: '', not NULL
     assert got[2]["priorities"] == "1-URGENT"
     assert got[4]["priorities"] == "5-LOW"
+
+
+def test_collect_sorted_null_and_codepoint_order(spark, edge_dir):
+    got = _rows(spark, "agg_collect_sorted", edge_dir, "o_custkey")
+    assert got[5]["statuses"] == "F"         # NULL dropped from the set
+    assert got[6]["statuses"] == ""          # all-NULL group: '', not NULL
+    assert got[7]["statuses"] == "0,B,a"     # binary codepoint sort, deduped
+    assert got[7]["n_orders"] == 4           # COUNT(*) keeps the dup row
 
 
 def test_null_safe_join_null_bucket(spark, edge_dir):
