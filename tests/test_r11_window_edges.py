@@ -75,13 +75,13 @@ OPS = [
     "events_active_users_rolling", "tpcdi_dim_date", "tpcdi_dim_time",
     "tpcdi_dimessages", "tpcdi_prospect_match", "tpcdi_reference_dims",
     "vec_pca_project", "vec_quantize_pq",
-    # agg_approx_percentile is deliberately NOT driven on this fixture:
-    # its 2%-RELATIVE self-check flag is calibrated for groups whose
-    # percentile targets sit away from sign-crossing/wide-gap
-    # interpolation, and group S below exists precisely to violate
-    # that (the ±pair that pins the −0.0 canonicalization). Its +0.0
-    # fix shares _util.pz with agg_percentile, which IS driven here,
-    # and its own certification runs at sf0.01 in the r11 window.
+    # agg_approx_percentile IS driven here since r12: its 2%-relative
+    # self-check flag is gated mechanically (NULL unless the group has
+    # >= 1000 non-null values AND min > 0, mirrored in the oracle —
+    # ADVICE r11), so the sign-crossing ±pair group S and every other
+    # tiny group on this fixture yield NULL flags in BOTH engines
+    # while the exact percentile columns still certify bit-exact.
+    "agg_approx_percentile",
 ]
 
 

@@ -64,11 +64,30 @@ EXPECTED_MIN_TESTS = 986
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r12: none yet — the r12 rotation landed with
-# zero engine edits; any op whose code or oracle changes this round
-# MUST be added here (op_change_check.py verifies mechanically against
-# the r11 close commit).
-ROUND_ELEVATIONS = ""
+# CERT_AGE_ELEVATED env. r12 (the ADVICE r11 hardening pair):
+#   _split_bucket — the high-16 extraction is now
+#     F.shiftright on a NONNEGATIVE-normalized residue
+#     (((id % 2^32) + 2^32) % 2^32), never a float division or a
+#     sign-dependent truncation; negative ids now get the true
+#     mod-2^32 bucket (both engines' % follows the dividend sign and
+#     both truncate `//` toward zero, so the old pair AGREED on
+#     negatives but produced sign-dependent garbage buckets).
+#     Property-checked cross-engine on 20k ids spanning the full
+#     int64 range incl. ±2^62 and -2^63+1; bit-identical to the old
+#     form on every nonnegative id. Reaches sample_split_assign,
+#     sample_temperature_mixture, sample_stratified_exact and the two
+#     transitive adopters pipeline_corpus_curation /
+#     pipeline_pretrain_e2e.
+#   agg_approx_percentile — the approx_within_2pct self-check flag's
+#     contract is now MECHANICAL in both engines: NULL unless the
+#     group has >= 1000 non-null values AND min > 0 (the oracle
+#     previously hardcoded TRUE while the tiny/sign-crossing-group
+#     exclusion lived only in prose + a test comment).
+ROUND_ELEVATIONS = (
+    "agg_approx_percentile,sample_split_assign,"
+    "sample_temperature_mixture,sample_stratified_exact,"
+    "pipeline_corpus_curation,pipeline_pretrain_e2e"
+)
 
 
 def window_ops(n: int) -> list[str]:

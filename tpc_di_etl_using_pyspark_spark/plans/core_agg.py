@@ -431,7 +431,9 @@ def agg_collect_sorted(spark: SparkSession, d: str) -> DataFrame:
               quantile_cont(l_extendedprice, 0.25) + 0.0 AS p25,
               quantile_cont(l_extendedprice, 0.5) + 0.0 AS p50,
               quantile_cont(l_extendedprice, 0.95) + 0.0 AS p95,
-              TRUE AS approx_within_2pct
+              CASE WHEN COUNT(l_extendedprice) >= 1000
+                        AND MIN(l_extendedprice) > 0
+                   THEN TRUE END AS approx_within_2pct
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
@@ -442,29 +444,39 @@ def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
     DuckDB `quantile_cont` bit-exact up to pz's ±0.0 canonicalization)
     plus a flag that the sketch at accuracy=10000 lands within 2% of
     each (measured max rel. error 0.4% across sf0.001–0.1). The 2%
-    RELATIVE tolerance is calibrated for groups whose percentile
-    targets sit away from sign changes: an element-returning sketch on
-    a tiny group whose target interpolates across a wide or
-    sign-crossing gap honestly reports False (r11 probe) — such
-    groups are out of the flag's contract, not a sketch defect. At
-    100 TB only the sketch runs; the exact column is the certification
-    harness."""
+    RELATIVE tolerance is calibrated for groups away from sign
+    changes; a tiny group whose target interpolates across a wide or
+    sign-crossing gap is OUT OF CONTRACT (r11 probe) — the flag is
+    NULL there, in BOTH engines, via a mechanical gate the oracle
+    computes too: n >= 1000 non-null values AND min > 0 (ADVICE r11:
+    the contract was previously a hardcoded-TRUE oracle plus prose,
+    so fixture drift into the tiny-group class would have become a
+    cert failure instead of a gated row). In contract, the MEASURED
+    flag ships — a sketch regression past 2% on an in-contract group
+    fails certification loudly, as it should. At 100 TB only the
+    sketch runs; the exact column is the certification harness."""
     li = t(spark, d, "lineitem")
     ex = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))")
     ap = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)")
-    agg = li.groupBy("l_returnflag").agg(ex.alias("_ex"), ap.alias("_ap"))
+    agg = li.groupBy("l_returnflag").agg(
+        ex.alias("_ex"),
+        ap.alias("_ap"),
+        F.count("l_extendedprice").alias("_n"),
+        F.min("l_extendedprice").alias("_mn"),
+    )
     ok = F.forall(
         F.zip_with(
             "_ex", "_ap", lambda e, a: F.abs(a - e) <= 0.02 * F.abs(e)
         ),
         lambda x: x,
     )
+    in_contract = (F.col("_n") >= 1000) & (F.col("_mn") > 0)
     return agg.select(
         "l_returnflag",
         pz(F.element_at("_ex", 1)).alias("p25"),
         pz(F.element_at("_ex", 2)).alias("p50"),
         pz(F.element_at("_ex", 3)).alias("p95"),
-        ok.alias("approx_within_2pct"),
+        F.when(in_contract, ok).alias("approx_within_2pct"),
     )
 
 

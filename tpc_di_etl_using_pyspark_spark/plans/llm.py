@@ -991,9 +991,17 @@ _SPLIT_VAL = 3865470565  # ~floor(0.9 * 2^32)
 # the naive form wherever that form didn't overflow (verified over
 # the full boundary set + 20k random 62-bit ids). Same integer
 # expression in both engines.
+# The residue is normalized NONNEGATIVE first (((id % 2^32) + 2^32)
+# % 2^32 — a no-op for id >= 0): both engines' % follows the dividend
+# sign and both `//`/trunc-cast truncate toward zero, so a negative id
+# previously produced a negative "bucket" that depended on those
+# truncation semantics agreeing (ADVICE r11). On a nonnegative x the
+# 16-bit split below is pure integer arithmetic — Spark uses
+# shiftright(x, 16), never a float division.
+_SPLIT_X_SQL = f"((doc_id % {_SPLIT_M}) + {_SPLIT_M}) % {_SPLIT_M}"
 _SPLIT_BUCKET_SQL = (
-    f"((((doc_id % {_SPLIT_M}) // 65536 * {_SPLIT_A}) % 65536) * 65536"
-    f" + (doc_id % {_SPLIT_M}) % 65536 * {_SPLIT_A}) % {_SPLIT_M}"
+    f"((({_SPLIT_X_SQL} // 65536 * {_SPLIT_A}) % 65536) * 65536"
+    f" + {_SPLIT_X_SQL} % 65536 * {_SPLIT_A}) % {_SPLIT_M}"
 )
 _SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN}
                    THEN 'train'
@@ -1002,8 +1010,8 @@ _SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_BUCKET_SQL} < {_SPLIT_TRAIN}
 
 
 def _split_bucket(col: Column) -> Column:
-    x = col % F.lit(_SPLIT_M)
-    hi_part = ((x / 65536).cast("long") * F.lit(_SPLIT_A)) % 65536
+    x = (col % F.lit(_SPLIT_M) + F.lit(_SPLIT_M)) % F.lit(_SPLIT_M)
+    hi_part = (F.shiftright(x.cast("long"), 16) * F.lit(_SPLIT_A)) % 65536
     return (hi_part * 65536 + (x % 65536) * F.lit(_SPLIT_A)) % F.lit(_SPLIT_M)
 
 

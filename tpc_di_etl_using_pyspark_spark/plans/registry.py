@@ -53,13 +53,30 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- ROUND-12 CERTIFICATION WINDOW (50 = the 25 age-7 r5 ops +
-    #     the 25 oldest r6 ops), per the cert-age schedule above and
-    #     VERDICT r11 item 1. No elevations yet this round —
-    #     ROUND_ELEVATIONS in tools/round_close_check.py is empty until
-    #     an op's code or oracle changes. The full list below is every
-    #     registry op in (latest-green round, in-file position) order,
-    #     recomputed from CORRECTNESS_r01..r11 by tools/cert_age_check.py.
+    # --- ROUND-12 CERTIFICATION WINDOW (50 = 6 ELEVATED + the 25
+    #     age-7 r5 ops + the 19 oldest r6 ops), per the cert-age
+    #     schedule above and VERDICT r11 item 1. The elevations (the
+    #     ADVICE r11 hardening pair, declared in ROUND_ELEVATIONS in
+    #     tools/round_close_check.py) displaced the six youngest
+    #     non-elevated window ops (join_null_safe …
+    #     text_bigram_logprob) to the r13 head. The full list below is
+    #     every registry op in (latest-green round, in-file position)
+    #     order, recomputed from CORRECTNESS_r01..r11 by
+    #     tools/cert_age_check.py.
+    # ELEVATED: the _split_bucket integer-division hardening (the
+    # high-16 extraction is now shiftright on a NONNEGATIVE-normalized
+    # residue, never a float division or sign-dependent truncation;
+    # negative ids now get the true mod-2^32 bucket — property-checked
+    # cross-engine on 20k ids over the full int64 range) reaches the
+    # five splitter adopters transitively; agg_approx_percentile's
+    # self-check flag gained the mechanical in-contract gate (NULL
+    # unless n >= 1000 AND min > 0, mirrored in the oracle).
+    "agg_approx_percentile",
+    "sample_split_assign",
+    "sample_temperature_mixture",
+    "sample_stratified_exact",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_e2e",
     # --- round-5-certified block (25): the full age-7 r5 remainder —
     #     the stalest certs in the repo, formally past the 6-round
     #     cap at r12 (the rotation canary was red from the
@@ -111,6 +128,8 @@ _PRIORITY = [
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
+    # --- end of the r12 window; the six ops below were displaced
+    #     by the r12 elevations and head the round-13 window ---
     "join_null_safe",
     "join_interval_overlap",
     "win_slope_rolling",
@@ -347,7 +366,6 @@ _PRIORITY = [
     "agg_regression_exact",
     "agg_percentile",
     "agg_median_mode",
-    "agg_approx_percentile",
     "agg_mad_anomaly",
     "win_median_rolling",
     "agg_rollup",
@@ -362,12 +380,7 @@ _PRIORITY = [
     "audit_data_quality",
     "scan_xml_flatten",
     "agg_string_concat_group",
-    "sample_split_assign",
-    "sample_temperature_mixture",
-    "sample_stratified_exact",
     "str_concat_phone",
-    "pipeline_corpus_curation",
-    "pipeline_pretrain_e2e",
 ]
 
 
