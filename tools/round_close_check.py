@@ -64,29 +64,66 @@ EXPECTED_MIN_TESTS = 986
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r12 (the ADVICE r11 hardening pair):
-#   _split_bucket — the high-16 extraction is now
-#     F.shiftright on a NONNEGATIVE-normalized residue
-#     (((id % 2^32) + 2^32) % 2^32), never a float division or a
-#     sign-dependent truncation; negative ids now get the true
-#     mod-2^32 bucket (both engines' % follows the dividend sign and
-#     both truncate `//` toward zero, so the old pair AGREED on
-#     negatives but produced sign-dependent garbage buckets).
-#     Property-checked cross-engine on 20k ids spanning the full
-#     int64 range incl. ±2^62 and -2^63+1; bit-identical to the old
-#     form on every nonnegative id. Reaches sample_split_assign,
-#     sample_temperature_mixture, sample_stratified_exact and the two
-#     transitive adopters pipeline_corpus_curation /
-#     pipeline_pretrain_e2e.
-#   agg_approx_percentile — the approx_within_2pct self-check flag's
-#     contract is now MECHANICAL in both engines: NULL unless the
-#     group has >= 1000 non-null values AND min > 0 (the oracle
-#     previously hardcoded TRUE while the tiny/sign-crossing-group
-#     exclusion lived only in prose + a test comment).
+# CERT_AGE_ELEVATED env. r12 — the extremes-probe hardening wave
+# (tools/probe_r12_extremes.py; full registry swept on a fixture with
+# ids within 64 of int64 max incl. the exact max, order/ship dates
+# ending mid-9999, events at 10-digit epochs, and 16 hostile JSON prop
+# shapes; 257/291 matched, every non-match adjudicated):
+#   ID-DERIVATION OVERFLOW CLASS (Spark-side ANSI stage-kills on
+#   hash-scale ids; every fix is a modular pre-reduction or wider
+#   construct, bit-identical wherever the naive form didn't overflow,
+#   mirrored in the oracle):
+#     tpcdi_prospect_match — p_id wraparound re-key near int64 max;
+#     tpcdi_dim_broker — phone (k%1e7)*7919%1e7;
+#     tpcdi_dim_company/_dim_security/_financial/
+#       tpcdi_audit_reconciliation/tpcdi_batch_e2e — the shared
+#       FINWIRE fixture builder's sh13/FIN-measure products, key
+#       pre-reduced so the char(13)/char(17) fields stay pure pads;
+#     tpcdi_scd2_dimaccount — account_id (k%2^61)*4+...;
+#     audit_data_quality — composite lineitem pk as a '-'-joined
+#       string (the k*100+linenumber scalar also silently collided
+#       for linenumber >= 100);
+#     graph_pagerank / graph_label_propagation — edge dst
+#       (id%cnt)*7+13k mod cnt;
+#     sample_negative_pairs — BOTH pair-key operands pre-reduced
+#       mod 2^31 before *1000 and the LCG;
+#     str_concat_phone — area code (k%1e3)*7%1e3;
+#     agg_first_last — lexicographic struct (epoch-sec, event_id)
+#       min_by/max_by key (the epoch*1e7+id scalar overflowed AND
+#       silently interleaved ids >= 1e7); oracle = HUGEINT
+#       epoch*2^64+id, exact-integer epoch floor.
+#   HOSTILE-JSON CLASS (one bad payload must not kill a stage):
+#     json_extract — regex-gated try_cast BIGINT (was bare CAST AS
+#       INT: killed on int64-range k), lenient numeric-string
+#       convention documented;
+#     json_variant_extract — try_parse_json + try_variant_get BIGINT
+#       (VARIANT_DUPLICATE_KEY and INVALID_VARIANT_CAST both
+#       stage-killed from data);
+#     udtf_map_in_pandas — strict typed-int extraction with
+#       first-duplicate-key json.loads hook, json_type-gated oracle
+#       (a 20-digit JSON integer OverflowError-killed the Arrow
+#       batch).
+#   DATE-CEILING CONTRACT: tpcdi_scd2_incremental (+ tpcdi_batch_e2e
+#     transitively) — _batch_date_shift raises a named ValueError
+#     when the synthetic batch shift would cross 9999-12-31 (the
+#     DATE type cannot host it in either engine).
+#   Plus the two ADVICE items committed earlier this round:
+#     agg_approx_percentile (mechanical flag gate) and the
+#     _split_bucket shiftright hardening reaching sample_split_assign,
+#     sample_temperature_mixture, sample_stratified_exact,
+#     pipeline_corpus_curation, pipeline_pretrain_e2e.
+# Deferred to r13 (oracle-side only, enumerated in SURVEY §7.5): the
+# FLOOR(EPOCH) double-rounding migration (11 ops), bit_ops shift
+# semantics, the FINWIRE CIK char(10) width guards.
 ROUND_ELEVATIONS = (
-    "agg_approx_percentile,sample_split_assign,"
-    "sample_temperature_mixture,sample_stratified_exact,"
-    "pipeline_corpus_curation,pipeline_pretrain_e2e"
+    "agg_approx_percentile,agg_first_last,audit_data_quality,"
+    "graph_label_propagation,graph_pagerank,json_extract,"
+    "json_variant_extract,pipeline_corpus_curation,pipeline_pretrain_e2e,"
+    "sample_negative_pairs,sample_split_assign,sample_stratified_exact,"
+    "sample_temperature_mixture,str_concat_phone,tpcdi_audit_reconciliation,"
+    "tpcdi_batch_e2e,tpcdi_dim_broker,tpcdi_dim_company,tpcdi_dim_security,"
+    "tpcdi_financial,tpcdi_prospect_match,tpcdi_scd2_dimaccount,"
+    "tpcdi_scd2_incremental,udtf_map_in_pandas"
 )
 
 

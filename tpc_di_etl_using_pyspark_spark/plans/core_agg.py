@@ -170,19 +170,32 @@ def agg_having(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "agg_first_last",
-    """SELECT user_id,
-              arg_min(value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000 + event_id)
-                AS first_value,
-              arg_max(value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000 + event_id)
-                AS last_value
-       FROM events GROUP BY user_id""",
+    """WITH k AS (
+         SELECT user_id, value,
+                CAST((epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000)
+                                      % 1000000)) // 1000000 AS HUGEINT)
+                  * 18446744073709551616::HUGEINT + event_id AS ord
+         FROM events)
+       SELECT user_id,
+              arg_min(value, ord) AS first_value,
+              arg_max(value, ord) AS last_value
+       FROM k GROUP BY user_id""",
 )
 def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
-    """Deterministic first/last value per group [SPEC: CDC latest-record wins]."""
-    # Deterministic first/last per key: ordered by a single total-order
-    # scalar (epoch-sec ⊕ unique event_id), not by arrival order.
+    """Deterministic first/last value per group [SPEC: CDC latest-record wins].
+
+    Ordered by the LEXICOGRAPHIC struct (epoch-sec, event_id), not by
+    arrival order. The former single-scalar key epoch_s*1e7+event_id
+    ANSI-overflowed at hash-scale event_ids and silently interleaved
+    ids >= 1e7 into the epoch digits (r12 extremes probe,
+    tools/probe_r12_extremes.py); struct min_by/max_by is exact at any
+    id magnitude. The oracle mirrors with a 128-bit HUGEINT key
+    epoch*2^64 + event_id — equivalent to the lexicographic order
+    because the event_id range (2^64-1 wide) fits strictly inside one
+    2^64 epoch step. Bit-identical to the old pair wherever the old
+    key didn't overflow or interleave."""
     e = t(spark, d, "events")
-    ordkey = epoch_s("ts") * 10000000 + F.col("event_id")
+    ordkey = F.struct(epoch_s("ts").alias("s"), F.col("event_id").alias("i"))
     return e.groupBy("user_id").agg(
         F.min_by("value", ordkey).alias("first_value"),
         F.max_by("value", ordkey).alias("last_value"),

@@ -1452,7 +1452,7 @@ def pack_sequences_greedy(spark: SparkSession, d: str) -> DataFrame:
     """WITH nodes AS (SELECT c_custkey AS id FROM customer),
 n AS (SELECT COUNT(*) AS cnt FROM nodes),
 edges AS (
-  SELECT id AS src, ((id * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
+  SELECT id AS src, ((id % (SELECT cnt FROM n) * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
   FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) u),
 e AS (SELECT src, dst FROM edges JOIN nodes ON dst = id),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -1500,7 +1500,7 @@ def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
         .select("id", ks, "cnt")
         .select(
             F.col("id").alias("src"),
-            ((F.col("id") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
+            ((F.col("id") % F.col("cnt") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
         )
     )
     e = edges.join(nodes.select(F.col("id").alias("dst")), "dst")
@@ -2780,7 +2780,7 @@ def events_active_users_rolling(spark: SparkSession, d: str) -> DataFrame:
              FROM embeddings, nb),
        cand AS (
          SELECT a.vec_id, b.vec_id AS neg_id,
-                (1103515245 * ((a.vec_id * 1000 + b.vec_id) % 2147483648)
+                (1103515245 * ((a.vec_id % 2147483648 * 1000 + b.vec_id % 2147483648) % 2147483648)
                  + 12345) % 2147483648 AS h
          FROM e a JOIN e b
            ON a.bucket = b.bucket AND a.label <> b.label)
@@ -2818,12 +2818,15 @@ def sample_negative_pairs(spark: SparkSession, d: str) -> DataFrame:
         F.col("vec_id").alias("neg_id"), F.col("label").alias("lb"),
         F.col("bucket"),
     )
-    # pair key reduced mod 2^31 BEFORE the LCG multiply: the raw key
-    # grows with vec_id, and 1103515245 * key overflows BIGINT once
-    # vec_id ~8.3e6 (Spark wraps silently, DuckDB errors) — the
-    # pre-reduction keeps the product < 2^62 at any corpus size and is
-    # a no-op at fixture ids (key < 2^31).
-    pair_key = (F.col("vec_id") * 1000 + F.col("neg_id")) % 2147483648
+    # BOTH operands pre-reduced mod 2^31 BEFORE the *1000 and the LCG
+    # multiply: the raw vec_id*1000 itself overflows past ~9.2e15 ids
+    # and the LCG product past ~8.3e6 (r10 find, generalized by the
+    # r12 extremes probe to hash-scale ids) — every intermediate now
+    # stays < 2^62 at ANY id magnitude, and the result is identical
+    # by modular arithmetic wherever the naive forms didn't overflow.
+    pair_key = (
+        F.col("vec_id") % 2147483648 * 1000 + F.col("neg_id") % 2147483648
+    ) % 2147483648
     h = (F.lit(1103515245).cast("long") * pair_key + 12345) % 2147483648
     w = Window.partitionBy("vec_id").orderBy("h", "neg_id")
     return (
@@ -3166,7 +3169,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
     "graph_label_propagation",
     """WITH nodes AS (SELECT c_custkey AS id FROM customer),
 n AS (SELECT COUNT(*) AS cnt FROM nodes),
-edges0 AS (SELECT id AS src, ((id * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
+edges0 AS (SELECT id AS src, ((id % (SELECT cnt FROM n) * 7 + k * 13) % (SELECT cnt FROM n)) + 1 AS dst
            FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) u),
 e0 AS (SELECT src, dst FROM edges0 JOIN nodes ON dst = id WHERE src <> dst),
 e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -3211,7 +3214,7 @@ def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
         .crossJoin(F.broadcast(cnt))
         .select(
             F.col("id").alias("src"),
-            ((F.col("id") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
+            ((F.col("id") % F.col("cnt") * 7 + F.col("k") * 13) % F.col("cnt") + 1).alias("dst"),
         )
     )
     e0 = (

@@ -53,35 +53,41 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- ROUND-12 CERTIFICATION WINDOW (50 = 6 ELEVATED + the 25
-    #     age-7 r5 ops + the 19 oldest r6 ops), per the cert-age
-    #     schedule above and VERDICT r11 item 1. The elevations (the
-    #     ADVICE r11 hardening pair, declared in ROUND_ELEVATIONS in
-    #     tools/round_close_check.py) displaced the six youngest
-    #     non-elevated window ops (join_null_safe …
-    #     text_bigram_logprob) to the r13 head. The full list below is
-    #     every registry op in (latest-green round, in-file position)
-    #     order, recomputed from CORRECTNESS_r01..r11 by
-    #     tools/cert_age_check.py.
-    # ELEVATED: the _split_bucket integer-division hardening (the
-    # high-16 extraction is now shiftright on a NONNEGATIVE-normalized
-    # residue, never a float division or sign-dependent truncation;
-    # negative ids now get the true mod-2^32 bucket — property-checked
-    # cross-engine on 20k ids over the full int64 range) reaches the
-    # five splitter adopters transitively; agg_approx_percentile's
-    # self-check flag gained the mechanical in-contract gate (NULL
-    # unless n >= 1000 AND min > 0, mirrored in the oracle).
+    # --- ROUND-12 CERTIFICATION WINDOW (50 = 24 ELEVATED + the 24
+    #     non-elevated age-7 r5 ops + the 2 oldest r6 ops), per the
+    #     cert-age schedule above and VERDICT r11 item 1. The
+    #     elevations are the r12 extremes-probe hardening wave
+    #     (tools/probe_r12_extremes.py: max-int64 ids, year-9999
+    #     dates, 10-digit epochs, hostile JSON) plus the two ADVICE
+    #     items — every declared op and the probe evidence is
+    #     documented in ROUND_ELEVATIONS in tools/round_close_check.py.
+    #     The elevations displaced 17 staged r6 ops to the r13 head.
+    # ELEVATED (24):
     "agg_approx_percentile",
-    "sample_split_assign",
-    "sample_temperature_mixture",
-    "sample_stratified_exact",
+    "agg_first_last",
+    "audit_data_quality",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "json_extract",
+    "json_variant_extract",
     "pipeline_corpus_curation",
     "pipeline_pretrain_e2e",
-    # --- round-5-certified block (25): the full age-7 r5 remainder —
-    #     the stalest certs in the repo, formally past the 6-round
-    #     cap at r12 (the rotation canary was red from the
-    #     CORRECTNESS_r11 drop until this rotation landed, by
-    #     design). HEAD of the round-12 window. ---
+    "sample_negative_pairs",
+    "sample_split_assign",
+    "sample_stratified_exact",
+    "sample_temperature_mixture",
+    "str_concat_phone",
+    "tpcdi_audit_reconciliation",
+    "tpcdi_batch_e2e",
+    "tpcdi_dim_broker",
+    "tpcdi_dim_company",
+    "tpcdi_dim_security",
+    "tpcdi_financial",
+    "tpcdi_prospect_match",
+    "tpcdi_scd2_dimaccount",
+    "tpcdi_scd2_incremental",
+    "udtf_map_in_pandas",
+    # --- r5-certified non-elevated block ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",
     "udtf_python_lateral",
@@ -90,7 +96,6 @@ _PRIORITY = [
     "multimodal_image_resize",
     "vec_quantize_pq",
     "tpcdi_marketing_nameplate",
-    "tpcdi_prospect_match",
     "tpcdi_dim_date",
     "tpcdi_dim_time",
     "tpcdi_dimessages",
@@ -107,16 +112,11 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
-    # --- round-6-certified block (39): the 25 oldest fill the rest of
-    #     the round-12 window; the remaining 14 head round 13. ---
+    # --- r6-certified non-elevated block ---
     "agg_collect_sorted",
-    "tpcdi_dim_broker",
     "str_url_parse",
-    "json_variant_extract",
     "scan_csv_delim",
     "scan_csv_header",
-    "tpcdi_scd2_incremental",
-    "tpcdi_batch_e2e",
     "vec_centroid_per_label",
     "vec_l2_normalize",
     "sql_groupby_all",
@@ -128,8 +128,6 @@ _PRIORITY = [
     "scan_recursive_glob",
     "scan_schema_evolution",
     "sink_sorted_clustered",
-    # --- end of the r12 window; the six ops below were displaced
-    #     by the r12 elevations and head the round-13 window ---
     "join_null_safe",
     "join_interval_overlap",
     "win_slope_rolling",
@@ -150,8 +148,7 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    # --- round-7-certified block (44): round-13 window tail +
-    #     round-14 head. ---
+    # --- r7-certified non-elevated block ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -196,7 +193,7 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- round-8-certified block (42). ---
+    # --- r8-certified non-elevated block ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -211,12 +208,7 @@ _PRIORITY = [
     "agg_approx_count_distinct",
     "map_ops",
     "sim_ivf_topk",
-    "tpcdi_dim_company",
-    "tpcdi_dim_security",
-    "tpcdi_financial",
     "tpcdi_fact_watches",
-    "tpcdi_scd2_dimaccount",
-    "tpcdi_audit_reconciliation",
     "win_row_number",
     "win_rank_dense",
     "win_lead_scd2",
@@ -236,15 +228,13 @@ _PRIORITY = [
     "text_label_quality",
     "dedup_exact_hash",
     "udtf_map_in_arrow",
-    "graph_pagerank",
     "text_unigram_logprob",
     "pack_sequences_greedy",
-    # --- round-9-certified block (44). ---
+    # --- r9-certified non-elevated block ---
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
     "stream_session_window",
-    "agg_first_last",
     "join_asof_latest",
     "join_asof_tolerance",
     "dedup_latest_by_key",
@@ -284,20 +274,18 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    # --- round-10-certified block (47). ---
+    # --- r10-certified non-elevated block ---
     "dedup_cross_source_matrix",
     "text_quality_gopher",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "sim_rp_lsh_cosine",
     "vec_kmeans_refine",
-    "sample_negative_pairs",
     "join_bloom_runtime_filter",
     "pipeline_incremental_dedup",
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
     "multimodal_dedup_sha",
-    "graph_label_propagation",
     "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     "tpcdi_cdc_apply",
@@ -329,14 +317,9 @@ _PRIORITY = [
     "cast_types",
     "hash_checksum",
     "bit_ops",
-    "json_extract",
     "json_nested_roundtrip",
     "json_variant_explode",
-    # --- round-11-certified block (50): the r11 window — 15 r4-origin
-    #     + 7 oldest-r5 + 28 probe-driven elevations (degenerate
-    #     denominators, signed-zero percentiles, empty slices,
-    #     int64-overflow hash ids; see VERDICT r11). Moved to the
-    #     tail by this r12 rotation. ---
+    # --- r11-certified non-elevated block ---
     "array_ops",
     "array_fold_dot",
     "array_posexplode",
@@ -350,7 +333,6 @@ _PRIORITY = [
     "udf_pandas_scalar",
     "udaf_pandas_grouped",
     "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
     "udf_arrow_scalar",
     "dedup_eval_simhash_recall",
     "win_ema_smooth",
@@ -377,10 +359,8 @@ _PRIORITY = [
     "sink_partitioned",
     "sink_merge_upsert",
     "sim_ivf_index_partitioned",
-    "audit_data_quality",
     "scan_xml_flatten",
     "agg_string_concat_group",
-    "str_concat_phone",
 ]
 
 

@@ -37,7 +37,7 @@ def _op(name, oracle=None):
 _SQL_CC = "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE CAST(c_custkey % 100 AS VARCHAR) END"
 _SQL_AC = (
     "CASE WHEN c_custkey % 4 = 0 THEN NULL "
-    "ELSE lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') END"
+    "ELSE lpad(CAST(c_custkey % 1000 * 7 % 1000 AS VARCHAR), 3, '0') END"
 )
 # (k mod 1e7)·(A mod 1e7) mod 1e7 ≡ (k·A) mod 1e7 with every
 # intermediate < 1e14: the naive k·2654435761 product overflows int64
@@ -69,7 +69,11 @@ def str_concat_phone(spark: SparkSession, d: str) -> DataFrame:
     c = t(spark, d, "customer")
     k = F.col("c_custkey")
     cc = F.when(k % 3 == 0, F.lit(None)).otherwise((k % 100).cast("string"))
-    ac = F.when(k % 4 == 0, F.lit(None)).otherwise(F.lpad(((k * 7) % 1000).cast("string"), 3, "0"))
+    # area code key pre-reduced mod 1e3 (r12 extremes probe: k*7 ANSI-
+    # overflows at hash-scale ids; identical by modular arithmetic)
+    ac = F.when(k % 4 == 0, F.lit(None)).otherwise(
+        F.lpad((k % 1000 * 7 % 1000).cast("string"), 3, "0")
+    )
     # overflow-free (k·A) mod 1e7 — see _SQL_LOCAL's derivation above
     loc = F.lpad(((k % 10000000) * 4435761 % 10000000).cast("string"), 7, "0")
     ext = F.when(k % 5 == 0, (k % 100).cast("string")).otherwise(F.lit(None))
@@ -364,15 +368,33 @@ def cast_types(spark: SparkSession, d: str) -> DataFrame:
 
 @_op(
     "json_extract",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    """SELECT event_id,
+              CASE WHEN regexp_full_match(
+                          json_extract_string(props, '$.k'),
+                          '-?[0-9]{1,19}')
+                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
        FROM events""",
 )
 def json_extract(spark: SparkSession, d: str) -> DataFrame:
-    """JSON field extraction from events.props [EXT: north star]."""
+    """JSON field extraction from events.props [EXT: north star].
+
+    Integer extraction is REGEX-GATED + try_cast (r12 extremes probe,
+    tools/probe_r12_extremes.py): the former bare CAST(... AS INT)
+    ANSI-stage-killed on any payload whose k exceeds int32 — including
+    the int64 maximum and >int64 JSON integers a 100 TB corpus will
+    contain. The gate accepts an optionally-signed <=19-digit integer
+    literal (both engines' unquoted extraction agrees on those);
+    try_cast NULLs the 19-digit values past the int64 ceiling
+    identically in both engines. Non-integer shapes (floats,
+    exponent forms, strings, containers, JSON null) are NULL by the
+    gate. Lenient convention: a numeric JSON STRING "123" extracts as
+    123 — both engines' *_string extraction is unquoted, so the gate
+    cannot (and does not try to) distinguish it."""
     e = t(spark, d, "events")
-    return e.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
-    )
+    raw = F.get_json_object("props", "$.k")
+    gated = F.when(raw.rlike(r"\A-?[0-9]{1,19}\z"), raw.try_cast("bigint"))
+    return e.select("event_id", gated.alias("k"))
 
 
 @_op(
@@ -966,7 +988,7 @@ def json_nested_roundtrip(spark: SparkSession, d: str) -> DataFrame:
     # 'OBJECT'/'ARRAY'. The driver fixture carries int/string
     # payloads — in contract.
     """SELECT event_id,
-              CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+              TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k,
               'OBJECT<' || COALESCE((
                  SELECT string_agg(jk || ': ' ||
                    -- COALESCE: DuckDB's json_type with a NON-constant
@@ -994,10 +1016,21 @@ def json_variant_extract(spark: SparkSession, d: str) -> DataFrame:
     parse + extract is a narrow map (no shuffle). The oracle mirrors
     the path extraction and pins the discovered shape as a literal."""
     e = t(spark, d, "events")
-    v = F.parse_json("props")
+    # try_parse_json (r12 extremes probe): Spark's VARIANT spec REJECTS
+    # duplicate-key objects (parse_json raises VARIANT_DUPLICATE_KEY —
+    # a stage-kill from one hostile payload at 100 TB); try_ maps such
+    # payloads to a NULL variant (k and vschema NULL). Duplicate-key
+    # payloads are out of the oracle contract either way (DuckDB
+    # resolves them per-path instead of rejecting).
+    v = F.try_parse_json("props")
     return e.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k"),
+        # try_variant_get + BIGINT (r12 extremes probe): the former
+        # variant_get(..., "int") threw INVALID_VARIANT_CAST on any
+        # int64-range payload past int32 — in the documented flat-
+        # scalar contract. try semantics NULL the >int64 DECIMAL(20,0)
+        # payloads identically to the oracle's TRY_CAST.
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.schema_of_variant(v).alias("vschema"),
     )
 

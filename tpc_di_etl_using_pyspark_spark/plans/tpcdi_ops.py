@@ -53,9 +53,32 @@ def _batch_date_shift(v: DataFrame) -> int:
     - On an EMPTY orders table the span aggregate is NULL; fall back
       to a 1-day shift instead of raising TypeError — both SCD2
       inputs are empty then, so the result is empty either way.
+    - LOUD date-headroom contract (r12 extremes probe): the shifted
+      batch needs max(eff) + span + 1 days of room below the DATE
+      type's 9999-12-31 ceiling. A date domain ending in ~year 9999
+      has none — the synthetic batch construction is then impossible
+      in EITHER engine (the DATE type simply cannot represent the
+      shifted dates), so raise a ValueError naming the contract
+      instead of letting Spark stage-kill with a bare out-of-range.
     """
-    s = v.agg(F.datediff(F.max("eff"), F.min("eff")).alias("s")).first()["s"]
-    return (int(s) if s is not None else 0) + 1
+    row = v.agg(
+        F.datediff(F.max("eff"), F.min("eff")).alias("s"),
+        F.max("eff").alias("mx"),
+    ).first()
+    s = row["s"]
+    shift = (int(s) if s is not None else 0) + 1
+    if row["mx"] is not None:
+        import datetime as _dt
+
+        room = (_dt.date(9999, 12, 31) - row["mx"]).days
+        if shift > room:
+            raise ValueError(
+                "scd2 synthetic-batch contract: the date-shifted batch "
+                f"(span+1 = {shift} days past max eff {row['mx']}) exceeds "
+                "the DATE ceiling 9999-12-31; a date domain this close to "
+                "the type maximum cannot host the shifted incremental batch"
+            )
+    return shift
 
 
 @_op(
@@ -270,7 +293,10 @@ def tpcdi_fact_market_history(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "tpcdi_prospect_match",
     """WITH prospect AS (
-         SELECT c_custkey + 5000000 AS p_id, upper(c_name) AS p_name_up,
+         SELECT CASE WHEN c_custkey > 9223372036849775807
+                     THEN c_custkey - 9223372036849775808
+                     ELSE c_custkey + 5000000 END AS p_id,
+                upper(c_name) AS p_name_up,
                 c_acctbal AS p_net_worth
          FROM customer WHERE c_custkey % 3 != 0)
        SELECT c.c_custkey, p.p_id,
@@ -287,8 +313,20 @@ def tpcdi_prospect_match(spark: SparkSession, d: str) -> DataFrame:
     fixture (2/3 of customers, re-keyed); match is a left join on the
     case-normalized key — broadcast-able at dimension scale."""
     c = t(spark, d, "customer")
+    # OVERFLOW-FREE re-key (r12 extremes probe, tools/probe_r12_extremes.py):
+    # the naive c_custkey + 5000000 ANSI-overflows within 5e6 of the
+    # int64 maximum — reachable when upstream ids are hash-derived
+    # (xxhash64-style). Keys in that top band wrap into [0, 5e6), a
+    # range the +5e6 branch can never produce for nonnegative keys, so
+    # the mapping stays injective; bit-identical to the naive form for
+    # every c_custkey <= 2^63-1-5e6 (all driver fixtures). Oracle
+    # mirrors the identical CASE.
+    p_id = F.when(
+        F.col("c_custkey") > F.lit(9223372036849775807),
+        F.col("c_custkey") - F.lit(9223372036849775808),
+    ).otherwise(F.col("c_custkey") + 5000000)
     prospect = c.filter(F.col("c_custkey") % 3 != 0).select(
-        (F.col("c_custkey") + 5000000).alias("p_id"),
+        p_id.alias("p_id"),
         F.upper("c_name").alias("p_name_up"),
         F.col("c_acctbal").alias("p_net_worth"),
     )
@@ -604,7 +642,7 @@ def _finwire_fixture(spark: SparkSession, d: str) -> str:
     def cmp_line(pts: str, status: str):
         return F.concat(
             F.lit(pts), F.lit("CMP"), name60,
-            F.lpad(F.col("s_suppkey").cast("string"), 10, "0"),
+            F.lpad((F.col("s_suppkey") % 10000000000).cast("string"), 10, "0"),
             F.lit(status), industry, F.lit("19900101"),
         ).alias("value")
 
@@ -616,14 +654,22 @@ def _finwire_fixture(spark: SparkSession, d: str) -> str:
     pw = prt.crossJoin(F.broadcast(n_supp))
     cik = F.col("p_partkey") % F.col("n_supp") + 1
     symbol15 = F.rpad(
-        F.concat(F.lit("S"), F.lpad(F.col("p_partkey").cast("string"), 8, "0")), 15, " "
+        F.concat(
+            F.lit("S"), F.lpad((F.col("p_partkey") % 100000000).cast("string"), 8, "0")
+        ), 15, " "
     )
     issue6 = F.rpad(F.when(F.col("p_partkey") % 2 == 0, "CS").otherwise("PS"), 6, " ")
     name70 = F.rpad(F.rtrim(F.substring("p_name", 1, 70)), 70, " ")
     ex6 = F.rpad(
         F.when(F.col("p_partkey") % 2 == 0, "NYSE").otherwise("NASDQ"), 6, " "
     )
-    sh13 = F.lpad((F.col("p_partkey") * 100 + 7).cast("string"), 13, "0")
+    # pre-reduced (k mod 1e11)·100+7 <= 13 digits: lpad(13) stays a pure
+    # pad (never a truncation) and the product cannot ANSI-overflow at
+    # hash-scale ids; identical to the naive form for p_partkey < 1e11
+    # (r12 extremes probe)
+    sh13 = F.lpad(
+        ((F.col("p_partkey") % 100000000000) * 100 + 7).cast("string"), 13, "0"
+    )
     co60 = F.rpad(F.lpad(cik.cast("string"), 10, "0"), 60, " ")
 
     def sec_line(pts: str, status: str):
@@ -648,10 +694,21 @@ def _finwire_fixture(spark: SparkSession, d: str) -> str:
             year.cast("string"),
             (F.col("i") % 4 + 1).cast("string"),
             F.date_format(qstart, "yyyyMMdd"),
-            F.lpad((F.col("s_suppkey") * 1000 + F.col("i")).cast("string"), 17, "0"),
-            F.lpad((F.col("s_suppkey") * 500 + F.col("i")).cast("string"), 17, "0"),
+            # key pre-reduced mod 1e10 (the same residue the char(10)
+            # CIK fields carry): the 17-char measure fields stay pure
+            # pads, the products cannot ANSI-overflow at hash-scale
+            # ids, and measure/cik stay mutually consistent; identical
+            # to the naive forms for s_suppkey < 1e10 (r12 probe)
+            F.lpad(
+                ((F.col("s_suppkey") % 10000000000) * 1000 + F.col("i"))
+                .cast("string"), 17, "0",
+            ),
+            F.lpad(
+                ((F.col("s_suppkey") % 10000000000) * 500 + F.col("i"))
+                .cast("string"), 17, "0",
+            ),
             F.lpad((F.col("s_suppkey") % 50).cast("string"), 12, "0"),
-            F.rpad(F.lpad(F.col("s_suppkey").cast("string"), 10, "0"), 60, " "),
+            F.rpad(F.lpad((F.col("s_suppkey") % 10000000000).cast("string"), 10, "0"), 60, " "),
         ).alias("value")
     )
 
@@ -698,13 +755,14 @@ def _company_dim_from(cmp: DataFrame) -> DataFrame:
 
 _COMPANY_CTES = """
 comp_actions AS (
-  SELECT s_suppkey AS cik, rtrim(substring(s_name, 1, 60)) AS company_name,
+  SELECT s_suppkey % 10000000000 AS cik,
+         rtrim(substring(s_name, 1, 60)) AS company_name,
          'ACTV' AS status,
          lpad(CAST(s_suppkey % 10 AS VARCHAR), 2, '0') AS industry_id,
          DATE '2010-01-01' AS eff
   FROM supplier
   UNION ALL
-  SELECT s_suppkey, rtrim(substring(s_name, 1, 60)), 'INAC',
+  SELECT s_suppkey % 10000000000, rtrim(substring(s_name, 1, 60)), 'INAC',
          lpad(CAST(s_suppkey % 10 AS VARCHAR), 2, '0'), DATE '2011-04-01'
   FROM supplier WHERE s_suppkey % 3 = 0),
 dim_company AS (
@@ -734,22 +792,22 @@ def tpcdi_dim_company(spark: SparkSession, d: str) -> DataFrame:
     f"""WITH {_COMPANY_CTES},
 n AS (SELECT COUNT(*) AS n_supp FROM supplier),
 sec_actions AS (
-  SELECT 'S' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS symbol,
+  SELECT 'S' || lpad(CAST(p_partkey % 100000000 AS VARCHAR), 8, '0') AS symbol,
          rtrim(substring(p_name, 1, 70)) AS name,
          CASE WHEN p_partkey % 2 = 0 THEN 'CS' ELSE 'PS' END AS issue_type,
          'ACTV' AS status,
          CASE WHEN p_partkey % 2 = 0 THEN 'NYSE' ELSE 'NASDQ' END AS ex_id,
-         p_partkey * 100 + 7 AS sh_out,
+         p_partkey % 100000000000 * 100 + 7 AS sh_out,
          p_partkey % n.n_supp + 1 AS cik,
          DATE '2010-07-01' AS eff
   FROM part, n
   UNION ALL
-  SELECT 'S' || lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+  SELECT 'S' || lpad(CAST(p_partkey % 100000000 AS VARCHAR), 8, '0'),
          rtrim(substring(p_name, 1, 70)),
          CASE WHEN p_partkey % 2 = 0 THEN 'CS' ELSE 'PS' END,
          'INAC',
          CASE WHEN p_partkey % 2 = 0 THEN 'NYSE' ELSE 'NASDQ' END,
-         p_partkey * 100 + 7, p_partkey % n.n_supp + 1, DATE '2011-07-01'
+         p_partkey % 100000000000 * 100 + 7, p_partkey % n.n_supp + 1, DATE '2011-07-01'
   FROM part, n WHERE p_partkey % 4 = 0),
 resolved AS (
   SELECT s.*, c.sk AS sk_company
@@ -799,7 +857,7 @@ def tpcdi_dim_security(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "tpcdi_financial",
     f"""WITH {_COMPANY_CTES},
-q AS (SELECT s_suppkey AS cik, CAST(r.i AS INTEGER) AS i
+q AS (SELECT s_suppkey % 10000000000 AS cik, CAST(r.i AS INTEGER) AS i
       FROM supplier CROSS JOIN (SELECT unnest(range(8)) AS i) r),
 fin AS (SELECT cik,
                CAST(2010 + i // 4 AS INTEGER) AS year,
@@ -848,7 +906,7 @@ def tpcdi_financial(spark: SparkSession, d: str) -> DataFrame:
          c_name AS last_name,
          'BR' || CAST(c_nationkey AS VARCHAR) AS branch,
          'OF' || CAST(c_custkey % 7 AS VARCHAR) AS office,
-         '+1-' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') AS phone
+         '+1-' || lpad(CAST(c_custkey % 10000000 * 7919 % 10000000 AS VARCHAR), 7, '0') AS phone
   FROM customer),
 rep AS (SELECT manager_id, COUNT(*) AS n FROM hr GROUP BY manager_id)
 SELECT h.employee_id AS broker_id, h.manager_id, h.last_name, h.branch,
@@ -877,7 +935,13 @@ def tpcdi_dim_broker(spark: SparkSession, d: str) -> DataFrame:
         F.concat(F.lit("OF"), (F.col("c_custkey") % 7).cast("string")).alias("office"),
         F.concat(
             F.lit("+1-"),
-            F.lpad((F.col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"),
+            # (k·7919) mod 1e7 with the key pre-reduced: identical by
+            # modular arithmetic, but the product can no longer ANSI-
+            # overflow at hash-scale ids (r12 extremes probe)
+            F.lpad(
+                ((F.col("c_custkey") % 10000000) * 7919 % 10000000).cast("string"),
+                7, "0",
+            ),
         ).alias("phone"),
     )
     from .core_scans import _bs_escape, _bs_unescape, _CSV_LOSSLESS
@@ -971,7 +1035,7 @@ def tpcdi_fact_watches(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "tpcdi_scd2_dimaccount",
     """WITH a AS (
-  SELECT o_custkey * 4 + o_orderkey % 4 AS account_id,
+  SELECT o_custkey % 2305843009213693952 * 4 + o_orderkey % 4 AS account_id,
          o_custkey AS customer_id,
          CASE o_orderstatus WHEN 'O' THEN 'ACTV' WHEN 'P' THEN 'SUSP'
               ELSE 'CLSD' END AS status,
@@ -1006,7 +1070,7 @@ def tpcdi_scd2_dimaccount(spark: SparkSession, d: str) -> DataFrame:
         .otherwise("CLSD")
     )
     actions = o.select(
-        (F.col("o_custkey") * 4 + F.col("o_orderkey") % 4).alias("account_id"),
+        ((F.col("o_custkey") % 2305843009213693952) * 4 + F.col("o_orderkey") % 4).alias("account_id"),
         F.col("o_custkey").alias("customer_id"),
         status.alias("status"),
         (F.col("o_orderkey") % 3).cast("int").alias("tax_status"),
@@ -1033,7 +1097,7 @@ def tpcdi_scd2_dimaccount(spark: SparkSession, d: str) -> DataFrame:
     f"""WITH {_COMPANY_CTES},
 n AS (SELECT COUNT(*) AS n_supp FROM supplier),
 acct_actions AS (
-  SELECT o_custkey * 4 + o_orderkey % 4 AS account_id,
+  SELECT o_custkey % 2305843009213693952 * 4 + o_orderkey % 4 AS account_id,
          CASE o_orderstatus WHEN 'O' THEN 'ACTV' WHEN 'P' THEN 'SUSP'
               ELSE 'CLSD' END AS status,
          CAST(o_orderkey % 3 AS INTEGER) AS tax_status,
@@ -1136,7 +1200,7 @@ def tpcdi_audit_reconciliation(spark: SparkSession, d: str) -> DataFrame:
         check(
             "dim_account_single_current",
             o.select(
-                (F.col("o_custkey") * 4 + F.col("o_orderkey") % 4)
+                ((F.col("o_custkey") % 2305843009213693952) * 4 + F.col("o_orderkey") % 4)
             ).distinct().agg(F.count(F.lit(1))),
             acct.groupBy("account_id")
             .agg(F.count(F.when(F.col("is_current"), F.lit(1))).alias("n_cur"))
@@ -1584,7 +1648,7 @@ def events_attribution_last_touch(spark: SparkSession, d: str) -> DataFrame:
        FROM o
        UNION ALL
        SELECT 'pk_lineitem_unique',
-              CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+              CAST(COUNT(*) - COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
                 AS BIGINT),
               COUNT(*)
        FROM li
@@ -1662,7 +1726,18 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
         F.lit("pk_lineitem_unique").alias("check_name"),
         (
             F.count(F.lit(1))
-            - F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+            # composite pk as a '-'-joined string: injective at ANY id
+            # magnitude (the former k*100+linenumber scalar ANSI-
+            # overflowed at hash-scale ids and silently collided for
+            # linenumber >= 100 — r12 extremes probe); NULL parts null
+            # the key in BOTH engines, so NULL-pk rows count as dups
+            - F.countDistinct(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
         )
         .cast("bigint")
         .alias("n_violations"),

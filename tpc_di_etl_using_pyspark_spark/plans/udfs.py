@@ -172,13 +172,24 @@ def udtf_apply_in_pandas(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "udtf_map_in_pandas",
     """SELECT event_id,
-              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                   THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+              END AS k,
               value * 2 AS value_x2
        FROM events""",
 )
 def udtf_map_in_pandas(spark: SparkSession, d: str) -> DataFrame:
     """Partition-wise table function via mapInPandas: JSON props parse +
     derived measure, Arrow batch in/out (the XML-parse fallback shape).
+
+    k extraction is STRICT typed-int (r12 extremes probe): only a JSON
+    integer within int64 range yields a value — floats, strings,
+    containers, JSON null, and beyond-int64 integers are NULL, so one
+    hostile payload can no longer OverflowError-kill the Arrow batch.
+    Python json.loads keeps the FIRST duplicate key (object_pairs_hook)
+    to match both engines' extraction order; the oracle gates on
+    DuckDB's json_type (UBIGINT = a positive integer past int64 —
+    TRY_CAST NULLs it like the Python range check).
     """
     schema = StructType(
         [
@@ -188,18 +199,37 @@ def udtf_map_in_pandas(spark: SparkSession, d: str) -> DataFrame:
         ]
     )
 
+    def first_key_pairs(pairs):
+        out = {}
+        for key, val in pairs:
+            out.setdefault(key, val)
+        return out
+
+    def int64_or_none(s):
+        # .get: a payload without "k" must yield NULL, not a KeyError
+        # that kills the whole stage (round-4 adversarial probe).
+        # STRICT typed-int: bool is an int subclass in Python — exclude
+        # it; floats/strings/containers/None and beyond-int64 integers
+        # all map to NULL (r12 extremes probe: a 20-digit JSON integer
+        # OverflowError-killed the former bare astype("Int64")).
+        v = json.loads(s, object_pairs_hook=first_key_pairs).get("k")
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return v if -(1 << 63) <= v < (1 << 63) else None
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
-                    # .get: a payload without "k" must yield NULL, not
-                    # a KeyError that kills the whole stage (round-4
-                    # adversarial probe; nullable Int64 carries the NA
-                    # through Arrow to LongType)
-                    "k": pdf["props"].map(
-                        lambda s: json.loads(s).get("k")
-                    ).astype("Int64"),
+                    # nullable Int64 built from the object list, NOT
+                    # via Series.map().astype(): map() coerces int+None
+                    # to float64 and near-int64-max values then fail
+                    # the safe float->int cast (r12 extremes probe)
+                    "k": pd.array(
+                        [int64_or_none(s) for s in pdf["props"]],
+                        dtype="Int64",
+                    ),
                     "value_x2": pdf["value"] * 2,
                 }
             )
