@@ -112,9 +112,18 @@ EXPECTED_MIN_TESTS = 986
 #     _split_bucket shiftright hardening reaching sample_split_assign,
 #     sample_temperature_mixture, sample_stratified_exact,
 #     pipeline_corpus_curation, pipeline_pretrain_e2e.
-# Deferred to r13 (oracle-side only, enumerated in SURVEY §7.5): the
-# FLOOR(EPOCH) double-rounding migration (11 ops), bit_ops shift
-# semantics, the FINWIRE CIK char(10) width guards.
+#   Second probe pass (complete, non-truncated log) found three more
+#   Spark-side killers; two fixed this round:
+#     sink_compact_small_files — DECIMAL(38,0) key checksum (BIGINT
+#       sum of hash-scale keys overflows Spark-side; DuckDB silently
+#       widens to HUGEINT);
+#     sink_merge_upsert — insert-key quotient pre-reduced mod
+#       floor(2^63/40) so the *40 cannot overflow at an int64-max key.
+# Deferred to r13 (enumerated in SURVEY §7.4o): the FLOOR(EPOCH)
+# double-rounding oracle migration (11 ops), bit_ops shift semantics,
+# the FINWIRE CIK char(10) width guards, and scan_xml_flatten's
+# writer-side custkey*10 reduction (the one slot the 50-window's
+# 25-mandatory-r5 budget could not hold this round).
 ROUND_ELEVATIONS = (
     "agg_approx_percentile,agg_first_last,audit_data_quality,"
     "graph_label_propagation,graph_pagerank,json_extract,"
@@ -123,7 +132,8 @@ ROUND_ELEVATIONS = (
     "sample_temperature_mixture,str_concat_phone,tpcdi_audit_reconciliation,"
     "tpcdi_batch_e2e,tpcdi_dim_broker,tpcdi_dim_company,tpcdi_dim_security,"
     "tpcdi_financial,tpcdi_prospect_match,tpcdi_scd2_dimaccount,"
-    "tpcdi_scd2_incremental,udtf_map_in_pandas"
+    "tpcdi_scd2_incremental,udtf_map_in_pandas,"
+    "sink_compact_small_files,sink_merge_upsert"
 )
 
 

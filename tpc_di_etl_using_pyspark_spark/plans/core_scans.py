@@ -773,7 +773,8 @@ def sink_python_datasource(spark: SparkSession, d: str) -> DataFrame:
     """SELECT CAST(64 AS BIGINT) AS n_input_files,
               CAST(4 AS BIGINT) AS n_output_files,
               CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+              CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS key_checksum
        FROM orders""",
 )
 def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
@@ -827,7 +828,13 @@ def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
         F.lit(n_in).cast("bigint").alias("n_input_files"),
         F.lit(n_out).cast("bigint").alias("n_output_files"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").alias("key_checksum"),
+        # DECIMAL(38,0) checksum: a BIGINT sum of hash-scale keys
+        # ANSI-overflows Spark-side while DuckDB silently widens to
+        # HUGEINT (r12 extremes probe); 38 digits holds ~1e19 rows of
+        # int64-max keys, exact in both engines
+        F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("key_checksum"),
     )
 
 
@@ -845,8 +852,8 @@ def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
                 c_mktsegment
          FROM base WHERE c_custkey % 40 = 0),
        ins AS (
-         SELECT ((SELECT MAX(c_custkey) FROM base) // 40 + r) * 40
-                  AS c_custkey,
+         SELECT ((SELECT MAX(c_custkey) FROM base) // 40 + r)
+                  % 230584300921369395 * 40 AS c_custkey,
                 'NEW#' || CAST(r AS VARCHAR) AS c_name,
                 CAST(0.0 AS DOUBLE) AS c_acctbal,
                 'MERGED' AS c_mktsegment
@@ -907,7 +914,13 @@ def sink_merge_upsert(spark: SparkSession, d: str) -> DataFrame:
         .select(F.col("id").alias("r"))
         .crossJoin(F.broadcast(mx))
         .select(
-            F.expr("(mx div 40 + r) * 40").alias("c_custkey"),
+            # quotient pre-reduced mod floor(2^63/40): the *40 cannot ANSI-
+            # overflow at an int64-max key (r12 extremes probe); identical
+            # for any mx < 2^63-160. At the wrap the synthetic inserts
+            # land on small %40==0 keys and the MERGE treats them as
+            # updates — same rows in BOTH engines (oracle mirrors the
+            # identical expression).
+            F.expr("(mx div 40 + r) % 230584300921369395 * 40").alias("c_custkey"),
             F.concat(F.lit("NEW#"), F.col("r").cast("string")).alias("c_name"),
             F.lit(0.0).alias("c_acctbal"),
             F.lit("MERGED").alias("c_mktsegment"),

@@ -53,16 +53,19 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- ROUND-12 CERTIFICATION WINDOW (50 = 24 ELEVATED + the 24
-    #     non-elevated age-7 r5 ops + the 2 oldest r6 ops), per the
-    #     cert-age schedule above and VERDICT r11 item 1. The
+    # --- ROUND-12 CERTIFICATION WINDOW (50 = 26 ELEVATED + the 24
+    #     non-elevated age-7 r5 ops; tpcdi_prospect_match is both), per
+    #     the cert-age schedule above and VERDICT r11 item 1. The
     #     elevations are the r12 extremes-probe hardening wave
     #     (tools/probe_r12_extremes.py: max-int64 ids, year-9999
     #     dates, 10-digit epochs, hostile JSON) plus the two ADVICE
-    #     items — every declared op and the probe evidence is
-    #     documented in ROUND_ELEVATIONS in tools/round_close_check.py.
-    #     The elevations displaced 17 staged r6 ops to the r13 head.
-    # ELEVATED (24):
+    #     items — per-op probe evidence in ROUND_ELEVATIONS in
+    #     tools/round_close_check.py. The elevations displaced all 19
+    #     staged r6 ops to the r13 head; the window is at its
+    #     25-mandatory-r5 capacity (one further killer fix,
+    #     scan_xml_flatten, is deferred to r13 for exactly this
+    #     reason — see SURVEY §7.4o).
+    # ELEVATED (26):
     "agg_approx_percentile",
     "agg_first_last",
     "audit_data_quality",
@@ -87,6 +90,8 @@ _PRIORITY = [
     "tpcdi_scd2_dimaccount",
     "tpcdi_scd2_incremental",
     "udtf_map_in_pandas",
+    "sink_compact_small_files",
+    "sink_merge_upsert",
     # --- r5-certified non-elevated block ---
     "udf_sql_declarative",
     "udtf_sql_table_fn",
@@ -338,7 +343,6 @@ _PRIORITY = [
     "win_ema_smooth",
     "text_snapshot_novelty",
     "dedup_ngram_containment",
-    "sink_compact_small_files",
     "vec_pca_power_iteration",
     "vec_pca_project",
     "agg_stats",
@@ -357,7 +361,6 @@ _PRIORITY = [
     "scan_partition_pruned",
     "scan_binaryfile",
     "sink_partitioned",
-    "sink_merge_upsert",
     "sim_ivf_index_partitioned",
     "scan_xml_flatten",
     "agg_string_concat_group",
