@@ -112,24 +112,25 @@ def hostile_props(i: int) -> str:
     return pool[i % len(pool)]
 
 
-def main() -> None:
-    # 1. regenerate the base adversarial fixture into OUT
+def main(out: str | None = None) -> str:
+    out = out or OUT
+    # 1. regenerate the base adversarial fixture into out
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "adversarial_fixture.py"), OUT],
+        [sys.executable, os.path.join(REPO, "tools", "adversarial_fixture.py"), out],
         check=True,
     )
 
     # 2. compute the global order/ship date max for the constant shift
     hi = None
     for tbl, cols in DATE_COLS.items():
-        t = pq.read_table(f"{OUT}/{tbl}.parquet")
+        t = pq.read_table(f"{out}/{tbl}.parquet")
         for c in cols:
             m = pc.max(t[c]).as_py()
             hi = m if hi is None or m > hi else hi
     date_shift = (DATE_TARGET_MAX - hi).days
 
     for tbl in ID_COLS:
-        t = pq.read_table(f"{OUT}/{tbl}.parquet")
+        t = pq.read_table(f"{out}/{tbl}.parquet")
         cols = {}
         for name in t.column_names:
             col = t[name]
@@ -161,14 +162,15 @@ def main() -> None:
                     [hostile_props(i) for i in range(len(col))], type=pa.string()
                 )
             cols[name] = col
-        pq.write_table(pa.table(cols), f"{OUT}/{tbl}.parquet")
+        pq.write_table(pa.table(cols), f"{out}/{tbl}.parquet")
 
     print(
-        f"probe fixture at {OUT}: ids within 64 of int64 max (incl. the exact"
+        f"probe fixture at {out}: ids within 64 of int64 max (incl. the exact"
         f" max), order/ship dates shifted +{date_shift}d to end {DATE_TARGET_MAX:%Y-%m-%d},"
         f" events in 10-digit-epoch 2287, {len(set(hostile_props(i) for i in range(16)))}"
         f" hostile JSON prop shapes"
     )
+    return out
 
 
 if __name__ == "__main__":
