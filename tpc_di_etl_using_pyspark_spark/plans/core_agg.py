@@ -193,7 +193,17 @@ def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
     epoch*2^64 + event_id — equivalent to the lexicographic order
     because the event_id range (2^64-1 wide) fits strictly inside one
     2^64 epoch step. Bit-identical to the old pair wherever the old
-    key didn't overflow or interleave."""
+    key didn't overflow or interleave.
+
+    Plan note (audited r12): the struct-typed min_by buffer is not a
+    mutable primitive, so the partial/final pair plans as
+    SortAggregate instead of HashAggregate — one extra per-partition
+    sort on the single user_id grouping column. Accepted: every
+    63-bit packing that keeps a HashAggregate buffer either overflows
+    (the old key) or cannot host epoch+full-id (38+64 bits > 63), and
+    a wrong-order or stage-killing key costs more at 100 TB than a
+    grouping-key sort. Map-side partial_min_by is retained either
+    way."""
     e = t(spark, d, "events")
     ordkey = F.struct(epoch_s("ts").alias("s"), F.col("event_id").alias("i"))
     return e.groupBy("user_id").agg(
