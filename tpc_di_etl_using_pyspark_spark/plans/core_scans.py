@@ -773,8 +773,8 @@ def sink_python_datasource(spark: SparkSession, d: str) -> DataFrame:
     """SELECT CAST(64 AS BIGINT) AS n_input_files,
               CAST(4 AS BIGINT) AS n_output_files,
               CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                AS key_checksum
+              CAST(CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS VARCHAR) AS key_checksum
        FROM orders""",
 )
 def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
@@ -828,12 +828,16 @@ def sink_compact_small_files(spark: SparkSession, d: str) -> DataFrame:
         F.lit(n_in).cast("bigint").alias("n_input_files"),
         F.lit(n_out).cast("bigint").alias("n_output_files"),
         F.count(F.lit(1)).alias("n_rows"),
-        # DECIMAL(38,0) checksum: a BIGINT sum of hash-scale keys
-        # ANSI-overflows Spark-side while DuckDB silently widens to
-        # HUGEINT (r12 extremes probe); 38 digits holds ~1e19 rows of
-        # int64-max keys, exact in both engines
+        # exact-digit STRING checksum over a DECIMAL(38,0) sum: a
+        # BIGINT sum of hash-scale keys ANSI-overflows Spark-side
+        # while DuckDB silently widens to HUGEINT (r12 extremes
+        # probe); 38 digits holds ~1e19 rows of int64-max keys,
+        # exact in both engines, and the string output keeps the
+        # driver canonicalizer on a proven type (no certified op
+        # ships a raw DECIMAL column)
         F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("key_checksum"),
     )
 
