@@ -119,11 +119,13 @@ EXPECTED_MIN_TESTS = 1024
 #       widens to HUGEINT);
 #     sink_merge_upsert — insert-key quotient pre-reduced mod
 #       floor(2^63/40) so the *40 cannot overflow at an int64-max key.
-# Deferred to r13 (enumerated in SURVEY §7.4o): the FLOOR(EPOCH)
+# Deferred to r13 (enumerated in SURVEY §7.4o; recipes pinned
+# executable in tests/test_r13_prep.py): the FLOOR(EPOCH)
 # double-rounding oracle migration (11 ops), bit_ops shift semantics,
-# the FINWIRE CIK char(10) width guards, and scan_xml_flatten's
-# writer-side custkey*10 reduction (the one slot the 50-window's
-# 25-mandatory-r5 budget could not hold this round).
+# the FINWIRE CIK char(10) width guards, scan_xml_flatten's
+# writer-side custkey*10 reduction, and str_encode_b64_hex's
+# CRLF-strip (Spark base64 MIME-chunks past 57-byte payloads) —
+# the 50-window's 25-mandatory-r5 budget could not hold these.
 ROUND_ELEVATIONS = (
     "agg_approx_percentile,agg_first_last,audit_data_quality,"
     "graph_label_propagation,graph_pagerank,json_extract,"
