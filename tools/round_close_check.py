@@ -64,78 +64,44 @@ EXPECTED_MIN_TESTS = 1024
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
 # (and to tests/test_cert_age_check.py's live-repo invocation) via the
-# CERT_AGE_ELEVATED env. r12 — the extremes-probe hardening wave
-# (tools/probe_r12_extremes.py; full registry swept on a fixture with
-# ids within 64 of int64 max incl. the exact max, order/ship dates
-# ending mid-9999, events at 10-digit epochs, and 16 hostile JSON prop
-# shapes; 257/291 matched, every non-match adjudicated):
-#   ID-DERIVATION OVERFLOW CLASS (Spark-side ANSI stage-kills on
-#   hash-scale ids; every fix is a modular pre-reduction or wider
-#   construct, bit-identical wherever the naive form didn't overflow,
-#   mirrored in the oracle):
-#     tpcdi_prospect_match — p_id wraparound re-key near int64 max;
-#     tpcdi_dim_broker — phone (k%1e7)*7919%1e7;
-#     tpcdi_dim_company/_dim_security/_financial/
-#       tpcdi_audit_reconciliation/tpcdi_batch_e2e — the shared
-#       FINWIRE fixture builder's sh13/FIN-measure products, key
-#       pre-reduced so the char(13)/char(17) fields stay pure pads;
-#     tpcdi_scd2_dimaccount — account_id (k%2^61)*4+...;
-#     audit_data_quality — composite lineitem pk as a '-'-joined
-#       string (the k*100+linenumber scalar also silently collided
-#       for linenumber >= 100);
-#     graph_pagerank / graph_label_propagation — edge dst
-#       (id%cnt)*7+13k mod cnt;
-#     sample_negative_pairs — BOTH pair-key operands pre-reduced
-#       mod 2^31 before *1000 and the LCG;
-#     str_concat_phone — area code (k%1e3)*7%1e3;
-#     agg_first_last — lexicographic struct (epoch-sec, event_id)
-#       min_by/max_by key (the epoch*1e7+id scalar overflowed AND
-#       silently interleaved ids >= 1e7); oracle = HUGEINT
-#       epoch*2^64+id, exact-integer epoch floor.
-#   HOSTILE-JSON CLASS (one bad payload must not kill a stage):
-#     json_extract — regex-gated try_cast BIGINT (was bare CAST AS
-#       INT: killed on int64-range k), lenient numeric-string
-#       convention documented;
-#     json_variant_extract — try_parse_json + try_variant_get BIGINT
-#       (VARIANT_DUPLICATE_KEY and INVALID_VARIANT_CAST both
-#       stage-killed from data);
-#     udtf_map_in_pandas — strict typed-int extraction with
-#       first-duplicate-key json.loads hook, json_type-gated oracle
-#       (a 20-digit JSON integer OverflowError-killed the Arrow
-#       batch).
-#   DATE-CEILING CONTRACT: tpcdi_scd2_incremental (+ tpcdi_batch_e2e
-#     transitively) — _batch_date_shift raises a named ValueError
-#     when the synthetic batch shift would cross 9999-12-31 (the
-#     DATE type cannot host it in either engine).
-#   Plus the two ADVICE items committed earlier this round:
-#     agg_approx_percentile (mechanical flag gate) and the
-#     _split_bucket shiftright hardening reaching sample_split_assign,
-#     sample_temperature_mixture, sample_stratified_exact,
-#     pipeline_corpus_curation, pipeline_pretrain_e2e.
-#   Second probe pass (complete, non-truncated log) found three more
-#   Spark-side killers; two fixed this round:
-#     sink_compact_small_files — DECIMAL(38,0) key checksum (BIGINT
-#       sum of hash-scale keys overflows Spark-side; DuckDB silently
-#       widens to HUGEINT);
-#     sink_merge_upsert — insert-key quotient pre-reduced mod
-#       floor(2^63/40) so the *40 cannot overflow at an int64-max key.
-# Deferred to r13 (enumerated in SURVEY §7.4o; recipes pinned
-# executable in tests/test_r13_prep.py): the FLOOR(EPOCH)
-# double-rounding oracle migration (11 ops), bit_ops shift semantics,
-# the FINWIRE CIK char(10) width guards, scan_xml_flatten's
-# writer-side custkey*10 reduction, and str_encode_b64_hex's
-# CRLF-strip (Spark base64 MIME-chunks past 57-byte payloads) —
-# the 50-window's 25-mandatory-r5 budget could not hold these.
+# CERT_AGE_ELEVATED env. r13 — the SURVEY §7.4o deferred-fix wave
+# (every recipe was pre-pinned executable in tests/test_r13_prep.py
+# by r12; this round applies them):
+#   FLOOR(EPOCH) ORACLE MIGRATION (11 ops, oracle-side only; Spark
+#   untouched): DuckDB's CAST(FLOOR(EPOCH(ts)) AS BIGINT) goes
+#   through DOUBLE whose ulp at 10-digit epochs is ~2 us, so a
+#   .999999 fraction rounds UP and shifts the floor +1 s; replaced
+#   with the exact integer floor-mod form
+#   (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000))
+#   // 1000000 (plain // truncates toward zero and would break
+#   pre-epoch instants):
+#     join_asof_latest, join_asof_tolerance, win_lag_change,
+#     win_running_distinct, win_sessionize_gap, win_interpolate_linear,
+#     stream_stream_join, win_pattern_vshape, win_rolling_corr,
+#     win_range_time_interval, stream_sliding_sum.
+#   CROSS-ENGINE DIVERGENCE / STAGE-KILL CLOSERS:
+#     str_encode_b64_hex — strip [\r\n] from Spark base64() (MIME
+#       76-char chunking past 57-byte payloads; DuckDB is continuous);
+#     bit_ops — low-61-bit masked shift (x & 0x1FFFFFFFFFFFFFFF) << 2
+#       in BOTH engines (DuckDB throws on the unmasked shift at
+#       int64 extremes, Spark wraps — neither is portable);
+#     scan_xml_flatten — writer account id
+#       (c_custkey % 922337203685477580) * 10, oracle mirrored;
+#     scan_text_fixedwidth — FINWIRE CIK char(10) carries the
+#       mod-1e10 residue (consistent with the tpcdi dim builders)
+#       instead of silently truncating ids past 10 digits.
+# Deferred to r14 (the 50-window's 35-mandatory-r6 budget is full;
+# recipes pinned executable in tests/test_r14_prep.py):
+# scan_python_datasource's matching CIK residue, the _util.sql_epoch_s
+# floor-mod migration (+ its adopters tpcdi_dim_trade/events_funnel),
+# agg_first_last's NULL-symmetric order key (ADVICE r12 medium), and
+# the tpcdi_prospect_match negative-key contract note (ADVICE r12 low).
 ROUND_ELEVATIONS = (
-    "agg_approx_percentile,agg_first_last,audit_data_quality,"
-    "graph_label_propagation,graph_pagerank,json_extract,"
-    "json_variant_extract,pipeline_corpus_curation,pipeline_pretrain_e2e,"
-    "sample_negative_pairs,sample_split_assign,sample_stratified_exact,"
-    "sample_temperature_mixture,str_concat_phone,tpcdi_audit_reconciliation,"
-    "tpcdi_batch_e2e,tpcdi_dim_broker,tpcdi_dim_company,tpcdi_dim_security,"
-    "tpcdi_financial,tpcdi_prospect_match,tpcdi_scd2_dimaccount,"
-    "tpcdi_scd2_incremental,udtf_map_in_pandas,"
-    "sink_compact_small_files,sink_merge_upsert"
+    "join_asof_latest,join_asof_tolerance,win_lag_change,"
+    "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
+    "stream_stream_join,win_pattern_vshape,win_rolling_corr,"
+    "win_range_time_interval,stream_sliding_sum,"
+    "str_encode_b64_hex,bit_ops,scan_xml_flatten,scan_text_fixedwidth"
 )
 
 

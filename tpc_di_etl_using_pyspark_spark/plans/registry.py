@@ -41,9 +41,13 @@ _MODULES = [
 #     + 28 elevated (the r11 hardening sweeps; see the window
 #     comments below — the elevations displaced 16 r5 ops to the r12
 #     head and pulled 12 ops forward out of the r6..r10 blocks)
-#   round 12: rest of r5 (26) + 24 oldest r6
-#   round 13: rest of r6 (15) + 35 oldest r7
-#   round 14: rest of r7 (9) + 41 oldest r8
+#   round 12 (done, 50/50 green): 24 age-7 r5 + 26 elevated (the
+#     extremes-probe hardening wave; displaced all 19 staged r6 ops
+#     plus agg_collect_sorted/str_url_parse to the r13 head)
+#   round 13 (THIS round): the full 35-op age-7 r6 block + 15
+#     elevated (the §7.4o deferred-fix wave; displaced all 15 staged
+#     r7 ops to the r14 head)
+#   round 14: the displaced r7 block (15) + 35 oldest r8
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
@@ -53,71 +57,39 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- ROUND-12 CERTIFICATION WINDOW (50 = 26 ELEVATED + the 24
-    #     non-elevated age-7 r5 ops; tpcdi_prospect_match is both), per
-    #     the cert-age schedule above and VERDICT r11 item 1. The
-    #     elevations are the r12 extremes-probe hardening wave
-    #     (tools/probe_r12_extremes.py: max-int64 ids, year-9999
-    #     dates, 10-digit epochs, hostile JSON) plus the two ADVICE
-    #     items — per-op probe evidence in ROUND_ELEVATIONS in
-    #     tools/round_close_check.py. The elevations displaced all 19
-    #     staged r6 ops to the r13 head; the window is at its
-    #     25-mandatory-r5 capacity (one further killer fix,
-    #     scan_xml_flatten, is deferred to r13 for exactly this
-    #     reason — see SURVEY §7.4o).
-    # ELEVATED (26):
-    "agg_approx_percentile",
-    "agg_first_last",
-    "audit_data_quality",
-    "graph_label_propagation",
-    "graph_pagerank",
-    "json_extract",
-    "json_variant_extract",
-    "pipeline_corpus_curation",
-    "pipeline_pretrain_e2e",
-    "sample_negative_pairs",
-    "sample_split_assign",
-    "sample_stratified_exact",
-    "sample_temperature_mixture",
-    "str_concat_phone",
-    "tpcdi_audit_reconciliation",
-    "tpcdi_batch_e2e",
-    "tpcdi_dim_broker",
-    "tpcdi_dim_company",
-    "tpcdi_dim_security",
-    "tpcdi_financial",
-    "tpcdi_prospect_match",
-    "tpcdi_scd2_dimaccount",
-    "tpcdi_scd2_incremental",
-    "udtf_map_in_pandas",
-    "sink_compact_small_files",
-    "sink_merge_upsert",
-    # --- r5-certified non-elevated block ---
-    "udf_sql_declarative",
-    "udtf_sql_table_fn",
-    "udtf_python_lateral",
-    "sql_pipe_syntax",
-    "sink_python_datasource",
-    "multimodal_image_resize",
-    "vec_quantize_pq",
-    "tpcdi_marketing_nameplate",
-    "tpcdi_dim_date",
-    "tpcdi_dim_time",
-    "tpcdi_dimessages",
-    "tpcdi_scd2_hybrid_type1",
-    "tpcdi_reference_dims",
-    "events_retention",
-    "events_active_users_rolling",
-    "agg_transpose_matrix",
-    "agg_filter_clause",
-    "agg_bitmap_distinct",
-    "agg_unpivot",
-    "agg_pivot_dynamic",
-    "agg_histogram_fixed",
-    "sketch_hll_partition_merge",
-    "sketch_approx_topk",
-    "sort_limit_offset",
-    # --- r6-certified non-elevated block ---
+    # --- ROUND-13 CERTIFICATION WINDOW (50 = 15 ELEVATED + the 35
+    #     mandatory age-7 r6 ops), per the cert-age schedule above and
+    #     VERDICT r12 item 1. The elevations are the SURVEY §7.4o
+    #     deferred-fix wave, recipes pre-pinned in tests/test_r13_prep.py:
+    #     the 11-op FLOOR(EPOCH) exact-integer oracle migration, the
+    #     str_encode_b64_hex CRLF strip, the bit_ops low-61-bit masked
+    #     shift, scan_xml_flatten's writer custkey reduction, and the
+    #     scan_text_fixedwidth FINWIRE CIK mod-1e10 residue — per-op
+    #     evidence in ROUND_ELEVATIONS in tools/round_close_check.py.
+    #     The elevations displaced all 15 staged r7 ops to the r14 head;
+    #     the window is at its 35-mandatory-r6 capacity, so four known
+    #     fixes are deferred to r14 (pinned in tests/test_r14_prep.py):
+    #     scan_python_datasource's matching CIK residue, the
+    #     _util.sql_epoch_s floor-mod migration (+ its two adopters),
+    #     agg_first_last's NULL-symmetric order key, and the
+    #     tpcdi_prospect_match negative-key contract note.
+    # ELEVATED (15):
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "win_lag_change",
+    "win_running_distinct",
+    "win_sessionize_gap",
+    "win_interpolate_linear",
+    "stream_stream_join",
+    "win_pattern_vshape",
+    "win_rolling_corr",
+    "win_range_time_interval",
+    "stream_sliding_sum",
+    "str_encode_b64_hex",
+    "bit_ops",
+    "scan_xml_flatten",
+    "scan_text_fixedwidth",
+    # --- r6-certified mandatory block (35, age 7 at r13) ---
     "agg_collect_sorted",
     "str_url_parse",
     "scan_csv_delim",
@@ -153,7 +125,7 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    # --- r7-certified non-elevated block ---
+    # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -168,7 +140,6 @@ _PRIORITY = [
     "scan_parquet",
     "scan_jsonl",
     "scan_orc",
-    "scan_text_fixedwidth",
     "sink_parquet",
     "sink_bucketed",
     "sink_table_overwrite_append",
@@ -198,7 +169,6 @@ _PRIORITY = [
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    # --- r8-certified non-elevated block ---
     "sort_multi",
     "limit_n",
     "topk_per_group",
@@ -235,31 +205,21 @@ _PRIORITY = [
     "udtf_map_in_arrow",
     "text_unigram_logprob",
     "pack_sequences_greedy",
-    # --- r9-certified non-elevated block ---
     "str_collate_ci",
     "scan_python_datasource",
     "scan_csv_malformed",
     "stream_session_window",
-    "join_asof_latest",
-    "join_asof_tolerance",
     "dedup_latest_by_key",
-    "win_lag_change",
-    "win_running_distinct",
-    "win_sessionize_gap",
-    "win_interpolate_linear",
     "stream_watermark_late",
     "stream_foreachbatch_upsert",
-    "stream_stream_join",
     "tpcdi_dim_trade",
     "events_funnel",
-    "win_pattern_vshape",
     "tpcdi_scd2_dimcustomer",
     "tpcdi_fact_cash_balances",
     "tpcdi_fact_market_history",
     "tpcdi_fact_holdings",
     "text_bm25_topk",
     "sketch_count_min",
-    "win_rolling_corr",
     "sketch_bloom_filter",
     "events_path_trigrams",
     "text_ngram_topk",
@@ -279,7 +239,6 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    # --- r10-certified non-elevated block ---
     "dedup_cross_source_matrix",
     "text_quality_gopher",
     "dedup_simhash",
@@ -294,7 +253,6 @@ _PRIORITY = [
     "pipeline_multimodal_e2e",
     "win_time_weighted_avg",
     "tpcdi_cdc_apply",
-    "win_range_time_interval",
     "str_levenshtein_link",
     "dedup_url_canonical",
     "xml_roundtrip_builtin",
@@ -305,7 +263,6 @@ _PRIORITY = [
     "str_regexp",
     "str_split_explode",
     "str_regexp_extract_all",
-    "str_encode_b64_hex",
     "date_parse",
     "date_arith",
     "date_extract",
@@ -321,16 +278,13 @@ _PRIORITY = [
     "null_coalesce",
     "cast_types",
     "hash_checksum",
-    "bit_ops",
     "json_nested_roundtrip",
     "json_variant_explode",
-    # --- r11-certified non-elevated block ---
     "array_ops",
     "array_fold_dot",
     "array_posexplode",
     "array_exists_forall",
     "stream_tumbling_count",
-    "stream_sliding_sum",
     "stream_dedup_state",
     "stream_stateful_totals",
     "stream_transform_with_state",
@@ -362,8 +316,57 @@ _PRIORITY = [
     "scan_binaryfile",
     "sink_partitioned",
     "sim_ivf_index_partitioned",
-    "scan_xml_flatten",
     "agg_string_concat_group",
+    "agg_approx_percentile",
+    "agg_first_last",
+    "audit_data_quality",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "json_extract",
+    "json_variant_extract",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_e2e",
+    "sample_negative_pairs",
+    "sample_split_assign",
+    "sample_stratified_exact",
+    "sample_temperature_mixture",
+    "str_concat_phone",
+    "tpcdi_audit_reconciliation",
+    "tpcdi_batch_e2e",
+    "tpcdi_dim_broker",
+    "tpcdi_dim_company",
+    "tpcdi_dim_security",
+    "tpcdi_financial",
+    "tpcdi_prospect_match",
+    "tpcdi_scd2_dimaccount",
+    "tpcdi_scd2_incremental",
+    "udtf_map_in_pandas",
+    "sink_compact_small_files",
+    "sink_merge_upsert",
+    "udf_sql_declarative",
+    "udtf_sql_table_fn",
+    "udtf_python_lateral",
+    "sql_pipe_syntax",
+    "sink_python_datasource",
+    "multimodal_image_resize",
+    "vec_quantize_pq",
+    "tpcdi_marketing_nameplate",
+    "tpcdi_dim_date",
+    "tpcdi_dim_time",
+    "tpcdi_dimessages",
+    "tpcdi_scd2_hybrid_type1",
+    "tpcdi_reference_dims",
+    "events_retention",
+    "events_active_users_rolling",
+    "agg_transpose_matrix",
+    "agg_filter_clause",
+    "agg_bitmap_distinct",
+    "agg_unpivot",
+    "agg_pivot_dynamic",
+    "agg_histogram_fixed",
+    "sketch_hll_partition_merge",
+    "sketch_approx_topk",
+    "sort_limit_offset",
 ]
 
 
