@@ -199,3 +199,20 @@ def epoch_s(col) -> Column:
 # ns-precision fixture match Spark's µs-truncated unix_timestamp.
 def sql_epoch_s(expr: str) -> str:
     return f"CAST(FLOOR(EPOCH({expr})) AS BIGINT)"
+
+
+# Exact integer epoch-second floor for the DuckDB oracles (r13, SURVEY
+# §7.4o / tests/test_r13_prep.py): EPOCH() returns seconds as DOUBLE,
+# whose ulp at 10-digit epochs is ~2 µs, so a .999999 fraction rounds
+# UP and CAST(FLOOR(EPOCH(ts)) AS BIGINT) lands +1 s (canonical
+# divergent instant: TIMESTAMP '2287-01-05 12:00:00.999999'). The
+# floor-mod form below is the exact integer floor over epoch_us —
+# plain `// 1000000` would truncate toward zero and break pre-epoch
+# instants. Spark's integer calendar-field path was always correct;
+# only oracles use this. sql_epoch_s above carries the same latent
+# class through its adopters (tpcdi_dim_trade / events_funnel) — its
+# migration is r14-pinned (tests/test_r14_prep.py) because the r13
+# elevation window is at capacity.
+def sql_epoch_floor_s(expr: str) -> str:
+    e = f"epoch_us({expr})"
+    return f"({e} - (({e} % 1000000 + 1000000) % 1000000)) // 1000000"

@@ -330,16 +330,16 @@ def join_range_between(spark: SparkSession, d: str) -> DataFrame:
 
 _ASOF_SQL = """
 WITH p AS (
-  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+  SELECT event_id, user_id, (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS sec
   FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, v.view_id AS asof_view_id
 FROM p LEFT JOIN LATERAL (
   SELECT e.event_id AS view_id
   FROM events e
   WHERE e.event_type = 'view' AND e.user_id = p.user_id
-    AND (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) < p.sec
-         OR (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) = p.sec AND e.event_id <= p.event_id))
-  ORDER BY CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) DESC, e.event_id DESC
+    AND ((epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 < p.sec
+         OR ((epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 = p.sec AND e.event_id <= p.event_id))
+  ORDER BY (epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 DESC, e.event_id DESC
   LIMIT 1) v ON TRUE
 """
 
@@ -743,18 +743,18 @@ def sql_lateral_topk(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "join_asof_tolerance",
     """WITH p AS (
-         SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+         SELECT event_id, user_id, (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS sec
          FROM events WHERE event_type = 'purchase')
        SELECT p.event_id, p.user_id, v.view_id AS asof_view_id_1h
        FROM p LEFT JOIN LATERAL (
          SELECT e.event_id AS view_id
          FROM events e
          WHERE e.event_type = 'view' AND e.user_id = p.user_id
-           AND (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) < p.sec
-                OR (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) = p.sec
+           AND ((epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 < p.sec
+                OR ((epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 = p.sec
                     AND e.event_id <= p.event_id))
-           AND p.sec - CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) <= 3600
-         ORDER BY CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) DESC, e.event_id DESC
+           AND p.sec - (epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 <= 3600
+         ORDER BY (epoch_us(e.ts) - ((epoch_us(e.ts) % 1000000 + 1000000) % 1000000)) // 1000000 DESC, e.event_id DESC
          LIMIT 1) v ON TRUE""",
 )
 def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:

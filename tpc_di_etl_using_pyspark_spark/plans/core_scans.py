@@ -144,19 +144,27 @@ def scan_csv_header(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "scan_text_fixedwidth",
     """SELECT 'CMP' AS rec_type, rtrim(substring(p_name, 1, 60)) AS company_name,
-              p_partkey AS cik, '20100101-120000' AS pts
+              p_partkey % 10000000000 AS cik, '20100101-120000' AS pts
        FROM part""",
 )
 def scan_text_fixedwidth(spark: SparkSession, d: str) -> DataFrame:
     """FINWIRE fixed-width parse [SPEC: CMP record layout]: generate
-    CMP lines from `part`, slice back by offset, reproduce the rows."""
+    CMP lines from `part`, slice back by offset, reproduce the rows.
+
+    The char(10) CIK field carries the key's mod-1e10 residue — the
+    same convention as the tpcdi dim builders' char-width fields —
+    instead of letting lpad silently truncate an 11+-digit id to its
+    leftmost 10 chars (r12 extremes probe; SURVEY §7.4o). Writer and
+    oracle reduce identically, so the field stays a pure
+    zero-padded residue at any key scale."""
     path = _scratch(d, "finwire_cmp")
     part = t(spark, d, "part")
     line = F.concat(
         F.lit("20100101-120000"),  # PTS char(15)
         F.lit("CMP"),  # RecType char(3)
         F.rpad(F.substring("p_name", 1, 60), 60, " "),  # CompanyName char(60)
-        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),  # CIK char(10)
+        # CIK char(10): mod-1e10 residue, never a truncated id
+        F.lpad((F.col("p_partkey") % 10_000_000_000).cast("string"), 10, "0"),
     )
     part.select(line.alias("value")).write.mode("overwrite").text(path)
     cmp_layout = [
@@ -189,7 +197,7 @@ def scan_text_fixedwidth(spark: SparkSession, d: str) -> DataFrame:
               regexp_replace(c_name,
                              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F￾￿]',
                              '�', 'g') AS c_last,
-              c_custkey * 10 AS acct_id,
+              (c_custkey % 922337203685477580) * 10 AS acct_id,
               CAST(c_custkey % 3 AS INTEGER) AS acct_tax_status
        FROM customer""",
 )
@@ -236,7 +244,13 @@ def scan_xml_flatten(spark: SparkSession, d: str) -> DataFrame:
         F.lit('<Customer id="'), F.col("c_custkey").cast("string"),
         F.lit('" taxId="T'), F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
         F.lit('"><Name last="'), esc, F.lit('"/>'),
-        F.lit('<Account id="'), (F.col("c_custkey") * 10).cast("string"),
+        # acct_id pre-reduces the key mod floor(2^63/10) so the *10
+        # cannot overflow at hash-scale ids (r12 extremes probe: the
+        # raw product stage-killed under ANSI at ids near int64 max;
+        # bit-identical wherever the naive form didn't overflow;
+        # oracle mirrors the CASE)
+        F.lit('<Account id="'),
+        ((F.col("c_custkey") % 922337203685477580) * 10).cast("string"),
         F.lit('" taxStatus="'), (F.col("c_custkey") % 3).cast("string"),
         F.lit('"/></Customer></Action>'),
     )

@@ -94,7 +94,7 @@ def win_lead_scd2(spark: SparkSession, d: str) -> DataFrame:
     """SELECT user_id, event_id, value,
               value - LAG(value) OVER (
                 PARTITION BY user_id
-                ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS delta
+                ORDER BY (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000, event_id) AS delta
        FROM events""",
 )
 def win_lag_change(spark: SparkSession, d: str) -> DataFrame:
@@ -404,7 +404,7 @@ def win_streaks(spark: SparkSession, d: str) -> DataFrame:
                 ROW_NUMBER() OVER (PARTITION BY event_type, user_id
                                    ORDER BY ts, event_id) AS occ
          FROM events)
-       SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_id,
+       SELECT event_type, (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_sec, event_id,
               CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
                      PARTITION BY event_type ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users_so_far
@@ -444,7 +444,7 @@ def win_running_distinct(spark: SparkSession, d: str) -> DataFrame:
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        v AS (SELECT user_id, event_id,
-                    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+                    (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_sec,
                     prev_v, value, next_v
              FROM s
              WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
@@ -489,9 +489,9 @@ def win_pattern_vshape(spark: SparkSession, d: str) -> DataFrame:
     "win_sessionize_gap",
     """WITH marked AS (
          SELECT user_id, event_id,
-                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
-                CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                          - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+                (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_s,
+                CASE WHEN (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000
+                          - LAG((epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id)
                           > 1800
                           OR LAG(ts) OVER (PARTITION BY user_id
@@ -551,7 +551,7 @@ def win_sessionize_gap(spark: SparkSession, d: str) -> DataFrame:
     "win_range_time_interval",
     """WITH e AS (
          SELECT event_id, user_id,
-                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s, value
+                (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_s, value
          FROM events)
        SELECT event_id, user_id, ts_s,
               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
@@ -594,10 +594,10 @@ def win_range_time_interval(spark: SparkSession, d: str) -> DataFrame:
     "win_interpolate_linear",
     """WITH e AS (
          SELECT event_id, user_id,
-                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s, event_type,
+                (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_s, event_type,
                 CASE WHEN event_type = 'purchase' THEN value END AS av,
                 CASE WHEN event_type = 'purchase'
-                     THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END AS at
+                     THEN (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 END AS at
          FROM events),
        f AS (
          SELECT event_id, user_id, ts_s, event_type,
@@ -989,7 +989,7 @@ def win_ema_smooth(spark: SparkSession, d: str) -> DataFrame:
 # epoch-boundary data overflowed the BIGINT products.
 _CORR_SQL = f"""
 WITH m0 AS (SELECT event_id, user_id, ts,
-                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+                   (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS s,
                    CAST(round(value * 100) AS BIGINT) AS y
             FROM events),
 m AS (SELECT event_id, user_id, ts,

@@ -717,12 +717,21 @@ def math_functions(spark: SparkSession, d: str) -> DataFrame:
 )
 def str_encode_b64_hex(spark: SparkSession, d: str) -> DataFrame:
     """Binary encodings (base64 / hex of a content prefix) [EXT:
-    content-addressable keys and wire formats for opaque payloads]."""
+    content-addressable keys and wire formats for opaque payloads].
+
+    Spark's base64() MIME-chunks its output with CRLF every 76 chars
+    once the payload exceeds 57 bytes (r12 NFD probe: a 24-codepoint
+    prefix at 2-3 bytes/codepoint crosses the line limit; the
+    spark.sql.legacy.chunkBase64String.enabled conf does not disable
+    it on this build), while DuckDB emits continuous base64 — the
+    strip below restores byte-identity at any payload size
+    (tests/test_r13_prep.py pins the recipe and flags if a Spark
+    upgrade stops chunking)."""
     doc = t(spark, d, "documents")
     head = F.encode(F.substring("text", 1, 24), "utf-8")
     return doc.select(
         "doc_id",
-        F.base64(head).alias("head_b64"),
+        F.regexp_replace(F.base64(head), "[\\r\\n]", "").alias("head_b64"),
         F.hex(head).alias("head_hex"),
         F.octet_length("text").cast("bigint").alias("n_bytes"),
     )
@@ -803,7 +812,8 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
               CAST(e1.event_id & 255 AS BIGINT) AS low_byte,
               CAST(e1.event_id | 4096 AS BIGINT) AS with_flag,
               CAST(xor(e1.event_id, e1.user_id) AS BIGINT) AS mixed,
-              CAST(e1.event_id << 2 AS BIGINT) AS shifted_l,
+              CAST((e1.event_id & 2305843009213693951) << 2 AS BIGINT)
+                AS shifted_l,
               CAST(e1.event_id >> 3 AS BIGINT) AS shifted_r,
               CAST(bit_count(CAST(e1.event_id AS BIGINT)) AS INTEGER) AS popcount
        FROM events e1""",
@@ -811,7 +821,14 @@ def str_url_parse(spark: SparkSession, d: str) -> DataFrame:
 def bit_ops(spark: SparkSession, d: str) -> DataFrame:
     """Bitwise flag manipulation (AND/OR/XOR/shifts/popcount) [EXT:
     packed-flag columns, fingerprint surgery — the scalar surface under
-    simhash]. All JVM-codegen expressions."""
+    simhash]. All JVM-codegen expressions.
+
+    shifted_l is the LOW-61-BIT contract (mask 0x1FFFFFFFFFFFFFFF
+    before << 2): the unmasked shift is not portable at int64
+    extremes — DuckDB throws ("shift overflow") on I64_MAX << 2 while
+    Spark wraps silently, Java-style (r12 extremes probe; recipe
+    pinned in tests/test_r13_prep.py). The masked form is well-defined
+    and engine-identical for every int64 input."""
     e = t(spark, d, "events")
     k = F.col("event_id")
     return e.select(
@@ -819,7 +836,9 @@ def bit_ops(spark: SparkSession, d: str) -> DataFrame:
         k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
         k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
         k.bitwiseXOR(F.col("user_id")).cast("bigint").alias("mixed"),
-        F.shiftleft(k, 2).cast("bigint").alias("shifted_l"),
+        F.shiftleft(k.bitwiseAND(F.lit(0x1FFFFFFFFFFFFFFF)), 2)
+        .cast("bigint")
+        .alias("shifted_l"),
         F.shiftright(k, 3).cast("bigint").alias("shifted_r"),
         F.bit_count(k.cast("bigint")).cast("int").alias("popcount"),
     )

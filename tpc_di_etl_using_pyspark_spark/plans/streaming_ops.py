@@ -50,7 +50,7 @@ def stream_tumbling_count(spark: SparkSession, d: str) -> DataFrame:
     # sign.
     """WITH base AS (
          SELECT s - ((s % 900 + 900) % 900) AS floor15, value
-         FROM (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s, value
+         FROM (SELECT (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS s, value
                FROM events)),
        expanded AS (
          SELECT floor15 - k * 900 AS ws_sec, value
@@ -226,8 +226,8 @@ def stream_stateful_totals(spark: SparkSession, d: str) -> DataFrame:
        p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
              FROM events WHERE event_type = 'purchase')
        SELECT v.view_id, p.purchase_id, v.user_id,
-              CAST(FLOOR(EPOCH(p.pts)) AS BIGINT)
-                - CAST(FLOOR(EPOCH(v.vts)) AS BIGINT) AS gap_sec
+              (epoch_us(p.pts) - ((epoch_us(p.pts) % 1000000 + 1000000) % 1000000)) // 1000000
+                - (epoch_us(v.vts) - ((epoch_us(v.vts) % 1000000 + 1000000) % 1000000)) // 1000000 AS gap_sec
        FROM v JOIN p ON v.user_id = p.p_user
         AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR""",
 )
