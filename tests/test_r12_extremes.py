@@ -13,9 +13,12 @@ and the key boundary behaviors carry absolute pins.
 Ops NOT driven here, each adjudicated in §7.4o: the two scd2 batch
 ops (named ValueError pinned below instead), json_variant_extract
 (nested-container vschema is out of the r5 oracle contract; its
-bigint path IS pinned below), and the r13-deferred rows (FLOOR(EPOCH)
-oracle migration, bit_ops shift semantics, fixed-width CIK widths,
-scan_xml_flatten's writer reduction).
+bigint path IS pinned below), and scan_python_datasource (CIK
+residue fix r14-pinned in tests/test_r14_prep.py). The rows deferred
+from r12 to r13 — the 11-op FLOOR(EPOCH) oracle migration, bit_ops'
+masked shift, scan_text_fixedwidth's CIK residue, scan_xml_flatten's
+writer reduction, str_encode_b64_hex's CRLF strip — were applied in
+r13 and are driven below (R13_OPS) on the same fixture.
 """
 
 from __future__ import annotations
@@ -44,6 +47,20 @@ OPS = [
     # the r11 split-bucket adopters on full-range ids
     "sample_split_assign", "sample_stratified_exact",
 ]
+
+# the r12→r13 deferred-fix wave, applied in r13 (SURVEY §7.4o recipes;
+# exact floor-mod epoch oracles, masked shift, CIK residue, writer
+# key reduction, CRLF strip) — driven on the same fixture so none of
+# the five fix classes can silently regress
+R13_OPS = [
+    "join_asof_latest", "join_asof_tolerance", "win_lag_change",
+    "win_running_distinct", "win_sessionize_gap", "win_interpolate_linear",
+    "stream_stream_join", "win_pattern_vshape", "win_rolling_corr",
+    "win_range_time_interval", "stream_sliding_sum",
+    "str_encode_b64_hex", "bit_ops", "scan_xml_flatten",
+    "scan_text_fixedwidth",
+]
+OPS = OPS + R13_OPS
 
 
 @pytest.fixture(scope="module")
