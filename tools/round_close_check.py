@@ -57,9 +57,9 @@ sys.path.insert(0, REPO)
 PY = sys.executable
 
 # Floor for step 5: the suite had this many tests when the floor was
-# last raised (round 11). Raise it whenever tests are added; a collect
+# last raised (round 13). Raise it whenever tests are added; a collect
 # run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 1024
+EXPECTED_MIN_TESTS = 1055
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check

@@ -933,9 +933,18 @@ _FRAME_STRIDE = 4
 
 @_op(
     "multimodal_frame_sample",
+    # length() (codepoints), NOT strlen() (bytes): frames are 16-CHAR
+    # chunks in both engines (DuckDB substring and Python slicing are
+    # both character-based), so the frame COUNT must be char-based
+    # too. The former strlen() agreed on every ASCII fixture but
+    # overcounted frames ~3x on multibyte text — caught by the r13
+    # NFD-decomposed-text probe (tools/probe_nfd_text.py: 89 vs 93
+    # rows on NFD Hangul docs), the one fixture class where
+    # bytes-per-codepoint exceeds 1 on enough text to cross a
+    # stride-4 frame boundary.
     """WITH f AS (
          SELECT doc_id, text,
-                unnest(range(0, CAST((strlen(text) - 1) // 16 + 1 AS BIGINT), 4))
+                unnest(range(0, CAST((length(text) - 1) // 16 + 1 AS BIGINT), 4))
                   AS frame_idx
          FROM documents)
        SELECT doc_id, frame_idx,
