@@ -21,6 +21,14 @@ Deferred items, each with an executable pin below:
    date_trunc inputs) are immune: EPOCH's double is exact on whole
    seconds far below 2^53. test_floor_epoch_site_census pins the
    exact census so a new site cannot appear unnoticed.
+   EMPIRICALLY CONFIRMED r13 (tools/probe_r13_epoch_edge.py fraction
+   axis: 2287-era events with hostile µs fractions, 26 rows on
+   DuckDB double-floor-divergent instants): stream_session_window,
+   stream_watermark_late and tpcdi_dim_trade HASH-diverged with the
+   literal +1 s (…000 vs …001) while ALL 11 r13-migrated oracles
+   MATCHED on the same fixture; the remaining three sites survived
+   only because their floors feed ordering/comparisons that those 26
+   instants didn't flip — same class, migrate all six.
 2. scan_python_datasource — the FINWIRE CIK char(10) writer still
    lpad-TRUNCATES 11+-digit ids; r13 fixed the twin op
    scan_text_fixedwidth to the mod-1e10 residue convention.
