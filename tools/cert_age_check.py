@@ -137,9 +137,6 @@ def check(
 
 
 def main() -> None:
-    n = 50
-    if "--window" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--window") + 1])
     elevated = set(filter(None, os.environ.get("CERT_AGE_ELEVATED", "").split(",")))
 
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
@@ -153,7 +150,26 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    errors, summary = check(list(E.queries()), n, rounds, elevated)
+    ops = list(E.queries())
+    if "--window" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--window") + 1])
+    else:
+        # default window: at least the historical 50, grown to hold
+        # the over-age mandatory block PLUS every declared elevation
+        # (r13 optimization round: edited ops are appended after the
+        # mandatory block rather than displacing it — the window must
+        # cover both; the driver re-runs the full registry, so a
+        # larger staged window never starves an over-age op of its
+        # re-cert slot)
+        latest_green, _, upcoming = build_ledger(rounds)
+        overage = sum(
+            1
+            for o in ops
+            if o in latest_green
+            and upcoming - latest_green[o][0] > MAX_CERT_AGE
+        )
+        n = max(50, overage + len(elevated & set(ops)))
+    errors, summary = check(ops, n, rounds, elevated)
     print(summary)
     for e in errors:
         print(f"FAIL {e}")

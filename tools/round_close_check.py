@@ -96,12 +96,28 @@ EXPECTED_MIN_TESTS = 1067
 # floor-mod migration (+ its adopters tpcdi_dim_trade/events_funnel),
 # agg_first_last's NULL-symmetric order key (ADVICE r12 medium), and
 # the tpcdi_prospect_match negative-key contract note (ADVICE r12 low).
+# r13 OPTIMIZATION-ROUND ADDITIONS (appended after the 35-op r6 block
+# in _PRIORITY — the first-50 prefix is unchanged; the optimization
+# driver re-runs every declared query, so these get fresh r13 rows):
+#   MINHASH LIBRARY (llm/minhash.py, guide §2.4 — measured in
+#   OPTIMIZATION_r13.md): candidate_pairs now generates in-bucket
+#   pairs map-side from ONE sorted collect per band bucket (the old
+#   self-join evaluated the signature pipeline twice and paid a third
+#   window exchange for the occupancy cap); jaccard_verify applies
+#   the lossless size-ratio prefilter INLINE (sets built twice, not
+#   4x; joins halved). Adopters: dedup_minhash_lsh, dedup_simhash,
+#   dedup_eval_simhash_recall, dedup_cross_source_matrix,
+#   pipeline_incremental_dedup, pipeline_pretrain_e2e,
+#   stream_incremental_dedup.
 ROUND_ELEVATIONS = (
     "join_asof_latest,join_asof_tolerance,win_lag_change,"
     "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
     "stream_stream_join,win_pattern_vshape,win_rolling_corr,"
     "win_range_time_interval,stream_sliding_sum,"
-    "str_encode_b64_hex,bit_ops,scan_xml_flatten,scan_text_fixedwidth"
+    "str_encode_b64_hex,bit_ops,scan_xml_flatten,scan_text_fixedwidth,"
+    "dedup_minhash_lsh,dedup_simhash,dedup_eval_simhash_recall,"
+    "dedup_cross_source_matrix,pipeline_incremental_dedup,"
+    "pipeline_pretrain_e2e,stream_incremental_dedup"
 )
 
 

@@ -91,28 +91,43 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) sharing ≥1 band bucket, doc_a < doc_b.
 
-    Buckets larger than ``max_bucket`` are dropped before the self-join:
-    a bucket of n docs yields n²/2 pairs, so one boilerplate bucket
-    (empty docs, shared headers) can dominate the whole job — the cap
-    bounds the join fan-out at any corpus size. ``None`` disables the
-    cap (full banding-theory recall, unbounded worst case).
+    Buckets larger than ``max_bucket`` are dropped before any pair is
+    generated: a bucket of n docs yields n²/2 pairs, so one boilerplate
+    bucket (empty docs, shared headers) can dominate the whole job —
+    the cap bounds the pair fan-out at any corpus size. ``None``
+    disables the cap (full banding-theory recall, unbounded worst
+    case).
+
+    Shape (optimization r13, guide §2.4): ONE aggregation on the band
+    key collects each bucket's sorted member ids, the cap filters on
+    the array size, and the a<b pairs are generated MAP-SIDE from each
+    bucket row (posexplode + slice of the tail). The former
+    self-join-with-window-cap form evaluated the whole signature
+    pipeline twice (once per join side) and paid a third
+    band-key-partitioned exchange for the occupancy window; this form
+    evaluates it once and shuffles the band relation once. Identical
+    output: sorted ids make every in-bucket pair (ids[i], ids[j]),
+    i < j, exactly the doc_a < doc_b join result, and the bucket-level
+    cap semantics (whole bucket dropped when over-full) are unchanged
+    — size(collect_set) ≡ the window COUNT because (id, band) rows are
+    unique by construction. Per-bucket state is the same rows the
+    window form already concentrated on one partition, bounded by the
+    cap.
     """
-    bounded = bk
+    buckets = bk.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+    )
+    buckets = buckets.filter(F.size("_ids") >= 2)
     if max_bucket is not None:
-        w = Window.partitionBy("band_idx", "band_key")
-        bounded = bk.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
-    a = bounded.select(
-        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
-    )
-    b = bounded.select(
-        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
-    )
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("doc_b"),
+        )
         .dropDuplicates()
     )
 
@@ -158,31 +173,30 @@ def jaccard_verify(
     sets = sh.groupBy(id_col).agg(
         F.collect_set(F.xxhash64("shingle")).alias("sh_set")
     )
-    # LOSSLESS size-ratio prefilter before the array joins:
-    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair passing the
-    # threshold has set sizes within a factor 1/threshold — the
-    # counts relation is a few bytes per doc, so pruning on it first
-    # (measured ~40% of slice-blocked candidates at sf0.1) means the
-    # shingle-set ARRAYS are only shipped and intersected for pairs
-    # that can still qualify. Recall is exactly preserved.
-    counts = sets.select(id_col, F.size("sh_set").alias("_n"))
-    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
-    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
-    pruned = (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(
-            F.least("_na", "_nb") >= F.lit(threshold) * F.greatest("_na", "_nb")
-        )
-        .select("doc_a", "doc_b")
-    )
+    # LOSSLESS size-ratio prefilter, applied INLINE between the joins
+    # and the intersect (optimization r13, guide §2.4): J(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|), so any pair passing the threshold has
+    # set sizes within a factor 1/threshold; pairs failing it skip the
+    # array_intersect entirely. The former form materialized a
+    # separate counts relation and joined it per side BEFORE the array
+    # joins — that made FOUR references to ``sets``, and Catalyst
+    # re-ran the corpus-wide groupBy+collect_set once per reference
+    # (plan-counted 4× subtrees pre-r13). Two references build the
+    # aggregation twice instead of four times and halve the join
+    # count; the candidate side stays the broadcast build side either
+    # way, so the arrays still stream map-side and are only
+    # intersected for pairs the size filter admits (measured 2.56 →
+    # 2.00 s on the dedup_minhash_lsh shape at sf0.1, outputs
+    # set-identical). Recall is exactly preserved.
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("_set_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("_set_b"))
+    na, nb = F.size("_set_a"), F.size("_set_b")
     n_inter = F.size(F.array_intersect("_set_a", "_set_b"))
-    n_union = F.size("_set_a") + F.size("_set_b") - n_inter
+    n_union = na + nb - n_inter
     return (
-        pruned.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
         .withColumn("jaccard", n_inter / n_union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

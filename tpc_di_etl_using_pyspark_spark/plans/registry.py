@@ -125,6 +125,25 @@ _PRIORITY = [
     "multimodal_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
+    # --- ROUND-13 OPTIMIZATION ELEVATIONS (appended AFTER the 35
+    #     mandatory r6 ops so the first-50 prefix stays exactly the
+    #     staged build-round window; the optimization-round driver
+    #     re-runs EVERY declared query, so these get fresh r13 rows
+    #     regardless of prefix position). Each op here had its
+    #     TRANSITIVE SOURCE changed by a measured optimization this
+    #     round (evidence in OPTIMIZATION_r13.md); declared in
+    #     ROUND_ELEVATIONS (tools/round_close_check.py) and the
+    #     cert-age window grows to hold them (window =
+    #     over-age block + elevations, computed in cert_age_check).
+    # minhash library: single-pass candidate_pairs + inline-prune
+    # jaccard_verify (llm/minhash.py):
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_eval_simhash_recall",
+    "dedup_cross_source_matrix",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    "stream_incremental_dedup",
     # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
@@ -225,9 +244,7 @@ _PRIORITY = [
     "text_ngram_topk",
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "stream_quality_gate",
-    "stream_incremental_dedup",
     "events_attribution_last_touch",
     "pipeline_ccnet_e2e",
     "sample_epoch_shuffle",
@@ -239,14 +256,11 @@ _PRIORITY = [
     "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
-    "dedup_cross_source_matrix",
     "text_quality_gopher",
-    "dedup_simhash",
     "dedup_simhash_hamming",
     "sim_rp_lsh_cosine",
     "vec_kmeans_refine",
     "join_bloom_runtime_filter",
-    "pipeline_incremental_dedup",
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
     "multimodal_dedup_sha",
@@ -293,7 +307,6 @@ _PRIORITY = [
     "udaf_pandas_grouped",
     "udtf_apply_in_pandas",
     "udf_arrow_scalar",
-    "dedup_eval_simhash_recall",
     "win_ema_smooth",
     "text_snapshot_novelty",
     "dedup_ngram_containment",
@@ -325,7 +338,6 @@ _PRIORITY = [
     "json_extract",
     "json_variant_extract",
     "pipeline_corpus_curation",
-    "pipeline_pretrain_e2e",
     "sample_negative_pairs",
     "sample_split_assign",
     "sample_stratified_exact",
