@@ -117,7 +117,13 @@ ROUND_ELEVATIONS = (
     "str_encode_b64_hex,bit_ops,scan_xml_flatten,scan_text_fixedwidth,"
     "dedup_minhash_lsh,dedup_simhash,dedup_eval_simhash_recall,"
     "dedup_cross_source_matrix,pipeline_incremental_dedup,"
-    "pipeline_pretrain_e2e,stream_incremental_dedup"
+    "pipeline_pretrain_e2e,stream_incremental_dedup,"
+    # band-bucket pair generation inline; quantize-once upper-triangle
+    # covariance (+ PCA adopters); 4-pipeline audit consolidation;
+    # min/max-window substring dup mark; token-total-from-sizes:
+    "sim_rp_lsh_cosine,vec_covariance_matrix,vec_pca_power_iteration,"
+    "vec_pca_project,audit_data_quality,dedup_substring_windows,"
+    "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket"
 )
 
 

