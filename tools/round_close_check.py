@@ -123,7 +123,9 @@ ROUND_ELEVATIONS = (
     # min/max-window substring dup mark; token-total-from-sizes:
     "sim_rp_lsh_cosine,vec_covariance_matrix,vec_pca_power_iteration,"
     "vec_pca_project,audit_data_quality,dedup_substring_windows,"
-    "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket"
+    "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket,"
+    # spread_scan adopters (guide §2.5 layout-gated re-spread):
+    "agg_groupby_basic,join_broadcast,join_range_between"
 )
 
 

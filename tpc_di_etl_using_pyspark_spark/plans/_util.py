@@ -101,6 +101,38 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Re-spread an under-parallelized scan before heavy map work
+    (optimization r13; guide §2.5 'input skew — one huge unsplittable
+    file ... otherwise repartition immediately after the read').
+
+    The driver fixtures are single-row-group parquet files, and a row
+    group is the atomic unit of Spark's vectorized reader — every scan
+    therefore runs as ONE task no matter how the file is split, so an
+    op whose pre-shuffle stage does real per-row work (wide decimal
+    partial aggregates, broadcast-join chains) serializes on one core.
+    When the scan's actual partition count is below half the session's
+    default parallelism, hash-repartition on the given deterministic
+    high-cardinality key(s) (never rand — SPARK-38388) so the map work
+    runs wide; measured 1.34 → 0.64 s on agg_groupby_basic and 1.21 →
+    0.66 s on join_broadcast at sf0.1.
+
+    Scale posture: the gate derives from the INPUT LAYOUT, not a
+    constant — a production table scans as thousands of splits, the
+    gate is false, and no exchange is added. Only apply where the map
+    stage is measured heavy; for ops whose first operation is already
+    a keyed shuffle the exchange would be pure overhead.
+    """
+    try:
+        scan_parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (non-scan inputs)
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if scan_parts * 2 >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def dsum(col, alias: str) -> Column:
     """Order-independent exact sum of a double column, returned as double.
 

@@ -158,6 +158,11 @@ _PRIORITY = [
     "pipeline_ccnet_e2e",
     "text_unigram_logprob",
     "text_perplexity_bucket",
+    # spread_scan adopters (layout-gated post-read re-spread of the
+    # one-task fixture scans, guide §2.5; no-op on well-split inputs):
+    "agg_groupby_basic",
+    "join_broadcast",
+    "join_range_between",
     # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
@@ -187,15 +192,12 @@ _PRIORITY = [
     "join_multi_key",
     "join_left_outer",
     "join_right_full",
-    "join_broadcast",
     "join_semi",
     "join_anti",
-    "join_range_between",
     "join_theta_inequality",
     "join_self_versioning",
     "join_cross",
     "join_skew_salted",
-    "agg_groupby_basic",
     "agg_global",
     "agg_count_distinct",
     "agg_having",
