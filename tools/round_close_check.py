@@ -125,7 +125,8 @@ ROUND_ELEVATIONS = (
     "vec_pca_project,audit_data_quality,dedup_substring_windows,"
     "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket,"
     # spread_scan adopters (guide §2.5 layout-gated re-spread):
-    "agg_groupby_basic,join_broadcast,join_range_between"
+    "agg_groupby_basic,join_broadcast,join_range_between,"
+    "vec_kmeans_refine"
 )
 
 

@@ -33,7 +33,7 @@ from ..llm.similarity import (
     knn_join_blocked,
     query_vector,
 )
-from ._util import DEC, SQL_DEC, davg, dround, sql_davg, sql_dround, t
+from ._util import DEC, SQL_DEC, davg, dround, spread_scan, sql_davg, sql_dround, t
 
 QUERIES = {}
 ORACLES = {}
@@ -514,7 +514,10 @@ def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
     from ..llm.minhash import jaccard_verify, shingles
     from ..llm.simhash import simhash_candidate_pairs
 
-    doc = t(spark, d, "documents")
+    # spread_scan (r13, guide §2.5): fingerprinting + shingling are
+    # map work over a one-task fixture scan (0.92 → 0.53 s at sf0.1);
+    # no-op on well-split inputs
+    doc = spread_scan(t(spark, d, "documents"), "doc_id")
     # candidate relation replays cheaply off the localCheckpointed
     # chunk slices, so prune_sets' second evaluation of it is a join
     # replay, not a fingerprint recompute
@@ -2370,7 +2373,11 @@ def pipeline_incremental_dedup(spark: SparkSession, d: str) -> DataFrame:
     tests/test_llm.py)."""
     from ..llm.minhash import band_keys, jaccard_verify, minhash_signature, shingles
 
-    doc = t(spark, d, "documents")
+    # spread_scan (r13, guide §2.5): the cached shingle relation
+    # inherits the one-task scan's partitioning, serializing both
+    # aggregation passes (min 1.32 → 0.92 s at sf0.1); no-op on
+    # well-split inputs
+    doc = spread_scan(t(spark, d, "documents"), "doc_id")
     sh = shingles(doc, "doc_id", "text", 3).cache()
     bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
     nb = bk.filter(F.col("doc_id") % 5 == 0).select(
@@ -2440,7 +2447,11 @@ def vec_kmeans_refine(spark: SparkSession, d: str) -> DataFrame:
     (tie-broken by cell id) is bit-identical across engines — that is
     what lets an iterative ML-style algorithm be certified by a SQL
     oracle with two unrolled iterations."""
-    e = t(spark, d, "embeddings")
+    # spread_scan (r13, guide §2.5): the cached exploded components
+    # inherit the one-task scan's partitioning, so every assignment
+    # pass ran single-core (1.88 → 1.20 s at sf0.1); no-op on
+    # well-split inputs
+    e = spread_scan(t(spark, d, "embeddings"), "vec_id")
     # cache: comps feeds assign(c1), the centroid update, and
     # assign(c2) — uncached it is re-scanned and re-exploded 3×
     # (the minhash cache pattern; measured ~2× on this op). The bench
@@ -3986,7 +3997,10 @@ def vec_covariance_matrix(spark: SparkSession, d: str) -> DataFrame:
     triangle) and partial-aggregated before the only shuffle —
     groupBy(i, j) with exactly 2080 groups, so shuffle volume is
     O(partitions x 2080), independent of corpus size."""
-    emb = t(spark, d, "embeddings")
+    # spread_scan (r13, guide §2.5): the 2080-term pair explosion +
+    # partial aggregation is map work over a one-task fixture scan
+    # (1.47 → 1.21 s at sf0.1); no-op on well-split inputs
+    emb = spread_scan(t(spark, d, "embeddings"), "vec_id")
     # quantize ONCE per row (optimization r13, guide §1.2 step 2): the
     # integer micro-unit array is computed 64 floors/row up front and
     # both expansions read it — the former form re-applied floor()

@@ -163,6 +163,7 @@ _PRIORITY = [
     "agg_groupby_basic",
     "join_broadcast",
     "join_range_between",
+    "vec_kmeans_refine",
     # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
@@ -269,7 +270,6 @@ _PRIORITY = [
     "multimodal_phash_neardup",
     "text_quality_gopher",
     "dedup_simhash_hamming",
-    "vec_kmeans_refine",
     "join_bloom_runtime_filter",
     "sim_ann_recall_eval",
     "sim_ivf_multiprobe_topk",
