@@ -120,6 +120,7 @@ def main() -> None:
     # join_broadcast at position 2 in round 2 (BASELINE.md round-3
     # row); per-query warm-ups alone don't remove the position effect.
     for name in HEADLINE:
+        spark.sparkContext.setJobDescription(f"warmup:{name}")  # guide §1.5
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
 
@@ -128,10 +129,12 @@ def main() -> None:
         fn = queries[name]
         runs = []
         for i in range(RUNS + 1):  # first run is the warm-up (BASELINE.md protocol)
+            spark.sparkContext.setJobDescription(f"bench:{name} run{i}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             if i > 0:
                 runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(statistics.median(runs), 3)
         # ops that cache intermediates (minhash, incremental dedup,
         # kmeans) would otherwise leak cached RDDs into the long-lived

@@ -3159,11 +3159,27 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
     gated = sized.filter(
         (F.col("lang") == "en") & F.col("n_words").between(20, 70)
     )
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # exact dedup as a combinable aggregate (optimization r13, guide
+    # §2.3 'aggregate before you shuffle'): min(struct(doc_id, ...))
+    # keeps exactly the row_number()=1 row (doc_id leads the struct,
+    # so lexicographic min ≡ ORDER BY doc_id; n_words/source ride
+    # along from the winning row — n_words is text-derived and
+    # identical across dups anyway). Unlike the former text-keyed
+    # window, this gets MAP-SIDE partial aggregation, so duplicate
+    # rows collapse before the exchange instead of all shipping to
+    # one partition per text. Local wash at sf0.1 (2.68 ≈ 2.68 s,
+    # outputs identical); shipped for the shuffle shape — this
+    # subtree is re-evaluated by several downstream branches, each
+    # re-evaluation shuffling the corpus.
     exact = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "lang")
+        gated.groupBy("text")
+        .agg(F.min(F.struct("doc_id", "n_words", "source")).alias("_r"))
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            "text",
+            F.col("_r.n_words").alias("n_words"),
+            F.col("_r.source").alias("source"),
+        )
     )
     # NOT cached, deliberately: the gated+deduped corpus is consumed by
     # three branches, but it is one narrow scan + one window — measured

@@ -25,17 +25,33 @@ def get_spark(app_name: str = "tpcdi-spark-engine", master: str | None = None) -
     read (events.ts is ns — FIXTURES.md).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Scale-dependent settings are parameterised (optimization r13):
+    # the LOCAL defaults below keep the driver bench comparable
+    # round-over-round; a cluster deployment overrides via env.
+    # - SHUFFLE_PARTITIONS: local default 32 (≈ one reducer per core;
+    #   AQE coalescing trims small stages). Production: set to
+    #   ~2-3× total executor cores, or high enough that partitions
+    #   land in the 100MB-1GB band (guide §2.2) — AQE coalesces the
+    #   excess, so erring high is safe.
+    # - BROADCAST_THRESHOLD: local default 32 MiB (the reference dims
+    #   and 1-row aggregates always broadcast). Production: keep ≤ a
+    #   few hundred MB — executors hold the built relation per task
+    #   slot (guide §3.1).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    bcast = os.environ.get(
+        "SPARK_GRAFT_BROADCAST_THRESHOLD", str(32 * 1024 * 1024)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", bcast)
     )
     return builder.getOrCreate()
