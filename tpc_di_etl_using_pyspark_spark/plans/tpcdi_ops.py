@@ -1748,10 +1748,13 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("pv"),
     )
+    # COALESCE(...,0): over an EMPTY slice the rollup's sums are NULL
+    # (zero groups) while the oracle's COUNT forms are 0 — the audit
+    # must report zero, not NULL (r11 empty-slice contract)
     oa = og.agg(
-        (F.sum("cnt") - F.count(F.lit(1))).alias("pkv"),
-        F.sum("pv").alias("pricev"),
-        F.sum("cnt").alias("n"),
+        (F.coalesce(F.sum("cnt"), F.lit(0)) - F.count(F.lit(1))).alias("pkv"),
+        F.coalesce(F.sum("pv"), F.lit(0)).alias("pricev"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
     )
     p_orders = split_rows(
         oa,
@@ -1769,9 +1772,11 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
     )
     keynull = F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
     la = lg.agg(
-        (F.sum("cnt") - F.count(F.when(~keynull, 1))).alias("pkv"),
-        F.sum("dv").alias("discv"),
-        F.sum("cnt").alias("n"),
+        (F.coalesce(F.sum("cnt"), F.lit(0)) - F.count(F.when(~keynull, 1))).alias(
+            "pkv"
+        ),
+        F.coalesce(F.sum("dv"), F.lit(0)).alias("discv"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
     )
     p_lineitem = split_rows(
         la,
