@@ -126,7 +126,7 @@ ROUND_ELEVATIONS = (
     "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket,"
     # spread_scan adopters (guide §2.5 layout-gated re-spread):
     "agg_groupby_basic,join_broadcast,join_range_between,"
-    "vec_kmeans_refine"
+    "vec_kmeans_refine,tpcdi_batch_e2e"
 )
 
 

@@ -164,6 +164,8 @@ _PRIORITY = [
     "join_broadcast",
     "join_range_between",
     "vec_kmeans_refine",
+    # fused audit phase (each cached warehouse table aggregated once):
+    "tpcdi_batch_e2e",
     # --- remainder, oldest driver cert first (cert_age_check order) ---
     "text_pii_redact",
     "text_normalize_unicode",
@@ -351,7 +353,6 @@ _PRIORITY = [
     "sample_temperature_mixture",
     "str_concat_phone",
     "tpcdi_audit_reconciliation",
-    "tpcdi_batch_e2e",
     "tpcdi_dim_broker",
     "tpcdi_dim_company",
     "tpcdi_dim_security",

@@ -1532,47 +1532,80 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     ).cache()
 
     # --- Audit: DImessages + reconciliation ------------------------
-    msgs = batch_validation(
-        {
-            "dim_company": dim_company,
-            "dim_customer": dim_customer,
-            "fact_cash_balances": fact_sk,
-        },
-        batch_id=2,
-    )
+    # Fused (optimization r13, guide §2.4, the audit_data_quality
+    # pattern): each cached warehouse table is aggregated ONCE —
+    # row count AND its reconciliation measure in the same 1-row agg
+    # — then split into its report rows map-side via inline(). The
+    # former shape aggregated dim_company, dim_customer and fact_sk
+    # twice each (batch_validation's Row-count pass + the audit pass):
+    # 9 aggregation pipelines → 6. Row content is byte-identical.
 
-    def audit(source: str, mtype: str, text_df: DataFrame) -> DataFrame:
-        return text_df.select(
-            F.lit(2).alias("batch_id"),
-            F.lit(source).alias("message_source"),
-            F.lit(mtype).alias("message_type"),
-            F.col("message_text"),
+    def rows2(agg_df, rows):
+        return agg_df.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(2).alias("batch_id"),
+                            F.lit(src).alias("message_source"),
+                            F.lit(mtype).alias("message_type"),
+                            text.alias("message_text"),
+                        )
+                        for src, mtype, text in rows
+                    ]
+                )
+            )
         )
 
     ok = lambda a, e: F.when(F.col(a) == F.col(e), "true").otherwise("false")  # noqa: E731
-    comp_cur = (
-        dim_company.filter("is_current")
-        .agg(F.count(F.lit(1)).alias("_a"))
+    comp = (
+        dim_company.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("is_current"), 1)).alias("_a"),
+        )
         .crossJoin(t(spark, d, "supplier").agg(F.count(F.lit(1)).alias("_e")))
-        .select(ok("_a", "_e").alias("message_text"))
     )
-    cust_cur = (
-        dim_customer.filter("is_current")
-        .agg(F.count(F.lit(1)).alias("_a"))
+    comp_rows = rows2(
+        comp,
+        [
+            ("dim_company", "Row count", F.col("_n").cast("string")),
+            ("dim_company", "Audit current rows", ok("_a", "_e")),
+        ],
+    )
+    cust = (
+        dim_customer.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("is_current"), 1)).alias("_a"),
+        )
         .crossJoin(stream.agg(F.countDistinct("o_custkey").alias("_e")))
-        .select(ok("_a", "_e").alias("message_text"))
     )
-    chain_bad = scd2_validate(dim_customer, "o_custkey").agg(
-        F.count(F.lit(1)).cast("string").alias("message_text")
+    cust_rows = rows2(
+        cust,
+        [
+            ("dim_customer", "Row count", F.col("_n").cast("string")),
+            ("dim_customer", "Audit current rows", ok("_a", "_e")),
+        ],
     )
-    unresolved = fact_sk.filter(F.col("sk").isNull()).agg(
-        F.count(F.lit(1)).cast("string").alias("message_text")
+    fact_rows = rows2(
+        fact_sk.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("sk").isNull(), 1)).alias("_u"),
+        ),
+        [
+            ("fact_cash_balances", "Row count", F.col("_n").cast("string")),
+            ("fact_cash_balances", "Audit unresolved SK", F.col("_u").cast("string")),
+        ],
+    )
+    chain_rows = rows2(
+        scd2_validate(dim_customer, "o_custkey").agg(
+            F.count(F.lit(1)).alias("_v")
+        ),
+        [("dim_customer", "Audit SCD2 violations", F.col("_v").cast("string"))],
     )
     return (
-        msgs.unionByName(audit("dim_company", "Audit current rows", comp_cur))
-        .unionByName(audit("dim_customer", "Audit current rows", cust_cur))
-        .unionByName(audit("dim_customer", "Audit SCD2 violations", chain_bad))
-        .unionByName(audit("fact_cash_balances", "Audit unresolved SK", unresolved))
+        comp_rows.unionByName(cust_rows)
+        .unionByName(fact_rows)
+        .unionByName(chain_rows)
     )
 
 
