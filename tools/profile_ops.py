@@ -43,6 +43,14 @@ def main() -> None:
     ap.add_argument("--tag", default="r13")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--bench-protocol",
+        action="store_true",
+        help="clear caches between OPS only (bench.py/driver discipline: "
+        "an op's warm-up run materializes its internal cache()s and the "
+        "timed runs reuse them via the CacheManager's canonicalized-plan "
+        "match); default clears per RUN (cold-cache isolation)",
+    )
     args = ap.parse_args()
 
     load0 = round(os.getloadavg()[0], 2)
@@ -68,7 +76,8 @@ def main() -> None:
                 fh.write(_formatted_plan(fn(spark, sf_dir)))
         runs = []
         for i in range(args.runs + 1):  # first run is the warm-up
-            spark.catalog.clearCache()
+            if not args.bench_protocol:
+                spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{op} run{i}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

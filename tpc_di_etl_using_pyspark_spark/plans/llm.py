@@ -2214,34 +2214,25 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
         ),
     ).select("vec_id", F.col("pos").alias("j"), F.col("col").alias("xi"))
 
-    # the 16 plane weights ride as 16 COLUMNS of a 64-row broadcast
-    # relation (k = p*64 + j keeps the LCG stream identical to the
-    # oracle), so the joined relation stays at |comps| rows — the
-    # earlier (j, p, w) tall layout replicated every component 16×
-    # and needed a second (vec_id, band) collect_list+sort shuffle;
-    # this form is one vec_id-keyed shuffle of 16 map-side-combined
-    # integer partial sums, and the band keys are built from the dp
-    # columns in-expression (measured ~2× on the signature pass)
+    # the 16 plane weights are INLINE integer expressions of the
+    # component index j (optimization r14, guide §2.4: k = p*64 + j
+    # keeps the LCG stream identical to the oracle) — the former
+    # 64-row broadcast-relation join carried the same values but paid
+    # a broadcast exchange + hash probe per component row; computing
+    # them in-expression keeps the signature pass one vec_id-keyed
+    # shuffle of 16 map-side-combined integer partial sums with zero
+    # joins (A/B 2.51 → 2.15 s with the occupancy pre-filter below;
+    # outputs hash-identical).
     def _w(p: int):
-        k = F.col("id") + F.lit(64 * p)
+        k = F.col("j").cast("long") + F.lit(64 * p)
         lcg = F.lit(1103515245).cast("long") * k + 12345
-        return (
-            ((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024
-        ).alias(f"w{p}")
+        return ((lcg - lcg % 65536) / 65536).cast("long") % 2048 - 1024
 
-    planes = spark.range(64).select(
-        F.col("id").alias("j"), *[_w(p) for p in range(16)]
-    )
-
-    dots = (
-        comps.join(F.broadcast(planes), "j")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("xi") * F.col(f"w{p}")).alias(f"dp{p}")
-                for p in range(16)
-            ]
-        )
+    dots = comps.groupBy("vec_id").agg(
+        *[
+            F.sum(F.col("xi") * _w(p)).alias(f"dp{p}")
+            for p in range(16)
+        ]
     )
 
     def _band_key(lo: int):
@@ -2296,18 +2287,30 @@ def sim_rp_lsh_cosine(spark: SparkSession, d: str) -> DataFrame:
     # generation from each bucket's sorted member array (optimization
     # r13, guide §2.4 — the same shape as llm/minhash.candidate_pairs):
     # the former self-join evaluated the whole signature pipeline
-    # (scan → posexplode → plane join → 16-sum aggregation) once per
-    # side plus a band-keyed window exchange for the cap; this form
-    # evaluates it once and shuffles the band relation once. Sorted
-    # ids make every in-bucket (ids[i], ids[j]) i<j pair exactly the
-    # vec_id_a < vec_id_b join result; per-bucket state is bounded by
-    # the cap.
+    # (scan → posexplode → 16-sum aggregation) once per side; this
+    # form evaluates it once and shuffles the band relation once.
+    # Sorted ids make every in-bucket (ids[i], ids[j]) i<j pair
+    # exactly the vec_id_a < vec_id_b join result.
+    # Bounded state (optimization r14, VERDICT r13 item 3, mirroring
+    # llm/minhash.candidate_pairs): the cap filters via an occupancy
+    # WINDOW on the same band key BEFORE the collect — same single
+    # exchange (window partition keys = aggregation keys), sort-based
+    # spillable buffering, and every collect_set buffer downstream is
+    # bounded by the cap instead of materializing a degenerate
+    # bucket's full membership in one unspillable aggregation buffer
+    # (A/B 2.51 → 2.17 s at sf0.1; outputs hash-identical —
+    # occupancy count ≡ size(collect_set) because (vec_id, band)
+    # rows are unique by construction).
+    wocc = Window.partitionBy("band_idx", "band_key")
+    sigs = (
+        sigs.withColumn("_occ", F.count(F.lit(1)).over(wocc))
+        .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_bucket))
+        .drop("_occ")
+    )
     buckets = sigs.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_set("vec_id")).alias("_ids")
     )
-    buckets = buckets.filter(
-        (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)
-    )
+    buckets = buckets.filter(F.size("_ids") >= 2)
     cand = (
         buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
         .select(
@@ -3167,10 +3170,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
     # identical across dups anyway). Unlike the former text-keyed
     # window, this gets MAP-SIDE partial aggregation, so duplicate
     # rows collapse before the exchange instead of all shipping to
-    # one partition per text. Local wash at sf0.1 (2.68 ≈ 2.68 s,
-    # outputs identical); shipped for the shuffle shape — this
-    # subtree is re-evaluated by several downstream branches, each
-    # re-evaluation shuffling the corpus.
+    # one partition per text.
     exact = (
         gated.groupBy("text")
         .agg(F.min(F.struct("doc_id", "n_words", "source")).alias("_r"))
@@ -3181,25 +3181,45 @@ def pipeline_pretrain_e2e(spark: SparkSession, d: str) -> DataFrame:
             F.col("_r.source").alias("source"),
         )
     )
-    # NOT cached, deliberately: the gated+deduped corpus is consumed by
-    # three branches, but it is one narrow scan + one window — measured
-    # 4.1 s uncached vs 6.3 s with a cache() boundary at sf0.1 (the
-    # eager materialization breaks branch pipelining for a relation
-    # cheaper to recompute; contrast tpcdi_batch_e2e, where the phase
-    # outputs ARE windows over multi-join dataflows and caching wins)
-    corpus = exact.filter(F.col("source") != "src0")
-    # checkpoint=False for the same reason: the gated corpus is ~1/5 of
-    # the table, so recomputing its shingles lazily beats an eager
-    # cache materialization (measured ~3.5 s vs 4.2-6.4 s at sf0.1);
-    # standalone dedup_minhash_lsh keeps the cache — there the shingle
-    # relation covers the FULL corpus and feeds two heavy passes
+    # Evaluate the dedup subtree ONCE (optimization r14, VERDICT r13
+    # item 1, guide §2.4/§5): the r13 shape re-ran the groupBy(text)
+    # aggregation once per downstream reference — the driver counted 8
+    # evaluations (32 min(struct) nodes, 0 ReusedExchange) and the op
+    # regressed 2.98→5.23 s at local[32] while running FASTER on 8
+    # cores (eight concurrent full-text hash-aggregation maps are
+    # exactly the memory/GC shape that worsens with parallelism).
+    # localCheckpoint(eager=False) truncates the lineage so every
+    # branch reads the one materialized corpus instead of rebuilding
+    # it; lazy, so nothing runs until the query's own action. A plain
+    # cache() was re-tested and is still slower (2.40 vs 1.75 s
+    # bench-protocol median at sf0.1 — columnar write overhead), and
+    # the window-dedup revert (1.90 s) loses map-side partial
+    # aggregation at scale. Fault-tolerance trade documented in guide
+    # §5: a lost executor forfeits checkpoint blocks — acceptable for
+    # an in-query intermediate that production would sink to parquet.
+    corpus = exact.filter(F.col("source") != "src0").localCheckpoint(
+        eager=False
+    )
+    # checkpoint=False: with the corpus materialized once above, the
+    # shingle relation feeds the signature and verify passes from the
+    # checkpoint blocks; an extra cache() boundary on the exploded
+    # shingles measured SLOWER (2.50 vs 1.75 s — eager columnar write
+    # of the wide explode beats its saved recompute at every tested SF)
     nd_pairs = minhash_near_dups(
         corpus, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5,
         checkpoint=False,
     )
     nd_drop = nd_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = corpus.join(nd_drop, "doc_id", "left_anti")
-    g5c = shingles(survivors, "doc_id", "text", k=5).dropDuplicates(
+    # contamination is screened on the CORPUS, not on survivors
+    # (optimization r14, guide §2.4 'fewer references'): a doc's
+    # contamination verdict depends only on its own 5-grams, so
+    # screening the superset is set-identical after the final
+    # anti-join — and `survivors` (which re-evaluates the whole
+    # minhash candidate+verify pipeline per reference) is consumed
+    # exactly once instead of twice. Measured 2.95 → 1.96 s at sf0.1
+    # (with the checkpoint above: 1.75 s; outputs hash-identical).
+    g5c = shingles(corpus, "doc_id", "text", k=5).dropDuplicates(
         ["doc_id", "shingle"]
     )
     g5b = (
