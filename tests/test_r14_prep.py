@@ -75,14 +75,17 @@ MIGRATED_R13 = {
     "stream_sliding_sum",
 }
 
-# Remaining old-form sites on the µs-fractional events.ts column —
-# the r14 migration worklist (same recipe, same class).
+# Former old-form sites on the µs-fractional events.ts column —
+# MIGRATED in r14 (this round): the four literal sites carry the
+# sql_epoch_floor_s text, and _util.sql_epoch_s itself now emits the
+# exact integer floor-mod form (its adopters tpcdi_dim_trade /
+# events_funnel migrated with it).
 R14_FRACTIONAL_SITES = {
     "dedup_latest_by_key",
     "stream_session_window",
     "stream_watermark_late",
     "stream_foreachbatch_upsert",
-    # sql_epoch_s adopters (the helper itself migrates with them)
+    # sql_epoch_s adopters (the helper itself migrated with them)
     "tpcdi_dim_trade",
     "events_funnel",
 }
@@ -109,41 +112,54 @@ def duck():
 
 
 def test_floor_epoch_site_census():
-    """Every oracle still carrying the double-path FLOOR(EPOCH(...))
-    form is either on the pinned r14 worklist (fractional events.ts)
-    or on the audited whole-second immune list. A new site in either
-    direction fails here and must be classified."""
+    """After the r14 migration, every oracle still carrying the
+    double-path FLOOR(EPOCH(...)) form is on the audited whole-second
+    immune list (EPOCH's double is exact on whole seconds far below
+    2^53). A new site fails here and must be classified."""
     oracles = registry.all_oracles()
     old_form = {k for k, v in oracles.items() if "FLOOR(EPOCH(" in v}
-    assert old_form == R14_FRACTIONAL_SITES | WHOLE_SECOND_SITES, (
-        sorted(old_form ^ (R14_FRACTIONAL_SITES | WHOLE_SECOND_SITES))
+    assert old_form == WHOLE_SECOND_SITES, (
+        sorted(old_form ^ WHOLE_SECOND_SITES)
     )
-    # and none of the r13-migrated oracles regressed to the old form
-    assert not (old_form & MIGRATED_R13)
+    # and none of the migrated oracles regressed to the old form
+    assert not (old_form & (MIGRATED_R13 | R14_FRACTIONAL_SITES))
 
 
 def test_migrated_oracles_embed_the_helper_form():
-    """The 11 r13-migrated oracles embed sql_epoch_floor_s('ts')
-    (or the table-aliased variants) byte-for-byte — the helper and
-    the literals cannot drift apart."""
+    """The 11 r13-migrated + 4 r14-migrated literal-site oracles embed
+    sql_epoch_floor_s('ts') (or the aliased/aggregated variants)
+    byte-for-byte — the helper and the literals cannot drift apart."""
     oracles = registry.all_oracles()
     aliased = {
         "join_asof_latest": "e.ts",
         "join_asof_tolerance": "e.ts",
         "stream_stream_join": "p.pts",
+        "stream_session_window": "MIN(ts)",
     }
-    for op in sorted(MIGRATED_R13):
+    literal_r14 = {
+        "dedup_latest_by_key",
+        "stream_session_window",
+        "stream_watermark_late",
+        "stream_foreachbatch_upsert",
+    }
+    for op in sorted(MIGRATED_R13 | literal_r14):
         expr = aliased.get(op, "ts")
         assert sql_epoch_floor_s(expr) in oracles[op], op
+    # the helper adopters emit the same form through sql_epoch_s
+    from tpc_di_etl_using_pyspark_spark.plans._util import sql_epoch_s as ses
+
+    assert ses("ts") == sql_epoch_floor_s("ts")
+    for op in ("tpcdi_dim_trade", "events_funnel"):
+        assert "FLOOR(EPOCH(" not in oracles[op], op
 
 
 def test_sql_epoch_s_adopters_are_exactly_the_pinned_pair():
-    """sql_epoch_s (the old double-path helper) is interpolated only
-    by tpcdi_dim_trade (2 sites) and events_funnel (3 sites) — the
-    r14 migration replaces the helper body with sql_epoch_floor_s's
-    form and elevates exactly those two ops. (The emitted TEXT also
-    appears verbatim in the literal R14_FRACTIONAL_SITES oracles, so
-    this pin is source-level, not oracle-text-level.)"""
+    """sql_epoch_s is interpolated only by tpcdi_dim_trade (2 sites)
+    and events_funnel (3 sites) — the r14 migration replaced the
+    helper body with sql_epoch_floor_s's form and elevates exactly
+    those two ops. (The emitted TEXT also appears verbatim in the
+    literal R14_FRACTIONAL_SITES oracles, so this pin is
+    source-level, not oracle-text-level.)"""
     import inspect
 
     from tpc_di_etl_using_pyspark_spark.plans import tpcdi_ops

@@ -376,15 +376,22 @@ def test_batch_e2e_composition_and_plan(spark, sf_dir):
     assert rows[("fact_cash_balances", "Audit unresolved SK")] == "0"
     assert int(rows[("dim_customer", "Row count")]) > 0
 
-    # phase boundaries: the three warehouse tables must be cached (the
-    # local stand-in for the production parquet sink between batch
-    # phases) so the audit phase's references execute each build ONCE.
-    # Uncached, the same plan showed 86 exchanges with the dim SCD2
-    # build re-run per audit reference; cached it shows ≤60 displayed
-    # (each InMemoryRelation prints its child plan per reference but
-    # executes once) — the assertion catches the uncached regression.
-    assert plan.count("InMemoryRelation") >= 3
-    assert plan.count("Exchange") <= 70, plan.count("Exchange")
+    # phase boundary: dim_customer — the one warehouse table with
+    # MULTIPLE consumers (fact SK resolution + the fused audit stats
+    # pass) — must be cached (the local stand-in for the production
+    # parquet sink between batch phases) so the SCD2 build executes
+    # once, and both of its plan references must read the
+    # InMemoryRelation. dim_company and fact_sk have exactly one
+    # consumer since the r14 audit fusion, so caching them was pure
+    # materialization overhead and the plan must NOT regrow extra
+    # InMemoryRelations (or extra union-branch aggregation pipelines:
+    # the audit emits all 7 rows from ONE inline() over crossJoined
+    # 1-row aggregates — no Union remains).
+    assert plan.count("InMemoryRelation") == 2, plan.count("InMemoryRelation")
+    # exactly ONE inline() Generate — the audit's report-branch Union
+    # is gone (scd2_apply_incremental's closed∪new_rows Union remains)
+    assert plan.count("Generate inline") == 1, plan.count("Generate inline")
+    assert plan.count("Exchange") <= 40, plan.count("Exchange")
     out.sparkSession.catalog.clearCache()
 
 

@@ -259,7 +259,12 @@ def epoch_s(col) -> Column:
 # DuckDB: epoch() on a timestamp returns seconds; floor+cast makes the
 # ns-precision fixture match Spark's µs-truncated unix_timestamp.
 def sql_epoch_s(expr: str) -> str:
-    return f"CAST(FLOOR(EPOCH({expr})) AS BIGINT)"
+    # r14 migration (pinned in tests/test_r14_prep.py): same exact
+    # integer floor as sql_epoch_floor_s — the former
+    # CAST(FLOOR(EPOCH(..)) AS BIGINT) went through DOUBLE seconds,
+    # whose ulp at 10-digit epochs is ~2 µs, shifting a .999999
+    # fraction +1 s. Adopters: tpcdi_dim_trade, events_funnel.
+    return sql_epoch_floor_s(expr)
 
 
 # Exact integer epoch-second floor for the DuckDB oracles (r13, SURVEY
@@ -270,10 +275,7 @@ def sql_epoch_s(expr: str) -> str:
 # floor-mod form below is the exact integer floor over epoch_us —
 # plain `// 1000000` would truncate toward zero and break pre-epoch
 # instants. Spark's integer calendar-field path was always correct;
-# only oracles use this. sql_epoch_s above carries the same latent
-# class through its adopters (tpcdi_dim_trade / events_funnel) — its
-# migration is r14-pinned (tests/test_r14_prep.py) because the r13
-# elevation window is at capacity.
+# only oracles use this.
 def sql_epoch_floor_s(expr: str) -> str:
     e = f"epoch_us({expr})"
     return f"({e} - (({e} % 1000000 + 1000000) % 1000000)) // 1000000"

@@ -208,12 +208,24 @@ def agg_first_last(spark: SparkSession, d: str) -> DataFrame:
     (the old key) or cannot host epoch+full-id (38+64 bits > 63), and
     a wrong-order or stage-killing key costs more at 100 TB than a
     grouping-key sort. Map-side partial_min_by is retained either
-    way."""
+    way.
+
+    NULL-gated key (r14, ADVICE r12 medium, pinned in
+    tests/test_r14_prep.py): a bare struct key is never NULL (a null
+    field sorts FIRST inside it), so a NULL-ts row would win min_by
+    while the oracle's HUGEINT key NULL-propagates and arg_min skips
+    it; gating the struct to NULL when either field is NULL makes
+    min_by/max_by skip exactly like arg_min/arg_max. Identical
+    wherever ts/event_id are non-NULL (the fixture always; the gate
+    is for the NULL-bearing general case)."""
     e = t(spark, d, "events")
     ordkey = F.struct(epoch_s("ts").alias("s"), F.col("event_id").alias("i"))
+    gated = F.when(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull(), ordkey
+    )
     return e.groupBy("user_id").agg(
-        F.min_by("value", ordkey).alias("first_value"),
-        F.max_by("value", ordkey).alias("last_value"),
+        F.min_by("value", gated).alias("first_value"),
+        F.max_by("value", gated).alias("last_value"),
     )
 
 

@@ -584,7 +584,7 @@ def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
          SELECT user_id, event_type, event_id, value,
                 ROW_NUMBER() OVER (
                   PARTITION BY user_id, event_type
-                  ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+                  ORDER BY (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 DESC, event_id DESC) AS rn
          FROM events) WHERE rn = 1""",
 )
 def dedup_latest_by_key(spark: SparkSession, d: str) -> DataFrame:

@@ -579,7 +579,7 @@ def scan_partition_pruned(spark: SparkSession, d: str) -> DataFrame:
 @_op(
     "scan_python_datasource",
     """SELECT 'CMP' AS rec_type, rtrim(substring(p_name, 1, 60)) AS company_name,
-              p_partkey AS cik, '20100101-120000' AS pts
+              p_partkey % 10000000000 AS cik, '20100101-120000' AS pts
        FROM part""",
 )
 def scan_python_datasource(spark: SparkSession, d: str) -> DataFrame:
@@ -594,11 +594,16 @@ def scan_python_datasource(spark: SparkSession, d: str) -> DataFrame:
 
     path = _scratch(d, "finwire_pyds")
     part = t(spark, d, "part")  # also ships the package to executors
+    # CIK char(10) carries the mod-1e10 residue (r14, pinned in
+    # tests/test_r14_prep.py; same convention as scan_text_fixedwidth
+    # and the tpcdi dim builders) instead of letting lpad silently
+    # keep the LEFTMOST 10 chars of an 11+-digit id; oracle mirrored,
+    # identical for p_partkey < 1e10
     line = F.concat(
         F.lit("20100101-120000"),
         F.lit("CMP"),
         F.rpad(F.substring("p_name", 1, 60), 60, " "),
-        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+        F.lpad((F.col("p_partkey") % 10_000_000_000).cast("string"), 10, "0"),
     )
     # 4 fixture files → 4 InputPartitions: the partition planning in
     # FinwireCmpReader.partitions() is what the plan test asserts

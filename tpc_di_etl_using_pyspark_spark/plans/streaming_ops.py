@@ -84,7 +84,7 @@ def stream_sliding_sum(spark: SparkSession, d: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS sess_id
          FROM marked)
        SELECT user_id,
-              CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS sess_start_sec,
+              (epoch_us(MIN(ts)) - ((epoch_us(MIN(ts)) % 1000000 + 1000000) % 1000000)) // 1000000 AS sess_start_sec,
               COUNT(*) AS n_events,
               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sess_value
        FROM ids GROUP BY user_id, sess_id""",
@@ -108,7 +108,7 @@ def stream_session_window(spark: SparkSession, d: str) -> DataFrame:
                 MAX(epoch_us(ts)) OVER (ORDER BY event_id
                                         ROWS UNBOUNDED PRECEDING) AS max_us
          FROM events)
-       SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, value
+       SELECT event_id, user_id, (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS ts_sec, value
        FROM m WHERE epoch_us(ts) >= max_us - 600 * 1000000""",
 )
 def stream_watermark_late(spark: SparkSession, d: str) -> DataFrame:
@@ -178,7 +178,7 @@ def stream_dedup_state(spark: SparkSession, d: str) -> DataFrame:
                 ROW_NUMBER() OVER (
                   PARTITION BY user_id, event_type
                   ORDER BY event_id % 2 DESC,
-                           CAST(FLOOR(EPOCH(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+                           (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 DESC, event_id DESC) AS rn
          FROM events) WHERE rn = 1""",
 )
 def stream_foreachbatch_upsert(spark: SparkSession, d: str) -> DataFrame:

@@ -19,7 +19,6 @@ from ..tpcdi.pipeline import (
     scd2_apply_incremental,
     scd2_build,
     scd2_change_filter,
-    scd2_validate,
     surrogate_lookup,
 )
 from .core_scans import _scratch
@@ -321,6 +320,14 @@ def tpcdi_prospect_match(spark: SparkSession, d: str) -> DataFrame:
     # the mapping stays injective; bit-identical to the naive form for
     # every c_custkey <= 2^63-1-5e6 (all driver fixtures). Oracle
     # mirrors the identical CASE.
+    # CONTRACT (r14, ADVICE r12 low, counterexample pinned in
+    # tests/test_r14_prep.py): injectivity assumes NONNEGATIVE keys —
+    # a negative key maps via the +5e6 branch into [0, 5e6) and can
+    # collide with a wrapped top-band key (e.g. -4999999 and
+    # 2^63-5000000+1 both map to 1). Parity is unaffected (the oracle
+    # mirrors the CASE byte-for-byte), but callers feeding signed
+    # synthetic keys should normalize them first (abs/pmod, the
+    # _split_bucket convention).
     p_id = F.when(
         F.col("c_custkey") > F.lit(9223372036849775807),
         F.col("c_custkey") - F.lit(9223372036849775808),
@@ -1490,13 +1497,17 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     message_source, message_type, message_text) — counts as text,
     audit booleans as 'true'/'false'."""
     # --- Batch1: historical load -----------------------------------
-    # Phase outputs are cache()d: in production each batch phase SINKS
-    # its warehouse tables to parquet and the next phase re-scans them;
-    # cache is the local stand-in for that boundary. Without it the
-    # audit phase's four references to dim_customer re-run the whole
-    # SCD2 build per reference (measured 86 exchanges vs 30 cached).
+    # dim_customer (3 consumers: fact SK resolution + the fused stats
+    # pass) is cache()d: in production each batch phase SINKS its
+    # warehouse tables to parquet and the next phase re-scans them;
+    # cache is the local stand-in for that boundary — without it the
+    # audit re-runs the whole SCD2 build per reference. dim_company
+    # and fact_sk each have exactly ONE consumer after the r14 audit
+    # fusion, so their former cache()s were pure materialization
+    # overhead and are dropped (guide §5 'only worth it when a
+    # DataFrame is REUSED'; A/B in OPTIMIZATION_r14.md).
     frames = _finwire_frames(spark, d)
-    dim_company = _company_dim_from(frames["CMP"]).cache()
+    dim_company = _company_dim_from(frames["CMP"])
     v = t(spark, d, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -1519,9 +1530,14 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     batch2 = v.filter(F.col("o_orderstatus") == "O").withColumn(
         "eff", F.date_add("eff", F.lit(shift))
     )
+    # check_order=False (optimization r14): the ordering precondition
+    # holds BY CONSTRUCTION here — every batch2 eff is span+1 days past
+    # max(hist eff) via _batch_date_shift — and the eager probe cost a
+    # full extra evaluation of the SCD2 build window at plan-build time
     dim_customer = scd2_apply_incremental(
         dim_customer, batch2, "o_custkey", "eff",
         ["o_orderstatus", "o_orderpriority"], "o_orderkey",
+        check_order=False,
     ).cache()
 
     # --- Facts with surrogate-key resolution -----------------------
@@ -1529,16 +1545,28 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
     fact = fact_cash_balances(stream, "o_custkey", "eff", "o_totalprice")
     fact_sk = surrogate_lookup(
         fact, dim_customer, "account_id", "day", dim_key="o_custkey"
-    ).cache()
+    )
 
     # --- Audit: DImessages + reconciliation ------------------------
-    # Fused (optimization r13, guide §2.4, the audit_data_quality
-    # pattern): each cached warehouse table is aggregated ONCE —
-    # row count AND its reconciliation measure in the same 1-row agg
-    # — then split into its report rows map-side via inline(). The
-    # former shape aggregated dim_company, dim_customer and fact_sk
-    # twice each (batch_validation's Row-count pass + the audit pass):
-    # 9 aggregation pipelines → 6. Row content is byte-identical.
+    # Fully fused (optimization r14, VERDICT r13 item 2, extending the
+    # r13 audit_data_quality pattern): ONE stats pass per warehouse
+    # table, every 1-row aggregate crossJoined into a single 1-row
+    # relation, and all seven report rows inline()d from it map-side —
+    # one aggregation pipeline replaces the former four union branches
+    # (A/B 2.26 → 1.80 s bench-protocol / 4.21 → 2.69 s cold at sf0.1,
+    # rows byte-identical; 8↔32-core ratio back above 1).
+    #
+    # The dim_customer pass folds scd2_validate's two evaluations into
+    # the same pipeline: the version-chain check and the per-key
+    # current-row count are BOTH windows partitioned by the natural
+    # key, so they share one exchange (guide §2.4 'window functions
+    # partitioned by the same key ... do not need a second shuffle'),
+    # and the global 1-row aggregate computes row count, current-row
+    # count AND the violation total on top:
+    #   violations ≡ COUNT(bad-chain rows) + COUNT(DISTINCT keys with
+    #   >1 current row) — exactly scd2_validate's bad_chain ∪
+    #   multi_current row count (bad_chain emits one row per chain
+    #   break, multi_current one row per offending key).
 
     def rows2(agg_df, rows):
         return agg_df.select(
@@ -1558,54 +1586,70 @@ def tpcdi_batch_e2e(spark: SparkSession, d: str) -> DataFrame:
         )
 
     ok = lambda a, e: F.when(F.col(a) == F.col(e), "true").otherwise("false")  # noqa: E731
-    comp = (
+    wver = Window.partitionBy("o_custkey").orderBy("version")
+    wkey = Window.partitionBy("o_custkey")
+    cust_stats = (
+        dim_customer.withColumn("_nxt", F.lead("effective_date").over(wver))
+        .withColumn(
+            "_ncur", F.count(F.when(F.col("is_current"), 1)).over(wkey)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_cn"),
+            F.count(F.when(F.col("is_current"), 1)).alias("_ca"),
+            (
+                F.count(
+                    F.when(
+                        (
+                            F.col("_nxt").isNotNull()
+                            & (F.col("end_date") != F.col("_nxt"))
+                        )
+                        | (F.col("_nxt").isNull() & ~F.col("is_current")),
+                        1,
+                    )
+                )
+                + F.count_distinct(
+                    F.when(
+                        F.col("is_current") & (F.col("_ncur") > 1),
+                        F.col("o_custkey"),
+                    )
+                )
+            ).alias("_v"),
+        )
+    )
+    stats = (
         dim_company.agg(
             F.count(F.lit(1)).alias("_n"),
             F.count(F.when(F.col("is_current"), 1)).alias("_a"),
         )
         .crossJoin(t(spark, d, "supplier").agg(F.count(F.lit(1)).alias("_e")))
+        .crossJoin(cust_stats)
+        .crossJoin(stream.agg(F.countDistinct("o_custkey").alias("_ce")))
+        .crossJoin(
+            fact_sk.agg(
+                F.count(F.lit(1)).alias("_fn"),
+                F.count(F.when(F.col("sk").isNull(), 1)).alias("_fu"),
+            )
+        )
     )
-    comp_rows = rows2(
-        comp,
+    return rows2(
+        stats,
         [
             ("dim_company", "Row count", F.col("_n").cast("string")),
             ("dim_company", "Audit current rows", ok("_a", "_e")),
+            ("dim_customer", "Row count", F.col("_cn").cast("string")),
+            ("dim_customer", "Audit current rows", ok("_ca", "_ce")),
+            ("fact_cash_balances", "Row count", F.col("_fn").cast("string")),
+            (
+                "fact_cash_balances",
+                "Audit unresolved SK",
+                F.col("_fu").cast("string"),
+            ),
+            (
+                "dim_customer",
+                "Audit SCD2 violations",
+                F.col("_v").cast("string"),
+            ),
         ],
-    )
-    cust = (
-        dim_customer.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.count(F.when(F.col("is_current"), 1)).alias("_a"),
-        )
-        .crossJoin(stream.agg(F.countDistinct("o_custkey").alias("_e")))
-    )
-    cust_rows = rows2(
-        cust,
-        [
-            ("dim_customer", "Row count", F.col("_n").cast("string")),
-            ("dim_customer", "Audit current rows", ok("_a", "_e")),
-        ],
-    )
-    fact_rows = rows2(
-        fact_sk.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.count(F.when(F.col("sk").isNull(), 1)).alias("_u"),
-        ),
-        [
-            ("fact_cash_balances", "Row count", F.col("_n").cast("string")),
-            ("fact_cash_balances", "Audit unresolved SK", F.col("_u").cast("string")),
-        ],
-    )
-    chain_rows = rows2(
-        scd2_validate(dim_customer, "o_custkey").agg(
-            F.count(F.lit(1)).alias("_v")
-        ),
-        [("dim_customer", "Audit SCD2 violations", F.col("_v").cast("string"))],
-    )
-    return (
-        comp_rows.unionByName(cust_rows)
-        .unionByName(fact_rows)
-        .unionByName(chain_rows)
     )
 
 
@@ -1784,8 +1828,16 @@ def audit_data_quality(spark: SparkSession, d: str) -> DataFrame:
     # COALESCE(...,0): over an EMPTY slice the rollup's sums are NULL
     # (zero groups) while the oracle's COUNT forms are 0 — the audit
     # must report zero, not NULL (r11 empty-slice contract)
+    # count(when(isNotNull)) — NOT count(*) — over the groups (ADVICE
+    # r13 medium): COUNT(DISTINCT o_orderkey) excludes NULL, so the
+    # NULL-key group must not count as a distinct key; with n NULL-key
+    # rows the former count(*) form reported n-1 violations vs the
+    # oracle's n (the lineitem twin below already had the gate)
     oa = og.agg(
-        (F.coalesce(F.sum("cnt"), F.lit(0)) - F.count(F.lit(1))).alias("pkv"),
+        (
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            - F.count(F.when(F.col("o_orderkey").isNotNull(), 1))
+        ).alias("pkv"),
         F.coalesce(F.sum("pv"), F.lit(0)).alias("pricev"),
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
     )

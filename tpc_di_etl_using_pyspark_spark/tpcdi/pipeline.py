@@ -95,6 +95,7 @@ def scd2_apply_incremental(
     eff_col: str,
     attr_cols: list[str],
     tiebreak: str,
+    check_order: bool = True,
 ) -> DataFrame:
     """Incremental SCD2 update [SPEC: Batch2/3 dimension maintenance]:
     close each touched key's current row at the batch's first effective
@@ -107,29 +108,39 @@ def scd2_apply_incremental(
     loads share one semantic. Cost shape: the dim side is touched only
     for keys in the batch (broadcast-able key set at typical batch
     sizes); one window shuffle over the batch.
+
+    ``check_order=False`` skips the eager ordering-precondition probe
+    (optimization r14, guide §5 'the driver should do almost no data
+    work'): the probe is a driver-side ``count()`` that evaluates the
+    ENTIRE dim lineage at call time — a full extra SCD2 window pass
+    per call. Callers whose batch is late-proof BY CONSTRUCTION (e.g.
+    tpcdi_batch_e2e shifts every batch date span+1 days past max
+    history eff) may skip it; default stays on for arbitrary inputs.
     """
     date_type = dict(dim.dtypes)["effective_date"]
     wb = Window.partitionBy(natural_key).orderBy(eff_col, tiebreak)
     batch_first = batch.groupBy(natural_key).agg(
         F.min(eff_col).alias("_first_new_eff")
     )
-    # enforce the ordering precondition instead of documenting it:
-    # a batch eff at or before a key's current row would close that row
-    # at a date before it opened (end < effective), silently corrupting
-    # the history and every downstream surrogate_lookup
-    late = (
-        dim.filter("is_current")
-        .join(batch_first, natural_key)
-        .filter(F.col("_first_new_eff") <= F.col("effective_date"))
-        .limit(1)
-        .count()
-    )
-    if late:
-        raise ValueError(
-            "scd2_apply_incremental: batch contains effective dates at or "
-            "before a key's current version — late-arriving history must be "
-            "applied via a full rebuild (scd2_build over the combined actions)"
+    if check_order:
+        # enforce the ordering precondition instead of documenting it:
+        # a batch eff at or before a key's current row would close that
+        # row at a date before it opened (end < effective), silently
+        # corrupting the history and downstream surrogate_lookups
+        late = (
+            dim.filter("is_current")
+            .join(batch_first, natural_key)
+            .filter(F.col("_first_new_eff") <= F.col("effective_date"))
+            .limit(1)
+            .count()
         )
+        if late:
+            raise ValueError(
+                "scd2_apply_incremental: batch contains effective dates at "
+                "or before a key's current version — late-arriving history "
+                "must be applied via a full rebuild (scd2_build over the "
+                "combined actions)"
+            )
     base_ver = dim.groupBy(natural_key).agg(F.max("version").alias("_base_ver"))
 
     # 1. existing rows: close the current row of touched keys
