@@ -57,9 +57,10 @@ sys.path.insert(0, REPO)
 PY = sys.executable
 
 # Floor for step 5: the suite had this many tests when the floor was
-# last raised (round 13). Raise it whenever tests are added; a collect
-# run BELOW it means a file silently fell out of collection.
-EXPECTED_MIN_TESTS = 1067
+# last raised (round 14: +5 test_r14_opt.py optimization-invariant
+# tests). Raise it whenever tests are added; a collect run BELOW it
+# means a file silently fell out of collection.
+EXPECTED_MIN_TESTS = 1072
 
 # Standing edited-op rule: ops whose CODE changed this round sit in the
 # window for a same-round re-cert; declared to cert_age_check
@@ -109,24 +110,41 @@ EXPECTED_MIN_TESTS = 1067
 #   dedup_eval_simhash_recall, dedup_cross_source_matrix,
 #   pipeline_incremental_dedup, pipeline_pretrain_e2e,
 #   stream_incremental_dedup.
+# r14 OPTIMIZATION-ROUND ELEVATIONS (computed mechanically by
+# tools/op_change_check.py against the r13 driver drop; every entry's
+# measured evidence is in OPTIMIZATION_r14.md):
+#   STATIC spread_scan GATE (_util.py; ADVICE r13 item 2) + pretrain
+#   single-evaluation dedup (localCheckpoint + contam-over-corpus) +
+#   occupancy-prefilter bounded candidate generators (llm/minhash.py,
+#   sim_rp inline, incremental-dedup one-pass probe) + inline LCG
+#   plane weights (sim_rp): agg_groupby_basic, join_broadcast,
+#   join_range_between, vec_covariance_matrix, vec_pca_power_iteration,
+#   vec_pca_project, vec_kmeans_refine, dedup_minhash_lsh,
+#   dedup_simhash, dedup_eval_simhash_recall, dedup_cross_source_matrix,
+#   pipeline_incremental_dedup, pipeline_pretrain_e2e, sim_rp_lsh_cosine.
+#   FUSED batch_e2e AUDIT + scd2_apply_incremental check_order param:
+#   tpcdi_batch_e2e, tpcdi_scd2_incremental.
+#   FUSED CC convergence flag (llm/components.py): dedup_cluster_cc,
+#   dedup_semantic_cluster.
+#   §7.4o r14 DEFERRED-FIX WAVE (tests/test_r14_prep.py recipes):
+#   FLOOR(EPOCH) floor-mod migration literal sites
+#   (dedup_latest_by_key, stream_session_window, stream_watermark_late,
+#   stream_foreachbatch_upsert) + sql_epoch_s adopters (tpcdi_dim_trade,
+#   events_funnel); scan_python_datasource CIK mod-1e10 residue;
+#   agg_first_last NULL-gated order key; tpcdi_prospect_match
+#   nonnegative-key contract note; audit_data_quality NULL-key
+#   pk-count fix (ADVICE r13 medium).
 ROUND_ELEVATIONS = (
-    "join_asof_latest,join_asof_tolerance,win_lag_change,"
-    "win_running_distinct,win_sessionize_gap,win_interpolate_linear,"
-    "stream_stream_join,win_pattern_vshape,win_rolling_corr,"
-    "win_range_time_interval,stream_sliding_sum,"
-    "str_encode_b64_hex,bit_ops,scan_xml_flatten,scan_text_fixedwidth,"
-    "dedup_minhash_lsh,dedup_simhash,dedup_eval_simhash_recall,"
-    "dedup_cross_source_matrix,pipeline_incremental_dedup,"
-    "pipeline_pretrain_e2e,stream_incremental_dedup,"
-    # band-bucket pair generation inline; quantize-once upper-triangle
-    # covariance (+ PCA adopters); 4-pipeline audit consolidation;
-    # min/max-window substring dup mark; token-total-from-sizes:
-    "sim_rp_lsh_cosine,vec_covariance_matrix,vec_pca_power_iteration,"
-    "vec_pca_project,audit_data_quality,dedup_substring_windows,"
-    "pipeline_ccnet_e2e,text_unigram_logprob,text_perplexity_bucket,"
-    # spread_scan adopters (guide §2.5 layout-gated re-spread):
-    "agg_groupby_basic,join_broadcast,join_range_between,"
-    "vec_kmeans_refine,tpcdi_batch_e2e"
+    "agg_first_last,agg_groupby_basic,audit_data_quality,"
+    "dedup_cluster_cc,dedup_cross_source_matrix,"
+    "dedup_eval_simhash_recall,dedup_latest_by_key,dedup_minhash_lsh,"
+    "dedup_semantic_cluster,dedup_simhash,events_funnel,"
+    "join_broadcast,join_range_between,pipeline_incremental_dedup,"
+    "pipeline_pretrain_e2e,scan_python_datasource,sim_rp_lsh_cosine,"
+    "stream_foreachbatch_upsert,stream_session_window,"
+    "stream_watermark_late,tpcdi_batch_e2e,tpcdi_dim_trade,"
+    "tpcdi_prospect_match,tpcdi_scd2_incremental,vec_covariance_matrix,"
+    "vec_kmeans_refine,vec_pca_power_iteration,vec_pca_project"
 )
 
 

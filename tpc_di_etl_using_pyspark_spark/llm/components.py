@@ -52,20 +52,31 @@ def connected_components(
         msgs = both.join(labels, both.a == labels.node).select(
             F.col("b").alias("node"), F.col("component")
         )
+        # convergence flag FUSED into the label aggregation
+        # (optimization r14, guide §2.4): the old row rides the union
+        # with an _old marker, so min(component) and the node's
+        # previous component come out of the SAME groupBy — the former
+        # per-superstep probe join (a second shuffle job over both
+        # label sets) becomes a filter-scan of the already
+        # checkpointed result. Every node has exactly one old row, so
+        # _prev is never NULL and "changed" is exactly the old
+        # new≠old join predicate.
         new_labels = (
-            labels.unionByName(msgs)
+            labels.select("node", "component", F.lit(True).alias("_old"))
+            .unionByName(msgs.withColumn("_old", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_old"), F.col("component"))).alias(
+                    "_prev"
+                ),
+            )
+            .withColumn("_chg", F.col("component") != F.col("_prev"))
+            .drop("_prev")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break

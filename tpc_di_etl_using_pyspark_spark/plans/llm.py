@@ -2383,25 +2383,38 @@ def pipeline_incremental_dedup(spark: SparkSession, d: str) -> DataFrame:
     doc = spread_scan(t(spark, d, "documents"), "doc_id")
     sh = shingles(doc, "doc_id", "text", 3).cache()
     bk = band_keys(minhash_signature(sh, "doc_id", 32), "doc_id", 32, 8)
-    nb = bk.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    # corpus-side occupancy cap (the standing index is bounded at
-    # build time in production): a boilerplate band bucket with k
-    # corpus members multiplies EVERY probing batch row that lands in
-    # it by k — the same quadratic risk the other candidate joins cap.
-    # Inert on the fixtures (max band bucket ~3, asserted pattern in
-    # tests/test_llm.py), so the capped plan equals the exact oracle.
+    # Single-pass probe (optimization r14, guide §2.4): the former
+    # new-side/corpus-side split referenced ``bk`` twice, so Catalyst
+    # evaluated the 32-min signature aggregation once per join side
+    # (the r13 plan's 21st exchange). Both the corpus-side occupancy
+    # cap and the bucket membership are band-keyed windows, so ONE
+    # exchange serves everything: the count window caps the corpus
+    # side, the collect_set window materializes each bucket's ≤cap
+    # corpus ids, and every NEW row explodes its bucket's array
+    # map-side — identical pairs to the former nb⋈cb join, signature
+    # pipeline evaluated once (A/B 1.64 → 1.57 s cold / 1.62 → 1.40 s
+    # bench-protocol at sf0.1, outputs hash-identical).
+    #
+    # Scale shape: the corpus-side occupancy cap (the standing index
+    # is bounded at build time in production) keeps each window
+    # collect_set state ≤ cap; NEW rows are never buffered — a
+    # boilerplate band bucket with k corpus members multiplies every
+    # probing batch row that lands in it by k, the same quadratic
+    # risk the other candidate generators cap. Inert on the fixtures
+    # (max band bucket ~3, asserted in tests/test_llm.py), so the
+    # capped plan equals the exact oracle.
     wb = Window.partitionBy("band_idx", "band_key")
-    cb = (
-        bk.filter(F.col("doc_id") % 5 != 0)
-        .withColumn("_bn", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bn") <= 200)
-        .drop("_bn")
-        .select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    is_new = F.col("doc_id") % 5 == 0
+    bkf = bk.withColumn(
+        "_cn", F.count(F.when(~is_new, 1)).over(wb)
+    ).filter(is_new | (F.col("_cn") <= 200))
+    withca = bkf.withColumn(
+        "_ca", F.collect_set(F.when(~is_new, F.col("doc_id"))).over(wb)
     )
     cand = (
-        nb.join(cb, ["band_idx", "band_key"]).select("doc_a", "doc_b").dropDuplicates()
+        withca.filter(is_new)
+        .select(F.col("doc_id").alias("doc_a"), F.explode("_ca").alias("doc_b"))
+        .dropDuplicates()
     )
     return jaccard_verify(cand, sh, "doc_id", 0.5).select(
         F.col("doc_a").alias("new_id"),

@@ -44,10 +44,15 @@ _MODULES = [
 #   round 12 (done, 50/50 green): 24 age-7 r5 + 26 elevated (the
 #     extremes-probe hardening wave; displaced all 19 staged r6 ops
 #     plus agg_collect_sorted/str_url_parse to the r13 head)
-#   round 13 (THIS round): the full 35-op age-7 r6 block + 15
+#   round 13 (done, 50/50 green): the full 35-op age-7 r6 block + 15
 #     elevated (the §7.4o deferred-fix wave; displaced all 15 staged
-#     r7 ops to the r14 head)
-#   round 14: the displaced r7 block (15) + 35 oldest r8
+#     r7 ops to the r14 head — of which 40 age-7 r7 ops remain after
+#     the r13 optimization elevations pulled several forward)
+#   round 14 (THIS round): window grown to 71 = the full 43-op
+#     over-age block (40 age-7 r7 + 3 oldest r8) + 28 optimization/
+#     fix elevations (cert_age_check's default window = over-age +
+#     elevations; the optimization driver re-runs every declared
+#     query, so a wide window starves nothing)
 #   round 15+: restart from whatever is then oldest (each block's
 #     green rows this cycle reset its age) — steady state keeps every
 #     op's cert age <= 6 rounds.
@@ -57,116 +62,29 @@ _MODULES = [
 # fresh driver row that same round (the r7 vec_quantize_int8 pattern).
 # Nothing is ever dropped from the registry.
 _PRIORITY = [
-    # --- ROUND-13 CERTIFICATION WINDOW (50 = 15 ELEVATED + the 35
-    #     mandatory age-7 r6 ops), per the cert-age schedule above and
-    #     VERDICT r12 item 1. The elevations are the SURVEY §7.4o
-    #     deferred-fix wave, recipes pre-pinned in tests/test_r13_prep.py:
-    #     the 11-op FLOOR(EPOCH) exact-integer oracle migration, the
-    #     str_encode_b64_hex CRLF strip, the bit_ops low-61-bit masked
-    #     shift, scan_xml_flatten's writer custkey reduction, and the
-    #     scan_text_fixedwidth FINWIRE CIK mod-1e10 residue — per-op
-    #     evidence in ROUND_ELEVATIONS in tools/round_close_check.py.
-    #     The elevations displaced all 15 staged r7 ops to the r14 head;
-    #     the window is at its 35-mandatory-r6 capacity, so four known
-    #     fixes are deferred to r14 (pinned in tests/test_r14_prep.py):
-    #     scan_python_datasource's matching CIK residue, the
-    #     _util.sql_epoch_s floor-mod migration (+ its two adopters),
-    #     agg_first_last's NULL-symmetric order key, and the
-    #     tpcdi_prospect_match negative-key contract note.
-    # ELEVATED (15):
-    "join_asof_latest",
-    "join_asof_tolerance",
-    "win_lag_change",
-    "win_running_distinct",
-    "win_sessionize_gap",
-    "win_interpolate_linear",
-    "stream_stream_join",
-    "win_pattern_vshape",
-    "win_rolling_corr",
-    "win_range_time_interval",
-    "stream_sliding_sum",
-    "str_encode_b64_hex",
-    "bit_ops",
-    "scan_xml_flatten",
-    "scan_text_fixedwidth",
-    # --- r6-certified mandatory block (35, age 7 at r13) ---
-    "agg_collect_sorted",
-    "str_url_parse",
-    "scan_csv_delim",
-    "scan_csv_header",
-    "vec_centroid_per_label",
-    "vec_l2_normalize",
-    "sql_groupby_all",
-    "sql_scalar_subquery_corr",
-    "sql_lateral_topk",
-    "sql_recursive_hierarchy",
-    "scan_csv_multichar_delim",
-    "sink_csv_quoted",
-    "scan_recursive_glob",
-    "scan_schema_evolution",
-    "sink_sorted_clustered",
-    "join_null_safe",
-    "join_interval_overlap",
-    "win_slope_rolling",
-    "win_percent_of_parent",
-    "win_zscore_anomaly",
-    "text_bigram_logprob",
-    "text_js_divergence_sources",
-    "text_tokenize_counts",
-    "text_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "dedup_keep_best",
-    "sim_knn_join",
-    "sim_embedding_neardup",
-    "dedup_semantic_cluster",
-    "multimodal_join",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    # --- ROUND-13 OPTIMIZATION ELEVATIONS (appended AFTER the 35
-    #     mandatory r6 ops so the first-50 prefix stays exactly the
-    #     staged build-round window; the optimization-round driver
-    #     re-runs EVERY declared query, so these get fresh r13 rows
-    #     regardless of prefix position). Each op here had its
-    #     TRANSITIVE SOURCE changed by a measured optimization this
-    #     round (evidence in OPTIMIZATION_r13.md); declared in
-    #     ROUND_ELEVATIONS (tools/round_close_check.py) and the
-    #     cert-age window grows to hold them (window =
-    #     over-age block + elevations, computed in cert_age_check).
-    # minhash library: single-pass candidate_pairs + inline-prune
-    # jaccard_verify (llm/minhash.py):
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_eval_simhash_recall",
-    "dedup_cross_source_matrix",
-    "pipeline_incremental_dedup",
-    "pipeline_pretrain_e2e",
-    "stream_incremental_dedup",
-    # band-bucket pair generation inline (sim_rp_lsh_cosine), the
-    # quantize-once upper-triangle covariance explosion (+ its two
-    # PCA adopters), the 4-pipeline audit consolidation, the min/max-
-    # window substring dup mark, and the token-total-from-sizes
-    # derivation (3 unigram-NLL ops):
-    "sim_rp_lsh_cosine",
-    "vec_covariance_matrix",
-    "vec_pca_power_iteration",
-    "vec_pca_project",
-    "audit_data_quality",
-    "dedup_substring_windows",
-    "pipeline_ccnet_e2e",
-    "text_unigram_logprob",
-    "text_perplexity_bucket",
-    # spread_scan adopters (layout-gated post-read re-spread of the
-    # one-task fixture scans, guide §2.5; no-op on well-split inputs):
-    "agg_groupby_basic",
-    "join_broadcast",
-    "join_range_between",
-    "vec_kmeans_refine",
-    # fused audit phase (each cached warehouse table aggregated once):
-    "tpcdi_batch_e2e",
-    # --- remainder, oldest driver cert first (cert_age_check order) ---
+    # --- ROUND-14 CERTIFICATION WINDOW (71 = 43 schedule + 28
+    #     ELEVATED), per the cert-age schedule above: the 40 remaining
+    #     age-7 r7 ops + the 3 oldest r8 ops (sort_multi, limit_n,
+    #     topk_per_group) form the mandatory schedule block, and every
+    #     op whose TRANSITIVE SOURCE changed in the r14 optimization
+    #     round is elevated for a same-round re-cert (declared in
+    #     ROUND_ELEVATIONS, tools/round_close_check.py; the elevation
+    #     set is computed mechanically by tools/op_change_check.py).
+    #     cert_age_check's default window grows to over-age block +
+    #     elevations (= 71 here), so no over-age op is starved.
+    #     r14 elevations: the pretrain single-evaluation dedup +
+    #     static spread_scan gate (minhash/simhash/covariance/kmeans
+    #     adopters), the occupancy-prefilter bounded candidate
+    #     generators (minhash lib, sim_rp inline, incremental-dedup
+    #     one-pass probe), the fused batch_e2e audit + check_order
+    #     lib param (tpcdi_scd2_incremental co-adopter), the fused CC
+    #     convergence flag (dedup_cluster_cc, dedup_semantic_cluster),
+    #     and the §7.4o r14 deferred-fix wave (FLOOR(EPOCH) floor-mod
+    #     migration sites, sql_epoch_s adopters, scan_python_datasource
+    #     CIK residue, agg_first_last NULL-gated key,
+    #     tpcdi_prospect_match contract note, audit_data_quality
+    #     NULL-key pk count).
+    # --- schedule block (43) ---
     "text_pii_redact",
     "text_normalize_unicode",
     "sim_quantized_topk",
@@ -210,6 +128,36 @@ _PRIORITY = [
     "sort_multi",
     "limit_n",
     "topk_per_group",
+    # --- ROUND-14 OPTIMIZATION/FIX ELEVATIONS (28) ---
+    "agg_first_last",
+    "agg_groupby_basic",
+    "audit_data_quality",
+    "dedup_cluster_cc",
+    "dedup_cross_source_matrix",
+    "dedup_eval_simhash_recall",
+    "dedup_latest_by_key",
+    "dedup_minhash_lsh",
+    "dedup_semantic_cluster",
+    "dedup_simhash",
+    "events_funnel",
+    "join_broadcast",
+    "join_range_between",
+    "pipeline_incremental_dedup",
+    "pipeline_pretrain_e2e",
+    "scan_python_datasource",
+    "sim_rp_lsh_cosine",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_watermark_late",
+    "tpcdi_batch_e2e",
+    "tpcdi_dim_trade",
+    "tpcdi_prospect_match",
+    "tpcdi_scd2_incremental",
+    "vec_covariance_matrix",
+    "vec_kmeans_refine",
+    "vec_pca_power_iteration",
+    "vec_pca_project",
+    # --- remainder, oldest driver cert first ---
     "set_except",
     "dedup_exact",
     "sql_api_revenue_ranking",
@@ -237,20 +185,13 @@ _PRIORITY = [
     "win_streaks",
     "text_tfidf",
     "sim_cosine_topk",
-    "dedup_cluster_cc",
     "text_label_quality",
     "dedup_exact_hash",
     "udtf_map_in_arrow",
+    "text_unigram_logprob",
     "pack_sequences_greedy",
     "str_collate_ci",
-    "scan_python_datasource",
     "scan_csv_malformed",
-    "stream_session_window",
-    "dedup_latest_by_key",
-    "stream_watermark_late",
-    "stream_foreachbatch_upsert",
-    "tpcdi_dim_trade",
-    "events_funnel",
     "tpcdi_scd2_dimcustomer",
     "tpcdi_fact_cash_balances",
     "tpcdi_fact_market_history",
@@ -263,11 +204,15 @@ _PRIORITY = [
     "dedup_chunk_level",
     "dedup_ngram_jaccard",
     "stream_quality_gate",
+    "stream_incremental_dedup",
     "events_attribution_last_touch",
+    "pipeline_ccnet_e2e",
     "sample_epoch_shuffle",
     "events_markov_transitions",
     "pipeline_rag_e2e",
     "text_chunk_overlap",
+    "text_perplexity_bucket",
+    "dedup_substring_windows",
     "text_keyword_topk",
     "multimodal_phash_neardup",
     "text_quality_gopher",
@@ -341,7 +286,6 @@ _PRIORITY = [
     "sim_ivf_index_partitioned",
     "agg_string_concat_group",
     "agg_approx_percentile",
-    "agg_first_last",
     "graph_label_propagation",
     "graph_pagerank",
     "json_extract",
@@ -357,9 +301,7 @@ _PRIORITY = [
     "tpcdi_dim_company",
     "tpcdi_dim_security",
     "tpcdi_financial",
-    "tpcdi_prospect_match",
     "tpcdi_scd2_dimaccount",
-    "tpcdi_scd2_incremental",
     "udtf_map_in_pandas",
     "sink_compact_small_files",
     "sink_merge_upsert",
@@ -387,6 +329,55 @@ _PRIORITY = [
     "sketch_hll_partition_merge",
     "sketch_approx_topk",
     "sort_limit_offset",
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "win_lag_change",
+    "win_running_distinct",
+    "win_sessionize_gap",
+    "win_interpolate_linear",
+    "stream_stream_join",
+    "win_pattern_vshape",
+    "win_rolling_corr",
+    "win_range_time_interval",
+    "stream_sliding_sum",
+    "str_encode_b64_hex",
+    "bit_ops",
+    "scan_xml_flatten",
+    "scan_text_fixedwidth",
+    "agg_collect_sorted",
+    "str_url_parse",
+    "scan_csv_delim",
+    "scan_csv_header",
+    "vec_centroid_per_label",
+    "vec_l2_normalize",
+    "sql_groupby_all",
+    "sql_scalar_subquery_corr",
+    "sql_lateral_topk",
+    "sql_recursive_hierarchy",
+    "scan_csv_multichar_delim",
+    "sink_csv_quoted",
+    "scan_recursive_glob",
+    "scan_schema_evolution",
+    "sink_sorted_clustered",
+    "join_null_safe",
+    "join_interval_overlap",
+    "win_slope_rolling",
+    "win_percent_of_parent",
+    "win_zscore_anomaly",
+    "text_bigram_logprob",
+    "text_js_divergence_sources",
+    "text_tokenize_counts",
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "dedup_keep_best",
+    "sim_knn_join",
+    "sim_embedding_neardup",
+    "multimodal_join",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
 ]
 
 

@@ -41,6 +41,14 @@ def get_spark(app_name: str = "tpcdi-spark-engine", master: str | None = None) -
     bcast = os.environ.get(
         "SPARK_GRAFT_BROADCAST_THRESHOLD", str(32 * 1024 * 1024)
     )
+    # - IO_CODEC: shuffle/spill/broadcast compression codec (guide
+    #   §2.3). Local default stays Spark's lz4 so the driver bench is
+    #   comparable round-over-round; the r14 idle A/B (BASELINE.md)
+    #   measured zstd a wash-to-slightly-slower at fixture scale
+    #   (shuffle payloads are KB-scale, so codec CPU dominates the
+    #   byte savings). Production: zstd usually wins once shuffle
+    #   partitions carry 100MB+ — measure per guide §2.3.
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -53,5 +61,6 @@ def get_spark(app_name: str = "tpcdi-spark-engine", master: str | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+        .config("spark.io.compression.codec", io_codec)
     )
     return builder.getOrCreate()
